@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries per category at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line (driver contract).
+
+Each query is materialized with the no-op sink (full execution, no
+driver collect) — wall-clock measures the whole plan, including shuffle
+and Python-UDF stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestor_and_features_creator_spark import plans  # noqa: E402
+from data_ingestor_and_features_creator_spark.session import get_spark  # noqa: E402
+
+# One representative per category (SURVEY.md §6): scan-agg, join-heavy,
+# window-heavy, domain closed-form, UDF-heavy, dedup, similarity.
+HEADLINE = [
+    "flagship_event_features",
+    "join_star_multi",
+    "win_sliding_range",
+    "hrv_time_domain",
+    "hrv_freq_domain",
+    "dedup_fuzzy_minhash",
+    "sim_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    qs = plans.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, page cache)
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

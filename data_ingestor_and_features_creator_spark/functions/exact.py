@@ -1,0 +1,84 @@
+"""Numeric helpers for oracle-stable results (SURVEY.md §5 house rules).
+
+Floating-point aggregation order differs between engines, so a double
+SUM/AVG/STDDEV at sf0.01 can differ in the last bits — and a value that
+lands on a 6-dp rounding boundary then hashes differently (observed:
+AVG giving ...87 vs ...88 at the 6th dp). Fix, applied to every
+moment-based statistic:
+
+1. per-row expressions stay in double (IEEE ops are deterministic
+   across engines for identical inputs);
+2. the *sums* run through DECIMAL(38,6) (exact, order-independent);
+3. the statistic is assembled from those exact sums with scalar double
+   arithmetic (again deterministic);
+4. a final 6-dp round guards against round()-implementation drift.
+
+Result: Spark and DuckDB produce bit-identical doubles before the
+round, so the round can't straddle a boundary. The decimal detour stays
+inside whole-stage codegen (decimal sum is JVM-intrinsic); use plain
+double sums on bench-only paths if profiling ever shows it hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact sum of a double column, returned as double."""
+    return F.sum(_c(col).cast(DEC)).cast("double")
+
+
+def dmean(col: Column | str) -> Column:
+    """AVG built from an exact sum (bit-stable across engines)."""
+    c = _c(col)
+    return dsum(c) / F.count(c)
+
+
+def dvar_samp(col: Column | str) -> Column:
+    """Sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1)."""
+    c = _c(col)
+    n = F.count(c).cast("double")
+    sx = dsum(c)
+    sxx = dsum(c * c)
+    return (sxx - sx * sx / n) / (n - F.lit(1.0))
+
+
+def dstd_samp(col: Column | str) -> Column:
+    return F.sqrt(dvar_samp(col))
+
+
+def r6(col: Column) -> Column:
+    """Round a statistic to 6 dp (final oracle-stability guard)."""
+    return F.round(col, 6)
+
+
+# --- DuckDB SQL twins (string builders used inside oracle queries) ---
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def dmean_sql(expr: str) -> str:
+    return f"({dsum_sql(expr)} / COUNT({expr}))"
+
+
+def dvar_samp_sql(expr: str) -> str:
+    e = expr
+    return (f"(({dsum_sql(f'({e})*({e})')} - {dsum_sql(e)} * {dsum_sql(e)}"
+            f" / CAST(COUNT({e}) AS DOUBLE)) / (CAST(COUNT({e}) AS DOUBLE) - 1.0))")
+
+
+def dstd_samp_sql(expr: str) -> str:
+    return f"SQRT({dvar_samp_sql(expr)})"
+
+
+def r6_sql(expr: str) -> str:
+    return f"ROUND(({expr}), 6)"

@@ -1,0 +1,51 @@
+"""Registry mapping SURVEY.md §2 operator ids → (Spark query, oracle SQL).
+
+Usage::
+
+    @query("agg_basic", oracle="SELECT ... FROM lineitem ...")
+    def agg_basic(spark, sf_dir):
+        return ...DataFrame...
+
+House rules for oracle hash-stability (SURVEY.md §5, §7 risk list):
+
+- Alias every computed column identically in Spark and SQL.
+- Raw SUMs over many doubles are computed through DECIMAL(38,6) on BOTH
+  sides (exact arithmetic → bit-identical doubles after the final cast);
+  see functions/exact.py. Normalized stats (avg/stddev/corr/...) carry
+  ~1e-11 absolute error → rounded to 6 dp on both sides.
+- Every LIMIT is preceded by a total order (unique tiebreak column).
+- Timestamps leave queries as DATE (to_date/date_trunc) or epoch BIGINT,
+  never raw (ns vs µs truncation drift).
+- Integer SUMs are CAST(... AS BIGINT) in DuckDB (its SUM(BIGINT) is
+  HUGEINT, Spark's is LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under a SURVEY.md §2 operator id.
+
+    ``oracle`` is the DuckDB-dialect ANSI SQL twin; omit it for
+    non-SQL-expressible operators (driver then runs the weaker
+    rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local defaults target the test harness (local[N], single JVM); every
+setting is chosen to also be the right *shape* at cluster scale:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  join-strategy demotion) — essential at 100 TB where static stats lie.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescing makes the initial number mostly a ceiling.
+- Arrow enabled so every pandas-UDF stage is vectorized batch transfer,
+  with ``maxRecordsPerBatch`` bounded so a single Arrow batch cannot
+  blow executor memory on wide rows (SURVEY.md §4).
+- Session timezone pinned to UTC: parquet fixture timestamps are naive;
+  the DuckDB oracle is UTC-naive (pyspark_guide.md "Pitfalls").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "data_ingestor_and_features_creator_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. In local
+    mode the driver is the only JVM, so driver memory is the one heap
+    knob; on a cluster the same configs apply per executor.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # events.ts is parquet TIMESTAMP(NANOS): illegal for Spark's reader
+        # (PARQUET_TYPE_ILLEGAL); read the raw int64 and convert in the
+        # catalog (ns → µs floor division, matching DuckDB's ns→µs cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,72 @@
+"""Order-insensitive result comparison mimicking the driver's oracle check.
+
+The driver sorts columns by name and value-hashes rows (SURVEY.md §5).
+Here we normalize every cell to a canonical string (floats at 6 dp —
+queries are required to emit only 6-dp-rounded or exact-decimal floats,
+see plans/registry.py house rules), sort rows, and diff the multisets,
+printing the first divergences on failure.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+from typing import Any
+
+
+def norm_cell(v: Any) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        if math.isinf(v):
+            return "<Inf>" if v > 0 else "<-Inf>"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
+        return f"{v:.6f}"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def normalize(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def assert_same_result(name: str,
+                       spark_cols: list[str], spark_rows: list[tuple],
+                       duck_cols: list[str], duck_rows: list[tuple]) -> None:
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s = normalize(spark_cols, spark_rows)
+    d = normalize(duck_cols, duck_rows)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        only_s = [r for r in s if r not in set(d)][:5]
+        only_d = [r for r in d if r not in set(s)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch (cols sorted: {sorted(spark_cols)})\n"
+            f"first paired diffs: {diffs}\n"
+            f"only in spark: {only_s}\nonly in duck: {only_d}"
+        )
