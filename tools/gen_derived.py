@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Generate committed derived test inputs (CSV + binary blobs) from the
+read-only sf0.01 fixtures. Deterministic; run once, outputs committed to
+testdata_derived/ so scan_csv/scan_binary have stable non-parquet inputs
+that both Spark and the DuckDB oracle can read.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "testdata_derived")
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    os.makedirs(os.path.join(OUT, "blobs"), exist_ok=True)
+    con = duckdb.connect()
+    # 100-row orders sample as CSV (header, ISO timestamps).
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+                 o_orderpriority
+          FROM '{SF}/orders.parquet' ORDER BY o_orderkey LIMIT 100
+        ) TO '{OUT}/orders_sample.csv' (HEADER, DELIMITER ',')
+    """)
+    # 8 small binary blobs: utf-8 doc text as opaque bytes (multimodal
+    # stand-in — image/audio decode is stubbed per driver mandate).
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 8"
+    ).fetchall()
+    for doc_id, text in rows:
+        with open(os.path.join(OUT, "blobs", f"doc_{doc_id:05d}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()
