@@ -1,1 +1,223 @@
-"""Placeholder — filled in by build plan step."""
+"""Join operators (SURVEY.md §2.3): equi (inner/outer/semi/anti),
+broadcast, cross, range-interval, as-of, and multi-table star joins.
+
+Scale notes per query in docstrings; dims (region/nation/supplier) are
+always broadcast — never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
+from ..operators.asof import asof_join
+from .registry import query
+
+
+@query("join_inner_hash", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+       l.l_extendedprice * (1 - l.l_discount) AS net_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+""")
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst picks broadcast vs shuffle by size, AQE
+    can demote a planned SMJ to broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@query("join_broadcast", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, s.s_name, n.n_name
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+""")
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim joins with explicit broadcast hints: zero shuffle of the fact
+    table — mandatory shape at 100 TB (supplier/nation are tiny)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_linenumber", "s_name", "n_name")
+    )
+
+
+@query("join_left_outer", oracle="""
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+""")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P")
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query("join_full_outer", oracle="""
+WITH hi AS (
+  SELECT user_id, COUNT(*) AS n_hi FROM events
+  WHERE event_type = 'purchase' AND value > 300 GROUP BY user_id
+), lo AS (
+  SELECT user_id, COUNT(*) AS n_lo FROM events
+  WHERE event_type = 'error' AND value < 1 GROUP BY user_id
+)
+SELECT COALESCE(hi.user_id, lo.user_id) AS user_id, hi.n_hi, lo.n_lo
+FROM hi FULL OUTER JOIN lo ON hi.user_id = lo.user_id
+""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hi = (ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 300))
+          .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_hi")))
+    lo = (ev.filter((F.col("event_type") == "error") & (F.col("value") < 1))
+          .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_lo")))
+    # join on the column list → Spark emits a single coalesced user_id
+    return hi.join(lo, ["user_id"], "full")
+
+
+@query("join_semi", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter: no row multiplication, right side reduced to a
+    distinct key set during the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query("join_cross", oracle="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane when one side is tiny (it
+    broadcasts); the pairwise-similarity ops build on this shape."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query("join_range_interval", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.us >= p.us AND c.us < p.us + 3600000000
+""")
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval theta join (annotation labeling analog,
+    SURVEY.md §2.3): clicks within 1 h after a purchase by the same
+    user. The equi key (user_id) drives the join; the range predicate
+    is a post-join filter, so no cartesian blow-up. Timestamps compared
+    as integer epoch-µs — exact under the ns→µs truncation on both
+    engines. At scale with NO equi key, bucketize time into
+    interval-sized buckets and equi-join on (key, bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), us.alias("p_us")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"), us.alias("c_us")))
+    return (
+        p.join(c, (F.col("p_user") == F.col("c_user"))
+               & (F.col("c_us") >= F.col("p_us"))
+               & (F.col("c_us") < F.col("p_us") + 3600000000))
+        .select("purchase_id", "click_id")
+    )
+
+
+@query("join_asof", oracle="""
+SELECT e.event_id, e.user_id,
+       s.event_id AS signup_id_asof,
+       epoch_us(e.ts) - epoch_us(s.ts) AS lag_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-preceding-event join via operators/asof.py (union +
+    IGNORE NULLS window): each event gets the latest same-user signup
+    at-or-before it. Oracle uses DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        signups,
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["signup_id", "ts"],
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("signup_id_asof"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("lag_us"),
+    )
+
+
+@query("join_star_multi", oracle=f"""
+SELECT r.r_name, o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name, o.o_orderpriority
+""")
+def join_star_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style star join: one fact shuffle (lineitem⋈orders), every
+    dim broadcast; AQE free to reorder. Revenue per region/priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
