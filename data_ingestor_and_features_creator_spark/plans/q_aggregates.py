@@ -1,1 +1,284 @@
-"""Placeholder — filled in by build plan step."""
+"""Aggregation operators (SURVEY.md §2.4).
+
+Every moment-based statistic (avg/var/skew/kurt/corr/covar) is
+assembled from decimal-exact sums (functions/exact.py) so Spark and
+DuckDB agree bit-for-bit before the final 6-dp round — their built-in
+aggregate kernels use different accumulation algorithms (e.g. Welford
+vs naive, and sample-corrected skewness in DuckDB vs population in
+Spark), so built-ins are deliberately NOT compared against built-ins.
+Higher moments are defined here as population moments: m_k = Σ(x-μ)^k/n,
+skew = m3/m2^1.5, kurtosis = m4/m2² − 3 (excess).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import (DEC, dmean, dmean_sql, dstd_samp, dstd_samp_sql,
+                               dsum, dsum_sql, dvar_samp, dvar_samp_sql, r6,
+                               r6_sql)
+from .registry import query
+
+
+@query("agg_basic", oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {r6_sql(dmean_sql('l_quantity'))} AS avg_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with automatic map-side partial aggregation —
+    the shuffle carries one row per (group × partition), not per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+        r6(dmean("l_quantity")).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query("agg_stddev_var", oracle=f"""
+SELECT event_type,
+       {r6_sql(dstd_samp_sql('value'))} AS std_value,
+       {r6_sql(dvar_samp_sql('value'))} AS var_value
+FROM events GROUP BY event_type
+""")
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(dstd_samp("value")).alias("std_value"),
+        r6(dvar_samp("value")).alias("var_value"),
+    )
+
+
+@query("agg_count_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: Spark expands to a two-level aggregate
+    (partial distinct per partition, then merge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketch is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=2%): the 100 TB path
+    where exact distinct's shuffle would dominate. Deterministic for a
+    fixed input but not hash-comparable across engines by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),  # for eyeballing error
+    )
+
+
+@query("agg_percentile", oracle=f"""
+SELECT event_type,
+       {r6_sql('quantile_cont(value, 0.25)')} AS p25,
+       {r6_sql('quantile_cont(value, 0.50)')} AS p50,
+       {r6_sql('quantile_cont(value, 0.75)')} AS p75
+FROM events GROUP BY event_type
+""")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (median_nni analog). At 100 TB use
+    percentile_approx (t-digest) instead — exact percentile needs a
+    per-group sort; the approx form is single-pass mergeable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.expr("percentile(value, 0.25)")).alias("p25"),
+        r6(F.expr("percentile(value, 0.50)")).alias("p50"),
+        r6(F.expr("percentile(value, 0.75)")).alias("p75"),
+    )
+
+
+def _moments(x: Column) -> dict[str, Column]:
+    n = F.count(x).cast("double")
+    s1, s2 = dsum(x), dsum(x * x)
+    s3, s4 = dsum(x * x * x), dsum(x * x * x * x)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu
+    return {"m2": m2, "m3": m3, "m4": m4}
+
+
+def _moments_sql(x: str) -> dict[str, str]:
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    s1, s2 = dsum_sql(x), dsum_sql(f"({x})*({x})")
+    s3 = dsum_sql(f"({x})*({x})*({x})")
+    s4 = dsum_sql(f"({x})*({x})*({x})*({x})")
+    mu = f"({s1} / {n})"
+    m2 = f"({s2} / {n} - {mu} * {mu})"
+    m3 = f"({s3} / {n} - 3 * {mu} * {s2} / {n} + 2 * {mu} * {mu} * {mu})"
+    m4 = (f"({s4} / {n} - 4 * {mu} * {s3} / {n} + 6 * {mu} * {mu} * {s2} / {n}"
+          f" - 3 * {mu} * {mu} * {mu} * {mu})")
+    return {"m2": m2, "m3": m3, "m4": m4}
+
+
+_M = _moments_sql("value")
+
+@query("agg_skew_kurt", oracle=f"""
+SELECT event_type,
+       {r6_sql(f"{_M['m3']} / POW({_M['m2']}, 1.5)")} AS skew_pop,
+       {r6_sql(f"{_M['m4']} / ({_M['m2']} * {_M['m2']}) - 3.0")} AS kurt_excess
+FROM events GROUP BY event_type
+""")
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = _moments(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        r6(m["m3"] / F.pow(m["m2"], 1.5)).alias("skew_pop"),
+        r6(m["m4"] / (m["m2"] * m["m2"]) - 3.0).alias("kurt_excess"),
+    )
+
+
+@query("agg_minmax_range", oracle="""
+SELECT user_id, MAX(value) - MIN(value) AS value_range,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY user_id
+""")
+def agg_minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_nni analog (SURVEY.md §2.9 [PK:high]): max − min is exact
+    in doubles — no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        (F.max("value") - F.min("value")).alias("value_range"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query("agg_first_last", oracle="""
+SELECT user_id,
+       arg_min(value, ts) AS first_value_by_ts,
+       arg_max(value, ts) AS last_value_by_ts
+FROM events GROUP BY user_id
+""")
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware first/last via min_by/max_by — NOT bare groupBy
+    first()/last(), which are partition-order-nondeterministic
+    (SURVEY.md §2.4 house rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("value", "ts").alias("first_value_by_ts"),
+        F.max_by("value", "ts").alias("last_value_by_ts"),
+    )
+
+
+@query("agg_collect", oracle="""
+SELECT user_id, list(value ORDER BY ts) AS values_by_ts
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+""")
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-group gather — the handoff shape for UDF kernels that
+    need the whole window series (SURVEY.md §2.9). Order is pinned by
+    sorting (ts, value) structs, never by arrival order."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    gathered = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("tv")
+    )
+    return gathered.select(
+        "user_id", F.transform("tv", lambda x: x.value).alias("values_by_ts")
+    )
+
+
+_MX = _moments_sql("value")
+_CORR_N = "CAST(COUNT(*) AS DOUBLE)"
+
+@query("agg_corr_covar", oracle=f"""
+WITH j AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+  FROM events
+)
+SELECT event_type,
+  {r6_sql(f"(({dsum_sql('value * k')} - {dsum_sql('value')} * {dsum_sql('k')} / {_CORR_N})"
+          f" / ({_CORR_N} - 1.0))")} AS covar_vk,
+  {r6_sql(f"(({dsum_sql('value * k')} / {_CORR_N} - {dmean_sql('value')} * {dmean_sql('k')})"
+          f" / (SQRT({_moments_sql('value')['m2']}) * SQRT({_moments_sql('k')['m2']})))")} AS corr_vk
+FROM j GROUP BY event_type
+""")
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance (Poincaré-geometry
+    dependency, SURVEY.md §2.4) from exact sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sv, sk, svk = dsum("value"), dsum("k"), dsum(F.col("value") * F.col("k"))
+    mv = _moments(F.col("value"))["m2"]
+    mk = _moments(F.col("k"))["m2"]
+    covar = (svk - sv * sk / n) / (n - 1.0)
+    corr = (svk / n - (sv / n) * (sk / n)) / (F.sqrt(mv) * F.sqrt(mk))
+    return ev.groupBy("event_type").agg(
+        r6(covar).alias("covar_vk"), r6(corr).alias("corr_vk")
+    )
+
+
+@query("agg_grouping_sets", oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: subtotals + grand total in one pass (Expand operator —
+    each input row fans out once per grouping set before the agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query("agg_having", oracle=f"""
+SELECT user_id, COUNT(*) AS n, {r6_sql(dmean_sql('value'))} AS avg_value
+FROM events GROUP BY user_id HAVING COUNT(*) >= 50
+""")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter — the min-beats-per-window guard shape
+    (SURVEY.md §2.4 [PK:med])."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), r6(dmean("value")).alias("avg_value"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query("agg_conditional", oracle=f"""
+WITH d AS (
+  SELECT event_type,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv
+  FROM events
+)
+SELECT event_type,
+       SUM(CASE WHEN ABS(dv) > 50 THEN 1 ELSE 0 END) AS nni_50_analog,
+       {r6_sql("100.0 * SUM(CASE WHEN ABS(dv) > 50 THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(dv) AS DOUBLE)")} AS pnni_50_analog
+FROM d GROUP BY event_type
+""")
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-if / sum-if — the nni_50/pnni_50 feature shape
+    (SURVEY.md §2.4 [PK:high]) on the events stand-in series."""
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    d = ev.select("event_type", (F.col("value") - F.lag("value").over(w)).alias("dv"))
+    nni = F.sum(F.when(F.abs("dv") > 50, 1).otherwise(0))
+    return d.groupBy("event_type").agg(
+        nni.alias("nni_50_analog"),
+        r6(100.0 * nni / F.count("dv").cast("double")).alias("pnni_50_analog"),
+    )

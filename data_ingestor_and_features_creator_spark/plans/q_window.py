@@ -1,1 +1,171 @@
-"""Placeholder — filled in by build plan step."""
+"""Window-function operators (SURVEY.md §2.5).
+
+The per-record ordered window is the reference's core primitive
+(``np.diff`` over the RR series, SURVEY.md §2.5 win_lag_diff
+[PK:high]); here every variant is a Spark window spec. Sliding-frame
+sums go through DECIMAL so DuckDB's segment-tree window accumulation
+and Spark's running accumulation cannot diverge in the low bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import DEC, r6, r6_sql
+from .registry import query
+
+
+def _w(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev, W.partitionBy("user_id").orderBy("ts")
+
+
+@query("win_lag_diff", oracle="""
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts) - value AS dv_next
+FROM events
+""")
+def win_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive differences of the ordered series — diff_nni."""
+    ev, w = _w(spark, sf_dir)
+    return ev.select(
+        "event_id", "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+        (F.lead("value").over(w) - F.col("value")).alias("dv_next"),
+    )
+
+
+@query("win_row_number", oracle="""
+SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS beat_idx
+FROM events
+""")
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, w = _w(spark, sf_dir)
+    return ev.select("event_id", F.row_number().over(w).alias("beat_idx"))
+
+
+@query("win_rank_dense", oracle=f"""
+SELECT event_id,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       {r6_sql('percent_rank() OVER w')} AS prnk,
+       {r6_sql('cume_dist() OVER w')} AS cdist,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""")
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        r6(F.percent_rank().over(w)).alias("prnk"),
+        r6(F.cume_dist().over(w)).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query("win_running_agg", oracle=f"""
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM events
+""")
+def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum — the cumsum(rri) window-bucketing primitive
+    (SURVEY.md §2.5 [PK:high])."""
+    ev, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+        .alias("running_total"),
+    )
+
+
+@query("win_sliding_rows", oracle=f"""
+SELECT event_id,
+  {r6_sql("CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)"
+          " / CAST(COUNT(value) OVER w AS DOUBLE)")} AS moving_avg_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""")
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(-4, 0)
+    msum = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+    return ev.select(
+        "event_id",
+        r6(msum / F.count("value").over(frame).cast("double")).alias("moving_avg_5"),
+    )
+
+
+@query("win_sliding_range", oracle=f"""
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h,
+       COUNT(*) OVER w AS n_1h
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-interval window (the sliding HRV feature window,
+    SURVEY.md §2.5 [PK:high]) — RANGE frame over integer epoch-µs, so
+    the boundary is exact on both engines. At 100 TB this is the
+    shuffle-free alternative to self-joining events against windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3600000000, 0))
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query("win_first_last_value", oracle="""
+SELECT event_id,
+       first_value(value) OVER w AS first_v,
+       last_value(value) OVER w AS last_v,
+       nth_value(value, 3) OVER w AS third_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, w = _w(spark, sf_dir)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.first("value").over(full).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 3).over(full).alias("third_v"),
+    )
+
+
+@query("topk_per_group", oracle="""
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per partition via row_number ≤ k — at scale Spark rewrites
+    this to a per-partition bounded heap (WindowGroupLimit), so no full
+    per-group sort materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "value")
+    )
