@@ -1,0 +1,121 @@
+"""HRV feature expressions (SURVEY.md §2.9) — the reference's product,
+re-expressed as closed-form Spark aggregate expressions.
+
+Semantics follow the Aura org's public ``hrvanalysis`` API [PK:high]:
+
+- time domain (``get_time_domain_features``): mean_nni, sdnn (ddof=1),
+  sdsd (ddof=1 of successive diffs), rmssd = sqrt(mean(d²)),
+  median_nni, range_nni, cvsd = rmssd/mean_nni, cvnni = sdnn/mean_nni,
+  nni_50/pnni_50 (pnni divides by len(nn)), nni_20/pnni_20,
+  hr = 60000/nn → mean/max/min/std_hr (ddof=1);
+- Poincaré (``get_poincare_plot_features``): sd1 = sqrt(0.5·var₁(d)),
+  sd2 = sqrt(2·var₁(nn) − 0.5·var₁(d)), ratio = sd2/sd1;
+- CSI/CVI (``get_csi_cvi_features``): T = 4·sd1, L = 4·sd2,
+  csi = L/T, cvi = log10(L·T), Modified_csi = L²/T;
+- geometrical: triangular_index = n / max histogram bin count at the
+  standard 7.8125 ms bin width (128 Hz sampling heritage). ``tinn`` is
+  intentionally omitted: it needs the triangular-fit minimization the
+  public package does not stably define.
+
+Everything here is ONE groupBy pass over base + lag-diff columns (the
+win_lag_diff primitive): partial aggregation map-side, no UDF, no
+collect. The ``d``-moments use count(d) = n−1 denominators; the
+``nn``-moments use n — matching numpy ddof semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, r6
+
+
+def with_diff(rr: DataFrame, record_col: str = "record_id",
+              ts_col: str = "beat_ts", rri_col: str = "rri") -> DataFrame:
+    """Attach the successive-difference column ``d`` per record."""
+    w = W.partitionBy(record_col).orderBy(ts_col)
+    return rr.withColumn("d", F.col(rri_col) - F.lag(rri_col).over(w))
+
+
+def _stats(rri: Column, d: Column) -> dict[str, Column]:
+    """Shared exact-sum building blocks over one group."""
+    n = F.count(rri).cast("double")
+    nd = F.count(d).cast("double")
+    s1, s2 = dsum(rri), dsum(rri * rri)
+    sd1_, sd2_ = dsum(d), dsum(d * d)
+    hr = F.lit(60000.0) / rri
+    sh1, sh2 = dsum(hr), dsum(hr * hr)
+    return {
+        "n": n, "nd": nd,
+        "mean_nni": s1 / n,
+        "var_nni": (s2 - s1 * s1 / n) / (n - 1),
+        "mean_d2": sd2_ / nd,
+        "var_d": (sd2_ - sd1_ * sd1_ / nd) / (nd - 1),
+        "mean_hr": sh1 / n,
+        "var_hr": (sh2 - sh1 * sh1 / n) / (n - 1),
+    }
+
+
+def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
+    rri, d = F.col(rri_col), F.col(d_col)
+    s = _stats(rri, d)
+    sdnn = F.sqrt(s["var_nni"])
+    rmssd = F.sqrt(s["mean_d2"])
+    nni_50 = F.sum(F.when(F.abs(d) > 50, 1).otherwise(0))
+    nni_20 = F.sum(F.when(F.abs(d) > 20, 1).otherwise(0))
+    return [
+        r6(s["mean_nni"]).alias("mean_nni"),
+        r6(sdnn).alias("sdnn"),
+        r6(F.sqrt(s["var_d"])).alias("sdsd"),
+        r6(rmssd).alias("rmssd"),
+        r6(F.expr(f"percentile({rri_col}, 0.5)")).alias("median_nni"),
+        (F.max(rri) - F.min(rri)).alias("range_nni"),
+        r6(rmssd / s["mean_nni"]).alias("cvsd"),
+        r6(sdnn / s["mean_nni"]).alias("cvnni"),
+        nni_50.alias("nni_50"),
+        r6(F.lit(100.0) * nni_50 / s["n"]).alias("pnni_50"),
+        nni_20.alias("nni_20"),
+        r6(F.lit(100.0) * nni_20 / s["n"]).alias("pnni_20"),
+        r6(s["mean_hr"]).alias("mean_hr"),
+        r6(F.lit(60000.0) / F.min(rri)).alias("max_hr"),
+        r6(F.lit(60000.0) / F.max(rri)).alias("min_hr"),
+        r6(F.sqrt(s["var_hr"])).alias("std_hr"),
+    ]
+
+
+def poincare_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
+    rri, d = F.col(rri_col), F.col(d_col)
+    s = _stats(rri, d)
+    sd1 = F.sqrt(F.lit(0.5) * s["var_d"])
+    sd2 = F.sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
+    return [
+        r6(sd1).alias("sd1"),
+        r6(sd2).alias("sd2"),
+        r6(sd2 / sd1).alias("ratio_sd2_sd1"),
+    ]
+
+
+def csi_cvi_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
+    rri, d = F.col(rri_col), F.col(d_col)
+    s = _stats(rri, d)
+    sd1 = F.sqrt(F.lit(0.5) * s["var_d"])
+    sd2 = F.sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
+    t = 4 * sd1
+    l = 4 * sd2
+    return [
+        r6(l / t).alias("csi"),
+        r6(F.log10(l * t)).alias("cvi"),
+        r6(l * l / t).alias("modified_csi"),
+    ]
+
+
+def triangular_index(rr: DataFrame, record_col: str = "record_id",
+                     rri_col: str = "rri", bin_ms: float = 7.8125) -> DataFrame:
+    """n / max-bin-count over a fixed-width RR histogram — two hash
+    aggregations, no sort, no UDF."""
+    binned = rr.withColumn("__bin", F.floor(F.col(rri_col) / F.lit(bin_ms)))
+    per_bin = binned.groupBy(record_col, "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    return per_bin.groupBy(record_col).agg(
+        r6(F.sum("__c").cast("double") / F.max("__c")).alias("triangular_index")
+    )

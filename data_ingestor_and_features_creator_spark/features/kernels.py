@@ -1,0 +1,127 @@
+"""Arrow-batched pandas-UDF kernels for the two HRV features that are
+genuinely not expressible as DataFrame aggregates (SURVEY.md §2.9):
+frequency-domain PSD band powers and sample entropy.
+
+These are the ONLY Python-side hot paths in the engine; they run per
+(record, window) group via ``applyInPandas``, so the Arrow transfer is
+one batch per group and the numpy kernels are vectorized inside.
+Guards: groups shorter than the kernel minimum return NULL features
+instead of raising (the agg_having min-beats guard should run first).
+
+scipy is unavailable in this environment, so Welch PSD is implemented
+directly on numpy.fft (hann window, 50% overlap, constant detrend per
+segment, one-sided density scaling) — same estimator family the
+reference uses via scipy.signal.welch [PK:high]; numerical parity with
+scipy is not claimed, band definitions are (vlf 0.003–0.04, lf
+0.04–0.15, hf 0.15–0.40 Hz) [PK:high].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+FREQ_SCHEMA = ("record_id long, n_beats long, vlf double, lf double, hf double, "
+               "total_power double, lf_hf_ratio double, lfnu double, hfnu double")
+
+SAMPEN_SCHEMA = "record_id long, n_beats long, sampen double"
+
+VLF_BAND = (0.003, 0.04)
+LF_BAND = (0.04, 0.15)
+HF_BAND = (0.15, 0.40)
+
+
+def welch_psd(x: np.ndarray, fs: float, nperseg: int = 256):
+    """One-sided Welch periodogram (hann, 50% overlap, mean-detrend)."""
+    n = len(x)
+    nperseg = int(min(nperseg, n))
+    win = np.hanning(nperseg)
+    step = max(1, nperseg - nperseg // 2)
+    specs = []
+    for start in range(0, n - nperseg + 1, step):
+        seg = x[start:start + nperseg]
+        seg = (seg - seg.mean()) * win
+        specs.append(np.abs(np.fft.rfft(seg)) ** 2)
+    psd = np.mean(specs, axis=0) / (fs * (win ** 2).sum())
+    psd[1:-1] *= 2.0
+    freqs = np.fft.rfftfreq(nperseg, 1.0 / fs)
+    return freqs, psd
+
+
+def _band_power(freqs: np.ndarray, psd: np.ndarray, band: tuple[float, float]) -> float:
+    mask = (freqs >= band[0]) & (freqs < band[1])
+    if mask.sum() < 2:
+        return 0.0
+    return float(np.trapz(psd[mask], freqs[mask]))
+
+
+RESAMPLE_HZ = 4.0  # module constant, NOT a kernel kwarg: a 2-arg fn
+                   # would be read by applyInPandas as the (key, pdf) form
+
+
+def freq_domain_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group frequency features: RR series → uniform 4 Hz resample
+    (linear interp over cumulative beat time) → Welch → band powers."""
+    fs = RESAMPLE_HZ
+    record_id = pdf["record_id"].iloc[0]
+    pdf = pdf.sort_values("beat_ts")
+    rri = pdf["rri"].to_numpy(dtype=np.float64)
+    n = len(rri)
+    out = {"record_id": [record_id], "n_beats": [n], "vlf": [None], "lf": [None],
+           "hf": [None], "total_power": [None], "lf_hf_ratio": [None],
+           "lfnu": [None], "hfnu": [None]}
+    if n >= 16:
+        t = np.cumsum(rri) / 1000.0  # beat times, seconds
+        t = t - t[0]
+        grid = np.arange(0.0, t[-1], 1.0 / fs)
+        if len(grid) >= 32:
+            x = np.interp(grid, t, rri)
+            freqs, psd = welch_psd(x, fs)
+            vlf = _band_power(freqs, psd, VLF_BAND)
+            lf = _band_power(freqs, psd, LF_BAND)
+            hf = _band_power(freqs, psd, HF_BAND)
+            total = vlf + lf + hf
+            out.update(
+                vlf=[vlf], lf=[lf], hf=[hf], total_power=[total],
+                lf_hf_ratio=[lf / hf if hf > 0 else None],
+                lfnu=[100.0 * lf / (lf + hf) if lf + hf > 0 else None],
+                hfnu=[100.0 * hf / (lf + hf) if lf + hf > 0 else None],
+            )
+    return pd.DataFrame(out)
+
+
+def sample_entropy(x: np.ndarray, m: int = 2, r: float | None = None) -> float | None:
+    """SampEn(m=2, r=0.2·std) — nolds-style [PK:high]. O(n²) in the
+    template comparisons; callers must bound group size (agg_having)."""
+    n = len(x)
+    if n < m + 2:
+        return None
+    if r is None:
+        r = 0.2 * float(np.std(x))  # population std, nolds default
+    if r == 0:
+        return None
+
+    def _count(mm: int) -> int:
+        tm = np.lib.stride_tricks.sliding_window_view(x, mm)
+        total = 0
+        for i in range(len(tm) - 1):
+            d = np.max(np.abs(tm[i + 1:] - tm[i]), axis=1)
+            total += int(np.sum(d <= r))
+        return total
+
+    b = _count(m)
+    a = _count(m + 1)
+    if a == 0 or b == 0:
+        return None
+    return float(-np.log(a / b))
+
+
+def sampen_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    record_id = pdf["record_id"].iloc[0]
+    pdf = pdf.sort_values("beat_ts")
+    rri = pdf["rri"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "record_id": [record_id],
+        "n_beats": [len(rri)],
+        "sampen": [sample_entropy(rri)],
+    })

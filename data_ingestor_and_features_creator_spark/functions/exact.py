@@ -8,7 +8,10 @@ moment-based statistic:
 
 1. per-row expressions stay in double (IEEE ops are deterministic
    across engines for identical inputs);
-2. the *sums* run through DECIMAL(38,6) (exact, order-independent);
+2. the *sums* run through DECIMAL(38,12) (order-independent; 12-dp
+   scale because Σx²−(Σx)²/n cancellation amplifies the cast's
+   quantization error — 6 dp was observed to shift std(60000/rri) by
+   2e-5, far above the 6-dp output round);
 3. the statistic is assembled from those exact sums with scalar double
    arithmetic (again deterministic);
 4. a final 6-dp round guards against round()-implementation drift.
@@ -24,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,6)"
+DEC = "decimal(38,12)"
 
 
 def _c(col: Column | str) -> Column:
@@ -63,7 +66,7 @@ def r6(col: Column) -> Column:
 # --- DuckDB SQL twins (string builders used inside oracle queries) ---
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE)"
 
 
 def dmean_sql(expr: str) -> str:

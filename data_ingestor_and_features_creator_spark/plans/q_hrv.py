@@ -1,1 +1,149 @@
-"""Placeholder — filled in by build plan step."""
+"""Domain feature operators (SURVEY.md §2.9) — the ``hrvanalysis``
+surface over the driver's stand-in series (events: record_id=user_id,
+beat_ts=ts, rri=value; FIXTURES.md "Domain-feature fixture").
+
+Closed-form features (time-domain, Poincaré, CSI/CVI, geometrical) are
+single-pass aggregate expressions with full SQL oracles; the two
+kernel features (frequency-domain PSD, sample entropy) are
+Arrow-batched ``applyInPandas`` stages with rows-only checks, unit-
+tested against numpy reference implementations instead
+(tests/test_hrv_known_answers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..features import kernels
+from ..features.hrv import (csi_cvi_exprs, poincare_exprs, time_domain_exprs,
+                            triangular_index, with_diff)
+from ..functions.exact import dsum_sql, r6_sql
+from .registry import query
+
+
+def rr_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → RR-interval long table (the engine's domain schema)."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("record_id"),
+        F.col("ts").alias("beat_ts"),
+        F.col("value").alias("rri"),
+    )
+
+
+_RR_CTE = """
+WITH rr AS (
+  SELECT user_id AS record_id, ts AS beat_ts, value AS rri,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+  FROM events
+)
+"""
+
+_N = "CAST(COUNT(rri) AS DOUBLE)"
+_ND = "CAST(COUNT(d) AS DOUBLE)"
+_MEAN = f"({dsum_sql('rri')} / {_N})"
+_VAR_NNI = f"(({dsum_sql('rri*rri')} - {dsum_sql('rri')} * {dsum_sql('rri')} / {_N}) / ({_N} - 1))"
+_MEAN_D2 = f"({dsum_sql('d*d')} / {_ND})"
+_VAR_D = f"(({dsum_sql('d*d')} - {dsum_sql('d')} * {dsum_sql('d')} / {_ND}) / ({_ND} - 1))"
+_MEAN_HR = f"({dsum_sql('60000.0/rri')} / {_N})"
+_VAR_HR = f"(({dsum_sql('(60000.0/rri)*(60000.0/rri)')} - {dsum_sql('60000.0/rri')} * {dsum_sql('60000.0/rri')} / {_N}) / ({_N} - 1))"
+_SD1 = f"SQRT(0.5 * {_VAR_D})"
+_SD2 = f"SQRT(2.0 * {_VAR_NNI} - 0.5 * {_VAR_D})"
+
+
+@query("hrv_time_domain", oracle=f"""{_RR_CTE}
+SELECT record_id,
+  {r6_sql(_MEAN)} AS mean_nni,
+  {r6_sql(f'SQRT({_VAR_NNI})')} AS sdnn,
+  {r6_sql(f'SQRT({_VAR_D})')} AS sdsd,
+  {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
+  {r6_sql('quantile_cont(rri, 0.5)')} AS median_nni,
+  MAX(rri) - MIN(rri) AS range_nni,
+  {r6_sql(f'SQRT({_MEAN_D2}) / {_MEAN}')} AS cvsd,
+  {r6_sql(f'SQRT({_VAR_NNI}) / {_MEAN}')} AS cvnni,
+  SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS nni_50,
+  {r6_sql(f'100.0 * SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) / {_N}')} AS pnni_50,
+  SUM(CASE WHEN ABS(d) > 20 THEN 1 ELSE 0 END) AS nni_20,
+  {r6_sql(f'100.0 * SUM(CASE WHEN ABS(d) > 20 THEN 1 ELSE 0 END) / {_N}')} AS pnni_20,
+  {r6_sql(_MEAN_HR)} AS mean_hr,
+  {r6_sql('60000.0 / MIN(rri)')} AS max_hr,
+  {r6_sql('60000.0 / MAX(rri)')} AS min_hr,
+  {r6_sql(f'SQRT({_VAR_HR})')} AS std_hr
+FROM rr GROUP BY record_id
+""")
+def hrv_time_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 time-domain features in ONE hash aggregate over base+diff
+    columns — the reference's per-window python loop collapsed into a
+    single distributed groupBy (cites hrvanalysis
+    get_time_domain_features [PK:high])."""
+    rr = with_diff(rr_from_events(spark, sf_dir))
+    return rr.groupBy("record_id").agg(*time_domain_exprs())
+
+
+@query("hrv_poincare", oracle=f"""{_RR_CTE}
+SELECT record_id,
+  {r6_sql(_SD1)} AS sd1,
+  {r6_sql(_SD2)} AS sd2,
+  {r6_sql(f'{_SD2} / {_SD1}')} AS ratio_sd2_sd1
+FROM rr GROUP BY record_id
+""")
+def hrv_poincare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poincaré sd1/sd2 via the closed-form variance identities — no
+    scatter rotation needed (property-tested against the rotated
+    definition in tests/test_hrv_known_answers.py)."""
+    rr = with_diff(rr_from_events(spark, sf_dir))
+    return rr.groupBy("record_id").agg(*poincare_exprs())
+
+
+@query("hrv_csi_cvi", oracle=f"""{_RR_CTE}
+SELECT record_id,
+  {r6_sql(f'(4*{_SD2}) / (4*{_SD1})')} AS csi,
+  {r6_sql(f'LOG10((4*{_SD2}) * (4*{_SD1}))')} AS cvi,
+  {r6_sql(f'(4*{_SD2}) * (4*{_SD2}) / (4*{_SD1})')} AS modified_csi
+FROM rr GROUP BY record_id
+""")
+def hrv_csi_cvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = with_diff(rr_from_events(spark, sf_dir))
+    return rr.groupBy("record_id").agg(*csi_cvi_exprs())
+
+
+@query("hrv_geometrical", oracle=f"""
+WITH b AS (
+  SELECT user_id AS record_id, CAST(FLOOR(value / 7.8125) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY record_id, bin
+)
+SELECT record_id,
+       {r6_sql('CAST(SUM(c) AS DOUBLE) / MAX(c)')} AS triangular_index
+FROM b GROUP BY record_id
+""")
+def hrv_geometrical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangular index: n / max bin count, 7.8125 ms bins (128 Hz
+    heritage) — two chained hash aggregations. tinn intentionally
+    omitted (see features/hrv.py docstring)."""
+    return triangular_index(rr_from_events(spark, sf_dir))
+
+
+@query("hrv_freq_domain")  # rows-only: FFT kernel, not SQL-expressible
+def hrv_freq_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch PSD band powers per record via applyInPandas (Arrow batch
+    per group; the only Python hot path besides sampen). Pre-select
+    trims the UDF input to 3 columns so column pruning still reaches
+    the scan (SURVEY.md §4 house rule)."""
+    rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
+    return rr.groupBy("record_id").applyInPandas(
+        kernels.freq_domain_kernel, schema=kernels.FREQ_SCHEMA
+    )
+
+
+@query("hrv_sampen")  # rows-only: O(n²) entropy kernel
+def hrv_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (m=2, r=0.2·std) per record. O(n²) per group —
+    bound group size upstream (agg_having guard) before running at
+    scale; at 100 TB run per (record, bounded window), never per raw
+    record."""
+    rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
+    return rr.groupBy("record_id").applyInPandas(
+        kernels.sampen_kernel, schema=kernels.SAMPEN_SCHEMA
+    )

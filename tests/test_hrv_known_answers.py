@@ -1,0 +1,145 @@
+"""Known-answer + property tests for the HRV feature layer
+(SURVEY.md §5 item 2) — pins formula details (ddof, ms units,
+thresholds) that the DuckDB oracle alone cannot distinguish."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_ingestor_and_features_creator_spark.features import kernels
+from data_ingestor_and_features_creator_spark.features.hrv import (
+    csi_cvi_exprs, poincare_exprs, time_domain_exprs, triangular_index,
+    with_diff)
+from data_ingestor_and_features_creator_spark.schemas import RR_INTERVALS
+
+
+def _rr_df(spark, values, record_id=1):
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    t = 0.0
+    for v in values:
+        rows.append((record_id, base + datetime.timedelta(milliseconds=t), float(v)))
+        t += v
+    return spark.createDataFrame(rows, schema=RR_INTERVALS)
+
+
+def test_time_domain_known_answer(spark):
+    # FIXTURES.md canonical example: nn=[800,810,790,805], d=[10,-20,15]
+    df = with_diff(_rr_df(spark, [800, 810, 790, 805]))
+    row = df.groupBy("record_id").agg(*time_domain_exprs()).collect()[0]
+    nn = np.array([800.0, 810, 790, 805])
+    d = np.diff(nn)
+    assert row["mean_nni"] == pytest.approx(801.25)
+    assert row["rmssd"] == pytest.approx(math.sqrt((100 + 400 + 225) / 3), abs=1e-6)
+    assert row["sdnn"] == pytest.approx(np.std(nn, ddof=1), abs=1e-6)
+    assert row["sdsd"] == pytest.approx(np.std(d, ddof=1), abs=1e-6)
+    assert row["median_nni"] == pytest.approx(802.5)
+    assert row["range_nni"] == pytest.approx(20.0)
+    assert row["nni_50"] == 0 and row["nni_20"] == 0
+    assert row["pnni_20"] == pytest.approx(0.0)
+    assert row["mean_hr"] == pytest.approx(np.mean(60000.0 / nn), abs=1e-6)
+    assert row["max_hr"] == pytest.approx(60000.0 / 790, abs=1e-6)
+    assert row["std_hr"] == pytest.approx(np.std(60000.0 / nn, ddof=1), abs=1e-6)
+    assert row["cvsd"] == pytest.approx(row["rmssd"] / 801.25, abs=1e-6)
+    assert row["cvnni"] == pytest.approx(row["sdnn"] / 801.25, abs=1e-6)
+
+
+def test_nni_thresholds(spark):
+    # diffs: [60, -30, 10] → nni_50=1, nni_20=2; pnni divides by len(nn)=4
+    df = with_diff(_rr_df(spark, [700, 760, 730, 740]))
+    row = df.groupBy("record_id").agg(*time_domain_exprs()).collect()[0]
+    assert row["nni_50"] == 1 and row["nni_20"] == 2
+    assert row["pnni_50"] == pytest.approx(25.0)
+    assert row["pnni_20"] == pytest.approx(50.0)
+
+
+def test_poincare_closed_form_vs_rotated(spark):
+    rng = np.random.default_rng(42)
+    nn = 800 + 50 * rng.standard_normal(400)
+    df = with_diff(_rr_df(spark, nn.tolist()))
+    row = df.groupBy("record_id").agg(*poincare_exprs()).collect()[0]
+    d = np.diff(nn)
+    sd1_expected = math.sqrt(0.5 * np.var(d, ddof=1))
+    assert row["sd1"] == pytest.approx(sd1_expected, rel=1e-6)
+    # rotated-scatter definition agrees asymptotically (SURVEY.md §5.4)
+    x, y = nn[:-1], nn[1:]
+    sd2_rot = np.std((x + y) / math.sqrt(2), ddof=1)
+    assert row["sd2"] == pytest.approx(sd2_rot, rel=0.05)
+    assert row["ratio_sd2_sd1"] == pytest.approx(row["sd2"] / row["sd1"], rel=1e-6)
+
+
+def test_csi_cvi_identities(spark):
+    rng = np.random.default_rng(7)
+    nn = 900 + 40 * rng.standard_normal(200)
+    df = with_diff(_rr_df(spark, nn.tolist()))
+    p = df.groupBy("record_id").agg(*poincare_exprs()).collect()[0]
+    c = df.groupBy("record_id").agg(*csi_cvi_exprs()).collect()[0]
+    t, l = 4 * p["sd1"], 4 * p["sd2"]
+    assert c["csi"] == pytest.approx(l / t, rel=1e-5)
+    assert c["cvi"] == pytest.approx(math.log10(l * t), rel=1e-5)
+    assert c["modified_csi"] == pytest.approx(l * l / t, rel=1e-5)
+
+
+def test_triangular_index_known_answer(spark):
+    # bins of width 7.8125: 800, 800.1 share a bin; 810, 820 alone → 4/2
+    df = _rr_df(spark, [800, 800.1, 810, 820])
+    row = triangular_index(df).collect()[0]
+    assert row["triangular_index"] == pytest.approx(2.0)
+
+
+def test_freq_domain_kernel_detects_lf_modulation():
+    # 0.1 Hz (LF band) sinusoidal modulation of RR → LF ≫ HF
+    n = 600
+    t_beat = np.cumsum(np.full(n, 0.8))
+    rri = 800 + 50 * np.sin(2 * np.pi * 0.1 * t_beat)
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "record_id": 1,
+        "beat_ts": [base + pd.Timedelta(seconds=s) for s in t_beat],
+        "rri": rri,
+    })
+    out = kernels.freq_domain_kernel(pdf).iloc[0]
+    assert out["lf"] > 10 * out["hf"]
+    assert out["total_power"] == pytest.approx(out["vlf"] + out["lf"] + out["hf"])
+    assert 0 <= out["lfnu"] <= 100 and 0 <= out["hfnu"] <= 100
+    assert out["lfnu"] + out["hfnu"] == pytest.approx(100.0)
+
+
+def test_freq_domain_short_group_returns_nulls():
+    pdf = pd.DataFrame({
+        "record_id": [1] * 5,
+        "beat_ts": pd.date_range("2024-01-01", periods=5, freq="s"),
+        "rri": [800.0, 810, 790, 805, 800],
+    })
+    out = kernels.freq_domain_kernel(pdf).iloc[0]
+    assert out["lf"] is None and out["n_beats"] == 5
+
+
+def test_sampen_brute_force_equivalence():
+    rng = np.random.default_rng(3)
+    x = 800 + 30 * rng.standard_normal(80)
+    got = kernels.sample_entropy(x, m=2)
+    r = 0.2 * np.std(x)
+    # independent O(n²) double loop
+    def count(mm):
+        tpl = [x[i:i + mm] for i in range(len(x) - mm + 1)]
+        c = 0
+        for i in range(len(tpl)):
+            for j in range(len(tpl)):
+                if i != j and np.max(np.abs(tpl[i] - tpl[j])) <= r:
+                    c += 1
+        return c
+    expected = -math.log(count(3) / count(2))
+    assert got == pytest.approx(expected, rel=1e-9)
+
+
+def test_sampen_regularity_ordering():
+    rng = np.random.default_rng(11)
+    regular = 800 + 10 * np.sin(np.arange(200) * 0.3)
+    noisy = 800 + 10 * rng.standard_normal(200)
+    assert kernels.sample_entropy(regular) < kernels.sample_entropy(noisy)
