@@ -1,0 +1,112 @@
+"""Embedding similarity search (SURVEY.md §2.11): brute-force cosine
+top-k as the exact baseline, random-hyperplane LSH as the scale path.
+
+Vector math stays JVM-side: ``zip_with`` + ``aggregate`` fold the dot
+product inside whole-stage codegen — no Python UDF, no collect. The
+float32 elements are cast to double *before* multiplication and folded
+left-to-right, which makes the result bit-identical to DuckDB's
+``list_reduce(list_transform(list_zip(...)))`` oracle twin.
+
+Scale notes (100 TB design):
+- Brute force is O(|Q|·|C|): correct only when the query side is small
+  enough to broadcast. The corpus side streams — one pass, no shuffle
+  of the corpus, ranking via per-query top-k window.
+- LSH replaces the cross join with an equi-join on (table, bucket):
+  corpus signatures are computed once (one scan), the join shuffles
+  only bucket keys, and re-ranking touches ~|bucket| candidates per
+  query. More tables ⇒ higher recall, linear cost in signatures only.
+- Hyperplanes come from a fixed-seed RNG baked into the plan as
+  literals: deterministic across runs/executors (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+LSH_SEED = 1234
+# 4 bits × 8 tables: for a cos≈0.4 neighbor, per-table collision is
+# (1−θ/π)⁴ ≈ 0.16 → union recall ≈ 0.75. 8 bits halved recall to ~0.1
+# on the near-isotropic fixture embeddings; real corpora with cluster
+# structure can raise bits for finer buckets (cost: recall ∝ tables).
+LSH_BITS = 4
+LSH_TABLES = 8
+DIM = 64
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ with double casts inside the product lambda."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
+                   id_q: str = "qid", id_c: str = "cid") -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side across the
+    corpus scan, rank per query. Ties broken by candidate id so the
+    result is a deterministic total order."""
+    q = queries.select(F.col("vec_id").alias(id_q),
+                       F.col("embedding").alias("qe"))
+    c = corpus.select(F.col("vec_id").alias(id_c),
+                      F.col("embedding").alias("ce"))
+    cos = dot("qe", "ce") / (l2_norm("qe") * l2_norm("ce"))
+    ranked = (c.join(F.broadcast(q), F.col(id_q) != F.col(id_c))
+               .withColumn("__cos", cos)
+               .withColumn("rnk", F.row_number().over(
+                   W.partitionBy(id_q).orderBy(F.desc("__cos"), F.col(id_c)))))
+    return (ranked.filter(F.col("rnk") <= k)
+                  .select(id_q, id_c, F.round("__cos", 6).alias("cosine"), "rnk"))
+
+
+def _hyperplanes(tables: int = LSH_TABLES, bits: int = LSH_BITS,
+                 dim: int = DIM, seed: int = LSH_SEED) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((tables, bits, dim))
+
+
+def lsh_buckets(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS,
+                dim: int = DIM, seed: int = LSH_SEED) -> DataFrame:
+    """(vec_id, table, bucket): sign-of-projection bits packed into an
+    int bucket id per hash table. The hyperplane matrix is plan-literal
+    (seeded), so every executor computes identical buckets."""
+    planes = _hyperplanes(tables, bits, dim, seed)
+    rows = []
+    for t in range(tables):
+        bucket = F.lit(0)
+        for j in range(bits):
+            h = F.array(*[F.lit(float(v)) for v in planes[t, j]])
+            bit = (dot("embedding", h) > 0).cast("int")
+            bucket = bucket + bit * F.lit(1 << j)
+        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return (df.select("vec_id", F.explode(F.array(*rows)).alias("e"))
+              .select("vec_id", "e.table", "e.bucket"))
+
+
+def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int,
+            tables: int = LSH_TABLES, bits: int = LSH_BITS,
+            dim: int = DIM, seed: int = LSH_SEED) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 (table, bucket) with the
+    query, then exact cosine re-rank. Union-of-tables candidate set via
+    distinct on the pair."""
+    qb = (lsh_buckets(queries, tables, bits, dim, seed)
+          .select(F.col("vec_id").alias("qid"), "table", "bucket"))
+    cb = (lsh_buckets(corpus, tables, bits, dim, seed)
+          .select(F.col("vec_id").alias("cid"), "table", "bucket"))
+    cand = (qb.join(cb, ["table", "bucket"])
+              .filter(F.col("qid") != F.col("cid"))
+              .select("qid", "cid").distinct())
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cos = dot("qe", "ce") / (l2_norm("qe") * l2_norm("ce"))
+    ranked = (cand.join(F.broadcast(q), "qid").join(c, "cid")
+                  .withColumn("__cos", cos)
+                  .withColumn("rnk", F.row_number().over(
+                      W.partitionBy("qid").orderBy(F.desc("__cos"), F.col("cid")))))
+    return (ranked.filter(F.col("rnk") <= k)
+                  .select("qid", "cid", F.round("__cos", 6).alias("cosine"), "rnk"))

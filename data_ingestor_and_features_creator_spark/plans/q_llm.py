@@ -1,1 +1,202 @@
-"""Placeholder — filled in by build plan step."""
+"""LLM-data-pipeline operators (SURVEY.md §2.11): deduplication,
+similarity search, text analysis, multimodal columns — the mandated
+extensions beyond the reference's own surface, over the `documents`
+and `embeddings` fixtures.
+
+Oracle notes:
+- Cosine math is bit-identical to DuckDB because both engines cast
+  float32→double *inside* the product lambda and fold left-to-right
+  (F.zip_with/aggregate ↔ list_zip/list_transform/list_reduce) — same
+  trick the §2.8 `array_higher_order` query established.
+- MinHash/LSH use Spark's xxhash64, which DuckDB does not implement →
+  rows-only by design (SURVEY.md §4); their correctness is pinned by
+  planted-duplicate unit tests (tests/test_llm_ops.py) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import multimodal, similarity, textops
+from .registry import query
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+# ---------------------------------------------------------------- dedup
+
+@query("dedup_exact", oracle="""
+SELECT doc_id, sha256(lower(trim(text))) AS text_sha, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) = 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 of normalized text, lowest doc_id survives.
+    Shuffle key is the 64-hex digest — uniform by construction, no
+    skew at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.exact_dedup_keys(docs).select(
+        "doc_id", "text_sha", "lang", "n_chars")
+
+
+@query("dedup_fuzzy_minhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 3-token shingles → 16-hash MinHash → 8×2 LSH
+    bands → bucket equi-join → exact-Jaccard verify ≥ 0.3. End-to-end
+    JVM-side; recall/precision pinned by planted-dup unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = textops.minhash_signature(docs)
+    pairs = textops.candidate_pairs(textops.lsh_bands(sig))
+    return (textops.jaccard_verify(pairs, docs, threshold=0.3)
+                   .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------- similarity
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+     p AS (SELECT qid, cid,
+                  {_dot_sql('qe', 'ce')} /
+                  (SQRT({_dot_sql('qe', 'qe')}) * SQRT({_dot_sql('ce', 'ce')})) AS cos
+           FROM q, c WHERE qid <> cid)
+SELECT qid, cid, ROUND(cos, 6) AS cosine, rnk
+FROM (SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+      FROM p)
+WHERE rnk <= 10
+"""
+
+
+@query("sim_knn_bruteforce", oracle=_KNN_ORACLE)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast the query
+    side over one corpus scan; rank per query with a deterministic
+    (cos desc, cid) tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@query("sim_lsh_ann")  # rows-only: approximate by design
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via 4-table × 8-bit random-hyperplane LSH
+    (seeded, plan-literal planes) + exact re-rank of bucket-mates.
+    Recall vs brute force asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(
+        emb.filter(F.col("vec_id") < 5), emb, k=10).orderBy("qid", "rnk")
+
+
+# -------------------------------------------------------- text analysis
+
+@query("text_stats", oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats in one hash aggregate (token counts
+    via size(split) — no explode needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(textops.tokens("text"))).alias("total_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
+         .alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query("text_quality_filter", oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+     pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+     st AS (SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   MAX(c) AS top_c,
+                   CAST(SUM(len(tok) * c) AS BIGINT) AS sum_len
+            FROM pt GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+       ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_tok_ratio,
+       (n_tokens BETWEEN 20 AND 1000
+        AND CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 2 AND 12
+        AND CAST(top_c AS DOUBLE) / n_tokens <= 0.15) AS passes
+FROM st
+""")
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality heuristics (length band, mean token length,
+    max-repetition ratio) as pure aggregates over an exploded token
+    table; emits the flag rather than filtering so downstream choice
+    stays lazy."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+    pt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = pt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.sum(F.length("tok") * F.col("c")).alias("sum_len"),
+    )
+    n = F.col("n_tokens")
+    mean_len = F.col("sum_len").cast("double") / n
+    top_ratio = F.col("top_c").cast("double") / n
+    return st.select(
+        "doc_id", "n_tokens",
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        F.round(top_ratio, 6).alias("top_tok_ratio"),
+        (n.between(20, 1000) & mean_len.between(2, 12)
+         & (top_ratio <= 0.15)).alias("passes"),
+    )
+
+
+@query("tokenize_topk_terms", oracle="""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+     tc AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term)
+SELECT lang, term, cnt, rnk
+FROM (SELECT lang, term, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+      FROM tc)
+WHERE rnk <= 10
+""")
+def tokenize_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language: explode → two-level agg → per-group
+    top-k window (rank ties broken alphabetically)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(textops.tokens("text")).alias("term"))
+    tc = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.desc("cnt"), F.col("term"))
+    return (tc.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= 10)
+              .select("lang", "term", "cnt", "rnk"))
+
+
+# ----------------------------------------------------------- multimodal
+
+@query("multimodal_table")  # rows-only: binary + pandas-UDF decode stage
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary content + typed metadata, decoded by an
+    Arrow-batched mapInPandas stage (deterministic stub decoder — see
+    operators/multimodal.py STUB NOTICE). Pre-select keeps the UDF
+    input to 3 columns so pruning reaches the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id",
+        F.lit("text/plain").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return binary.mapInPandas(multimodal.fake_decode,
+                              schema=multimodal.DECODED_SCHEMA)

@@ -1,0 +1,100 @@
+"""Unit tests for the LLM-pipeline ops (SURVEY.md §2.11) — pins the
+semantics the DuckDB oracle can't reach: MinHash recall on planted
+near-dups, LSH recall vs brute force, exact-dedup survivor choice,
+multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestor_and_features_creator_spark.operators import (
+    multimodal, similarity, textops)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every hunter")
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    near = BASE.replace("dark", "misty")          # one-token edit
+    distinct = " ".join(f"tok{i}" for i in range(24))
+    docs = _docs(spark, [BASE, near, distinct])
+    sig = textops.minhash_signature(docs)
+    pairs = textops.candidate_pairs(textops.lsh_bands(sig))
+    got = textops.jaccard_verify(pairs, docs, threshold=0.3).collect()
+    assert [(r["a"], r["b"]) for r in got] == [(0, 1)]
+    assert got[0]["jaccard"] > 0.5
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    docs = _docs(spark, [BASE, BASE])
+    sig = textops.minhash_signature(docs)
+    pairs = textops.candidate_pairs(textops.lsh_bands(sig))
+    got = textops.jaccard_verify(pairs, docs, threshold=0.99).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_exact_dedup_keeps_lowest_id_and_is_idempotent(spark):
+    docs = spark.createDataFrame(
+        [(5, "a b c"), (2, "a b c"), (9, "x y z"), (7, " A B C ")],
+        "doc_id long, text string")
+    out = textops.exact_dedup_keys(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [2, 9]   # 5 dup of 2; 7 dup of 2 after normalize
+    again = textops.exact_dedup_keys(out.drop("text_sha"))
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
+
+
+def test_knn_self_similarity_and_symmetry(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((20, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    out = similarity.knn_bruteforce(df.filter(F.col("vec_id") < 20), df, k=19)
+    rows = out.collect()
+    # no self matches; cosine within [-1, 1]
+    assert all(r["qid"] != r["cid"] for r in rows)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    # symmetry: cos(a,b) == cos(b,a)
+    m = {(r["qid"], r["cid"]): r["cosine"] for r in rows}
+    for (a, b), c in m.items():
+        assert m[(b, a)] == pytest.approx(c, abs=1e-6)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_bruteforce(q, emb, k=10).collect()
+    approx = similarity.knn_lsh(q, emb, k=10).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
+    # approx results that ARE in the exact set carry identical cosine
+    exact_cos = {(r["qid"], r["cid"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["cid"])
+        if key in exact_cos:
+            assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
+
+
+def test_multimodal_decode_roundtrip(spark):
+    docs = _docs(spark, ["hello", "worldly"])
+    binary = docs.select(
+        "doc_id", F.lit("text/plain").alias("modality"),
+        F.encode("text", "utf-8").alias("content"))
+    out = {r["doc_id"]: r for r in
+           binary.mapInPandas(multimodal.fake_decode,
+                              schema=multimodal.DECODED_SCHEMA).collect()}
+    assert out[0]["n_bytes"] == 5 and out[1]["n_bytes"] == 7
+    assert out[0]["head_hex"] == b"hello".hex()
+    assert out[0]["mean_byte"] == pytest.approx(sum(b"hello") / 5)
