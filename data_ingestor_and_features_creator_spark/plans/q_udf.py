@@ -1,1 +1,111 @@
-"""Placeholder — filled in by build plan step."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12): the engine's extension
+points for user code, each demonstrated over the fixtures.
+
+UDF policy (SURVEY.md §4): Python in the hot path only via
+Arrow-vectorized pandas UDFs; the scalar example is deliberately one
+where pandas and SQL produce bit-identical doubles (elementwise IEEE
+division), so it gets a full SQL oracle. Per-group kernels whose float
+*reductions* are order-sensitive (pandas pairwise summation vs SQL
+streaming sums) are rows-only and pinned by numpy unit tests instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from .registry import query
+
+
+# NOTE: pandas_udf() is applied inside each query function, not at
+# module top level — the decorator resolves against the active session,
+# and executors re-import this module while unpickling kernels.
+
+def _ms_to_hr_fn(ms: pd.Series) -> pd.Series:
+    """Vectorized unit conversion: interval (ms) → rate (1/min)."""
+    return 60000.0 / ms
+
+
+@query("udf_scalar_pandas", oracle="""
+SELECT event_id, value, ROUND(60000.0 / value, 6) AS hr
+FROM events
+""")
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF. Elementwise double division is
+    IEEE-identical to the SQL expression, so this one UDF query is
+    fully oracle-checkable."""
+    ms_to_hr = pandas_udf(_ms_to_hr_fn, "double")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "value",
+                     F.round(ms_to_hr("value"), 6).alias("hr"))
+
+
+ZSCORE_SCHEMA = "event_id long, user_id long, value double, z double"
+
+
+def _zscore_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group standardization — the grouped-map pattern the HRV
+    kernels use, in its minimal form."""
+    v = pdf["value"].to_numpy(dtype=np.float64)
+    sd = v.std(ddof=1) if len(v) > 1 else 0.0
+    z = (v - v.mean()) / sd if sd > 0 else np.zeros_like(v)
+    return pd.DataFrame({"event_id": pdf["event_id"],
+                         "user_id": pdf["user_id"],
+                         "value": pdf["value"], "z": z})
+
+
+@query("udf_grouped_map")  # rows-only: numpy reduction order ≠ SQL's
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: z-score of value within each user.
+    Pre-select trims the Arrow payload to the 3 needed columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_kernel, schema=ZSCORE_SCHEMA)
+
+
+def _trimmed_mean_fn(v: pd.Series) -> float:
+    """10%-trimmed mean — a custom aggregate no builtin covers."""
+    x = np.sort(v.to_numpy(dtype=np.float64))
+    k = int(len(x) * 0.1)
+    x = x[k:len(x) - k] if len(x) > 2 * k else x
+    return float(x.mean())
+
+
+@query("udaf_grouped_agg")  # rows-only: trimmed-mean reduction order
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (true custom UDAF): 10%-trimmed mean of
+    value per event_type. Spark disallows mixing pandas and builtin
+    aggregates in one agg, so the UDAF stands alone."""
+    trimmed_mean = pandas_udf(_trimmed_mean_fn, "double")
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.round(trimmed_mean("value"), 6).alias("trimmed_mean"))
+              .orderBy("event_type"))
+
+
+@query("udtf_expand", oracle="""
+SELECT o_orderkey, g AS installment,
+       CAST(date_trunc('month', o_orderdate) + to_months(CAST(g AS INT)) AS DATE) AS due_month
+FROM orders, unnest(generate_series(0, 2)) AS t(g)
+WHERE o_orderkey < 100
+""")
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating expansion: 3 installment rows per order via
+    explode(sequence(...)) — the codegen-friendly UDTF form (a
+    row-at-a-time @udtf class covers the same surface ~100× slower;
+    see tests/test_udf_surface.py for the API demonstration)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey", "o_orderdate",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("installment"),
+    ).select(
+        "o_orderkey", "installment",
+        F.add_months(F.date_trunc("month", F.col("o_orderdate")),
+                     F.col("installment")).cast("date").alias("due_month"),
+    )
