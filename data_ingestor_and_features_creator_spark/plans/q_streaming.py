@@ -1,1 +1,156 @@
-"""Placeholder — filled in by build plan step."""
+"""Streaming operators (SURVEY.md §2.10) over the `events` stream
+table.
+
+Registration strategy (SURVEY.md §2.10 "batch-equivalence"): the
+window/session/dedup/join transforms are pure functions
+(streaming/transforms.py) registered here on their BATCH path — which
+the DuckDB oracle can check exactly — while tests/test_streaming.py
+re-runs the same functions under ``trigger(availableNow=True)`` and
+asserts batch ≡ stream. The ops that only exist in streaming mode
+(source replay, watermark, arbitrary state, foreachBatch sink) run a
+REAL micro-batch query inside the registered callable and return the
+drained sink table.
+
+Oracle twins use pure integer epoch-µs arithmetic for window starts
+(`epoch_us // width * width`) — no timestamp-dialect drift possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming import runner, transforms
+from .registry import query
+
+_HOUR = 3_600_000_000
+_Q15 = 900_000_000
+_GAP = 1_800_000_000
+
+
+@query("source_stream_events", oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+""")
+def source_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of `events` through a real availableNow
+    micro-batch into a memory sink — the streaming scan itself. The
+    oracle proves replay is lossless and type-faithful."""
+    stream = runner.read_events_stream(spark, sf_dir)
+    out = runner.run_available_now(stream)
+    return out.select("event_id", F.unix_micros("ts").alias("ts_us"),
+                      "user_id", "event_type", "value", "props")
+
+
+@query("stream_tumbling", oracle=f"""
+SELECT (epoch_us(ts) // {_HOUR}) * {_HOUR} AS ws_us,
+       event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY ws_us, event_type
+""")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h tumbling counts per type — batch path of the shared
+    transform (stream twin asserted equal in tests)."""
+    return transforms.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_sliding", oracle=f"""
+SELECT (epoch_us(ts) // {_Q15}) * {_Q15} - g * {_Q15} AS ws_us,
+       event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events, unnest(generate_series(0, 3)) AS t(g)
+GROUP BY ws_us, event_type
+""")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 h windows sliding 15 min: each event fans out into exactly 4
+    windows — the oracle makes that fan-out explicit via
+    generate_series, mirroring §4's bounded-fan-out strategy."""
+    return transforms.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_session", oracle=f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+     m AS (SELECT user_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= {_GAP} THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+     s AS (SELECT user_id, us,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+SELECT user_id, MIN(us) AS session_start_us,
+       MAX(us) + {_GAP} AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 min gap session windows per user via `session_window`; the
+    oracle is the classic lag-gap → cumulative-session-id rewrite,
+    independently pinning the merge semantics (new session at gap ≥
+    30 min; end = last event + gap)."""
+    return transforms.session_counts(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_dedup", oracle="""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type, date_trunc('day', ts)
+    ORDER BY ts, event_id) = 1
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type, day) — the deterministic batch twin
+    of streaming dropDuplicatesWithinWatermark (tests compare)."""
+    return transforms.dedup_first_per_key(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_static_join", oracle="""
+SELECT event_id, user_id, c_name, c_nationkey, event_type, value
+FROM events JOIN customer ON user_id = c_custkey
+""")
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side enrichment against a broadcast static dim."""
+    return transforms.static_enrich(load_table(spark, sf_dir, "events"),
+                                    load_table(spark, sf_dir, "customer"))
+
+
+@query("stream_watermark", oracle=f"""
+SELECT (epoch_us(ts) // {_HOUR}) * {_HOUR} AS ws_us,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY ws_us
+""")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real windowed streaming aggregation with a 2 h watermark.
+    Complete output mode keeps every window for the finite replay so
+    the oracle is exact; in production append mode + this watermark
+    evicts window state 2 h behind the max event time (§3.2 E3)."""
+    stream = runner.read_events_stream(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "2 hours")
+                 .groupBy(F.window("ts", "1 hour"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .select(F.unix_micros(F.col("window.start")).alias("ws_us"),
+                         "cnt"))
+    return runner.run_available_now(agg, output_mode="complete")
+
+
+@query("stream_stateful")  # rows-only: state-store output, not SQL
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (`applyInPandasWithState`):
+    per-user running totals carried in GroupState across micro-batches.
+    Equality with batch groupBy is asserted in tests."""
+    stream = runner.read_events_stream(spark, sf_dir)
+    out = runner.run_available_now(runner.running_totals_stateful(stream),
+                                   output_mode="update")
+    return out.orderBy("user_id")
+
+
+@query("stream_sink")  # rows-only: filesystem side-effect op
+def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → partitioned parquet sink, read back. The write
+    path is the §2.1 sink (partitionBy event_type) applied per
+    micro-batch."""
+    stream = runner.read_events_stream(spark, sf_dir)
+    out = runner.run_foreach_batch_parquet(
+        stream.select("event_id", "user_id", "event_type", "value"))
+    return out.select("event_id", "user_id", "event_type", "value",
+                      "batch_id").orderBy("event_id")

@@ -1,0 +1,100 @@
+"""Structured-Streaming execution helpers: the `events` fixture
+replayed as a file stream, micro-batch runs under
+``trigger(availableNow=True)``, and the stateful/sink stages that only
+exist in streaming mode (SURVEY.md §2.10, §3.2 E3).
+
+Every run here is a REAL IncrementalExecution — state store,
+watermarks, checkpoints — just driven to completion on the static
+fixture, so results are comparable with the batch twin.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS_RAW
+
+_run_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a file-source stream (same ns→µs conversion as the
+    batch catalog; one file ⇒ one availableNow micro-batch)."""
+    # file-source streams take a DIRECTORY; select the one fixture
+    # file via glob filter
+    raw = (spark.readStream.schema(EVENTS_RAW)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink and return the
+    materialized result table."""
+    name = f"__stream_out_{next(_run_counter)}_{os.getpid()}"
+    q = (sdf.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_foreach_batch_parquet(sdf: DataFrame) -> DataFrame:
+    """`foreachBatch` → partitioned parquet upsert (the §2.1
+    sink_parquet path reused per micro-batch); returns the files read
+    back. Idempotence at scale comes from partition-overwrite by
+    batch_id — here one availableNow batch appends once."""
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("append").partitionBy("event_type")
+                 .parquet(out_dir))
+
+    q = (sdf.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sdf.sparkSession.read.parquet(out_dir)
+
+
+RUNNING_TOTAL_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _running_total_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                      state: Any) -> Iterator[pd.DataFrame]:
+    """Arbitrary stateful aggregation: per-user running (count, sum)
+    carried in GroupState across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [total]})
+
+
+def running_totals_stateful(events_stream: DataFrame) -> DataFrame:
+    """`applyInPandasWithState` over the event stream: emits each
+    user's running totals at every micro-batch. Watermark bounds how
+    long idle-user state survives at scale (NoTimeout here: the
+    fixture replay is finite)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (events_stream
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _running_total_fn,
+                outputStructType=RUNNING_TOTAL_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1,0 +1,83 @@
+"""Streaming transforms (SURVEY.md §2.10), written once as pure
+DataFrame→DataFrame functions and applied to BOTH `spark.read` and
+`spark.readStream` inputs — the batch≡stream equivalence strategy:
+the driver's DuckDB oracle checks the batch path, and the streaming
+tests (tests/test_streaming.py) re-run the identical transform under
+`trigger(availableNow=True)` and assert the results match.
+
+Window starts leave every query as integer epoch-µs (`unix_micros`),
+matching the engine-wide timestamp house rule, and making the oracle
+twin pure integer arithmetic (`epoch_us // width * width`).
+
+Scale notes: windowed/session aggregations shuffle on (key, window) —
+Spark inserts the state store in streaming mode and a plain hash agg in
+batch mode from the same code; watermarks bound state (SURVEY.md §3.2
+E3). The static-join broadcast hint keeps stream enrichment
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+HOUR_US = 3_600_000_000
+Q15_US = 900_000_000
+GAP_US = 1_800_000_000  # 30 min session gap
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per event_type counts in 1 h tumbling windows."""
+    w = F.window("ts", "1 hour")
+    return (events.groupBy(w, "event_type")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .select(F.unix_micros(F.col("window.start")).alias("ws_us"),
+                          "event_type", "cnt"))
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1 h windows sliding every 15 min (each event lands in 4)."""
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (events.groupBy(w, "event_type")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .select(F.unix_micros(F.col("window.start")).alias("ws_us"),
+                          "event_type", "cnt"))
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30 min inactivity gap.
+    `session_window` runs in batch and streaming alike; end = last
+    event + gap."""
+    w = F.session_window("ts", "30 minutes")
+    return (events.groupBy(w, "user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"))
+                  .select("user_id",
+                          F.unix_micros(F.col("session_window.start"))
+                           .alias("session_start_us"),
+                          F.unix_micros(F.col("session_window.end"))
+                           .alias("session_end_us"),
+                          "n_events"))
+
+
+def dedup_first_per_key(events: DataFrame) -> DataFrame:
+    """First event per (user, type, day) — deterministic batch form of
+    streaming dropDuplicates (which keeps an arbitrary row; here the
+    earliest by (ts, event_id) so the oracle is total-ordered)."""
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    w = W.partitionBy("user_id", "event_type", "day").orderBy("ts", "event_id")
+    return (events.select("event_id", "ts", "user_id", "event_type", "value",
+                          day)
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("event_id", F.unix_micros("ts").alias("ts_us"),
+                          "user_id", "event_type", "day"))
+
+
+def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream↔static dim join: broadcast the dim so stream enrichment
+    never shuffles the stream side."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_name", "c_nationkey")
+    return (events.join(F.broadcast(dim), "user_id")
+                  .select("event_id", "user_id", "c_name", "c_nationkey",
+                          "event_type", "value"))

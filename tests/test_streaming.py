@@ -1,0 +1,100 @@
+"""Batch ≡ stream equivalence (SURVEY.md §5 item 3): every shared
+transform must produce identical results via `spark.read` and via
+`spark.readStream` + availableNow — this is what makes the DuckDB
+check of the batch path transfer to the streaming path.
+
+Plus streaming-only semantics: dropDuplicatesWithinWatermark, stateful
+running totals vs batch aggregation, watermark presence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestor_and_features_creator_spark.catalog import load_table
+from data_ingestor_and_features_creator_spark.streaming import (runner,
+                                                                transforms)
+
+
+def _rows(df, *key):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def ev_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture()
+def ev_stream(spark, sf_dir):
+    return runner.read_events_stream(spark, sf_dir)
+
+
+def test_tumbling_batch_equals_stream(spark, sf_dir, ev_batch, ev_stream):
+    batch = _rows(transforms.tumbling_counts(ev_batch))
+    stream = _rows(runner.run_available_now(
+        transforms.tumbling_counts(ev_stream), output_mode="complete"))
+    assert batch == stream
+
+
+def test_sliding_batch_equals_stream(spark, sf_dir, ev_batch, ev_stream):
+    batch = _rows(transforms.sliding_counts(ev_batch))
+    stream = _rows(runner.run_available_now(
+        transforms.sliding_counts(ev_stream), output_mode="complete"))
+    assert batch == stream
+
+
+def test_session_batch_equals_stream(spark, sf_dir, ev_batch, ev_stream):
+    batch = _rows(transforms.session_counts(ev_batch))
+    stream = _rows(runner.run_available_now(
+        transforms.session_counts(ev_stream), output_mode="complete"))
+    assert batch == stream
+
+
+def test_static_join_batch_equals_stream(spark, sf_dir, ev_batch, ev_stream):
+    cust = load_table(spark, sf_dir, "customer")
+    batch = _rows(transforms.static_enrich(ev_batch, cust))
+    stream = _rows(runner.run_available_now(
+        transforms.static_enrich(ev_stream, cust)))
+    assert batch == stream
+
+
+def test_stream_dedup_within_watermark_matches_batch_keys(
+        spark, sf_dir, ev_batch, ev_stream):
+    """Streaming dedup keeps an arbitrary row per key; the batch twin
+    keeps the earliest — key SETS must agree."""
+    keyed = (ev_stream
+             .withColumn("day", F.date_trunc("day", "ts").cast("date"))
+             .withWatermark("ts", "1 day")
+             .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"]))
+    stream_keys = sorted((r["user_id"], r["event_type"], r["day"]) for r in
+                         runner.run_available_now(keyed).collect())
+    batch_keys = sorted((r["user_id"], r["event_type"], r["day"]) for r in
+                        transforms.dedup_first_per_key(ev_batch).collect())
+    assert stream_keys == batch_keys
+
+
+def test_stateful_running_totals_match_batch_agg(spark, sf_dir, ev_batch,
+                                                 ev_stream):
+    out = runner.run_available_now(
+        runner.running_totals_stateful(ev_stream), output_mode="update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in out.collect()}
+    expect = {r["user_id"]: (r["n"], r["s"]) for r in
+              ev_batch.groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("s")).collect()}
+    assert got.keys() == expect.keys()
+    for u, (n, s) in expect.items():
+        assert got[u][0] == n
+        assert got[u][1] == pytest.approx(s, rel=1e-9)
+
+
+def test_foreach_batch_sink_roundtrip(spark, sf_dir, ev_stream):
+    out = runner.run_foreach_batch_parquet(
+        ev_stream.select("event_id", "user_id", "event_type", "value"))
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
+    assert set(out.columns) == {"event_id", "user_id", "event_type",
+                                "value", "batch_id"}
