@@ -78,12 +78,20 @@ def candidate_pairs(band_df: DataFrame, id_col: str = "doc_id",
                     max_bucket: int | None = 1000) -> DataFrame:
     """Distinct (a, b) a<b pairs sharing ≥1 LSH bucket. ``max_bucket``
     drops degenerate buckets (the skew valve: a bucket of m docs emits
-    m² pairs; boilerplate corpora need this bounded)."""
+    m² pairs; boilerplate corpora need this bounded).
+
+    The bucket-size guard is a window count (one shuffle on the bucket
+    key), NOT a groupBy+join — and the band table is cached before the
+    self-join: both sides of a self-join are separate plan branches, so
+    without the cache the entire upstream (shingles → MinHash → bands)
+    executes once per branch. Observed 6× recomputation of the
+    signature pipeline before these two changes."""
     if max_bucket is not None:
-        counts = band_df.groupBy("band", "band_hash").count()
-        band_df = (band_df.join(counts, ["band", "band_hash"])
-                          .filter(F.col("count") <= max_bucket)
-                          .drop("count"))
+        w = W.partitionBy("band", "band_hash")
+        band_df = (band_df.withColumn("__bc", F.count(F.lit(1)).over(w))
+                          .filter(F.col("__bc") <= max_bucket)
+                          .drop("__bc"))
+    band_df = band_df.cache()
     left = band_df.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = band_df.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (left.join(right, ["band", "band_hash"])
@@ -97,10 +105,13 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
     """Exact shingle-set Jaccard for candidate pairs; keeps ≥ threshold.
     Shingle sets are arrays per doc (bounded by doc length, not corpus
     size), joined twice — both joins are equi-joins on the doc id."""
+    # cached: the a- and b-side joins are separate branches that would
+    # otherwise each re-shingle the corpus (same reuse hazard as the
+    # candidate_pairs self-join)
     sets = docs.select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(text_col), shingle_len)).alias("sh"),
-    )
+    ).cache()
     a = sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

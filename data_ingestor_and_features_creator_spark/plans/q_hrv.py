@@ -24,8 +24,13 @@ from .registry import query
 
 
 def rr_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → RR-interval long table (the engine's domain schema)."""
-    return load_table(spark, sf_dir, "events").select(
+    """events → RR-interval long table (the engine's domain schema).
+
+    Non-positive intervals are dropped up front — the reference
+    pipeline's remove_outliers step runs before any feature math
+    [PK:high], and hr = 60000/rri requires rri > 0 (sf0.1 contains
+    exact zeros that ANSI mode would fault on)."""
+    return load_table(spark, sf_dir, "events").filter(F.col("value") > 0).select(
         F.col("user_id").alias("record_id"),
         F.col("ts").alias("beat_ts"),
         F.col("value").alias("rri"),
@@ -36,7 +41,7 @@ _RR_CTE = """
 WITH rr AS (
   SELECT user_id AS record_id, ts AS beat_ts, value AS rri,
          value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
-  FROM events
+  FROM events WHERE value > 0
 )
 """
 
@@ -112,7 +117,7 @@ def hrv_csi_cvi(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT user_id AS record_id, CAST(FLOOR(value / 7.8125) AS BIGINT) AS bin,
          COUNT(*) AS c
-  FROM events GROUP BY record_id, bin
+  FROM events WHERE value > 0 GROUP BY record_id, bin
 )
 SELECT record_id,
        {r6_sql('CAST(SUM(c) AS DOUBLE) / MAX(c)')} AS triangular_index

@@ -50,8 +50,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: 3-token shingles → 16-hash MinHash → 8×2 LSH
     bands → bucket equi-join → exact-Jaccard verify ≥ 0.3. End-to-end
-    JVM-side; recall/precision pinned by planted-dup unit tests."""
-    docs = load_table(spark, sf_dir, "documents")
+    JVM-side; recall/precision pinned by planted-dup unit tests.
+
+    The doc_id repartition right after the scan matters twice over:
+    locally the fixture is one row group (a serial scan task), so
+    shingling — the CPU-heavy expression — must be spread across cores
+    explicitly; and hash-partitioning by doc_id lets the signature
+    groupBy and both verify joins reuse the same distribution."""
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     sig = textops.minhash_signature(docs)
     pairs = textops.candidate_pairs(textops.lsh_bands(sig))
     return (textops.jaccard_verify(pairs, docs, threshold=0.3)

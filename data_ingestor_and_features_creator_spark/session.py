@@ -38,6 +38,12 @@ def get_spark(app_name: str = "data_ingestor_and_features_creator_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 1 MiB minPartitionSize coalesces the small local
+        # fixtures to ONE post-shuffle partition, serializing the
+        # CPU-heavy pandas-UDF stages onto a single core. A 64 KiB floor
+        # keeps ~cores partitions locally; at cluster scale shuffle
+        # blocks dwarf either floor, so this is a no-op there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,85 @@
+"""Plan-shape assertions (SURVEY.md §5 item 5): the optimizations the
+100 TB design depends on must be visible in `explain` output — pushdown
+reaching the parquet scan, pruning shrinking ReadSchema, dims
+broadcast, hot paths staying inside whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestor_and_features_creator_spark import plans
+from data_ingestor_and_features_creator_spark.catalog import load_table
+
+QUERIES = plans.queries()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,40.0)" in plan
+
+
+def test_column_pruning_shrinks_readschema(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_comment" not in schema_line and "l_extendedprice" not in schema_line
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _physical(QUERIES["join_star_multi"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims are tiny; nothing should SMJ
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    """The flagship pipeline must be pure JVM: no Python eval nodes,
+    and whole-stage codegen spans present."""
+    df = QUERIES["flagship_event_features"](spark, sf_dir)
+    assert "EvalPython" not in _physical(df)  # no row/arrow Python stages
+    # codegen spans only appear in the FINAL adaptive plan — execute,
+    # then re-read the same queryExecution
+    df.collect()
+    final = _physical(df)
+    assert "isFinalPlan=true" in final
+    assert "*(" in final  # whole-stage-codegen stage markers
+
+
+def test_hrv_closed_form_has_single_shuffle(spark, sf_dir):
+    """16 time-domain features must compute in ONE aggregation pass:
+    exactly one shuffle above the scan (lag-window + hash agg share the
+    user partitioning)."""
+    plan = _physical(QUERIES["hrv_time_domain"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_minhash_caches_diamond_tops(spark, sf_dir):
+    """The LSH self-join and the verify joins must read the cached
+    signature/shingle tables, not recompute the pipeline per branch."""
+    plan = _physical(QUERIES["dedup_fuzzy_minhash"](spark, sf_dir))
+    # ≥2 cache reads: the band self-join sides and the two verify-join
+    # sides must consume InMemoryTableScans, not recompute the
+    # signature pipeline per branch (observed 6× before the fix).
+    # (InMemoryRelation nodes still PRINT their child plan, so counting
+    # `transform` occurrences in the string would over-count.)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = _physical(QUERIES["sim_knn_bruteforce"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
