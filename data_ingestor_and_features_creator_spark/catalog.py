@@ -10,23 +10,17 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from .schemas import EVENTS_RAW, SCHEMAS, TABLE_NAMES
+from .schemas import TABLE_NAMES
+from .sources import parquet_table
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Typed parquet scan of one fixture table (SURVEY.md §2.1 scan_parquet)."""
-    if name not in SCHEMAS:
-        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    if name == "events":
-        # ts on disk is TIMESTAMP(NANOS) → read as int64, floor to µs
-        # (same truncation DuckDB applies casting ns → TIMESTAMP).
-        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    """Typed parquet scan of one fixture table (SURVEY.md §2.1
+    scan_parquet); reader implementation lives in sources/readers.py."""
+    return parquet_table(spark, sf_dir, name)
 
 
 class Tables:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, r6
+from ..functions.exact import dsum, r6, safe_div
 
 
 def with_diff(rr: DataFrame, record_col: str = "record_id",
@@ -39,7 +39,12 @@ def with_diff(rr: DataFrame, record_col: str = "record_id",
 
 
 def _stats(rri: Column, d: Column) -> dict[str, Column]:
-    """Shared exact-sum building blocks over one group."""
+    """Shared exact-sum building blocks over one group.
+
+    All denominators go through ``safe_div``: a single-beat group has
+    n−1 = 0 and count(d) = 0, and ANSI mode turns that into a job-fatal
+    DIVIDE_BY_ZERO (found by hypothesis); such groups get NULL moments.
+    """
     n = F.count(rri).cast("double")
     nd = F.count(d).cast("double")
     s1, s2 = dsum(rri), dsum(rri * rri)
@@ -48,12 +53,12 @@ def _stats(rri: Column, d: Column) -> dict[str, Column]:
     sh1, sh2 = dsum(hr), dsum(hr * hr)
     return {
         "n": n, "nd": nd,
-        "mean_nni": s1 / n,
-        "var_nni": (s2 - s1 * s1 / n) / (n - 1),
-        "mean_d2": sd2_ / nd,
-        "var_d": (sd2_ - sd1_ * sd1_ / nd) / (nd - 1),
-        "mean_hr": sh1 / n,
-        "var_hr": (sh2 - sh1 * sh1 / n) / (n - 1),
+        "mean_nni": safe_div(s1, n),
+        "var_nni": safe_div(s2 - safe_div(s1 * s1, n), n - 1),
+        "mean_d2": safe_div(sd2_, nd),
+        "var_d": safe_div(sd2_ - safe_div(sd1_ * sd1_, nd), nd - 1),
+        "mean_hr": safe_div(sh1, n),
+        "var_hr": safe_div(sh2 - safe_div(sh1 * sh1, n), n - 1),
     }
 
 
@@ -71,12 +76,12 @@ def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
         r6(rmssd).alias("rmssd"),
         r6(F.expr(f"percentile({rri_col}, 0.5)")).alias("median_nni"),
         (F.max(rri) - F.min(rri)).alias("range_nni"),
-        r6(rmssd / s["mean_nni"]).alias("cvsd"),
-        r6(sdnn / s["mean_nni"]).alias("cvnni"),
+        r6(safe_div(rmssd, s["mean_nni"])).alias("cvsd"),
+        r6(safe_div(sdnn, s["mean_nni"])).alias("cvnni"),
         nni_50.alias("nni_50"),
-        r6(F.lit(100.0) * nni_50 / s["n"]).alias("pnni_50"),
+        r6(safe_div(F.lit(100.0) * nni_50, s["n"])).alias("pnni_50"),
         nni_20.alias("nni_20"),
-        r6(F.lit(100.0) * nni_20 / s["n"]).alias("pnni_20"),
+        r6(safe_div(F.lit(100.0) * nni_20, s["n"])).alias("pnni_20"),
         r6(s["mean_hr"]).alias("mean_hr"),
         r6(F.lit(60000.0) / F.min(rri)).alias("max_hr"),
         r6(F.lit(60000.0) / F.max(rri)).alias("min_hr"),
@@ -92,7 +97,7 @@ def poincare_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     return [
         r6(sd1).alias("sd1"),
         r6(sd2).alias("sd2"),
-        r6(sd2 / sd1).alias("ratio_sd2_sd1"),
+        r6(safe_div(sd2, sd1)).alias("ratio_sd2_sd1"),
     ]
 
 
@@ -103,10 +108,12 @@ def csi_cvi_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     sd2 = F.sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
     t = 4 * sd1
     l = 4 * sd2
+    # log10(0) is -inf, not an ANSI fault, but NULL is the consistent
+    # degenerate-group answer across the feature set
     return [
-        r6(l / t).alias("csi"),
-        r6(F.log10(l * t)).alias("cvi"),
-        r6(l * l / t).alias("modified_csi"),
+        r6(safe_div(l, t)).alias("csi"),
+        r6(F.when(l * t > 0, F.log10(l * t))).alias("cvi"),
+        r6(safe_div(l * l, t)).alias("modified_csi"),
     ]
 
 

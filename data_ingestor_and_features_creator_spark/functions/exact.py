@@ -63,6 +63,13 @@ def r6(col: Column) -> Column:
     return F.round(col, 6)
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """NULL-on-zero division. ANSI mode faults the whole job on x/0;
+    degenerate groups (constant series → sd1 = 0, single row → n−1 = 0)
+    must yield NULL features instead of killing a 100 TB run."""
+    return F.when(den != 0, num / den)
+
+
 # --- DuckDB SQL twins (string builders used inside oracle queries) ---
 
 def dsum_sql(expr: str) -> str:

@@ -1,0 +1,63 @@
+"""Typed readers for each supported source format.
+
+The fixture-table catalog (catalog.py) and the query plans delegate
+here; tests exercise each reader through its §2.1 scan query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import EVENTS_RAW, SCHEMAS, TABLE_NAMES
+
+
+def parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Typed parquet scan of one fixture table (§2.1 scan_parquet).
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` the
+    int64 is read raw and floored to µs here — the same truncation
+    DuckDB applies casting ns → TIMESTAMP, so oracle comparisons agree.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def csv_with_schema(spark: SparkSession, path: str, schema: T.StructType,
+                    header: bool = True,
+                    timestamp_format: str = "yyyy-MM-dd HH:mm:ss") -> DataFrame:
+    """Delimited read with explicit schema (§2.1 scan_csv). No
+    inferSchema — see package docstring."""
+    return (spark.read.schema(schema)
+                 .option("header", str(header).lower())
+                 .option("timestampFormat", timestamp_format)
+                 .csv(path))
+
+
+def json_string_column(df: DataFrame, col: str | Column,
+                       schema: str | T.StructType) -> Column:
+    """Parse a JSON-in-string column against a declared schema (§2.1
+    scan_json); returns the struct column."""
+    return F.from_json(col, schema)
+
+
+def binary_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Opaque binary ingestion (§2.1 scan_binary): (path,
+    modificationTime, length, content) with content as BinaryType —
+    the multimodal-column base (operators/multimodal.py decodes)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a file-source stream (§2.1 source_stream_events);
+    same ns→µs conversion as the batch reader so batch ≡ stream."""
+    raw = (spark.readStream.schema(EVENTS_RAW)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -21,20 +21,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW
+from ..sources import events_stream
 
 _run_counter = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a file-source stream (same ns→µs conversion as the
-    batch catalog; one file ⇒ one availableNow micro-batch)."""
-    # file-source streams take a DIRECTORY; select the one fixture
-    # file via glob filter
-    raw = (spark.readStream.schema(EVENTS_RAW)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch catalog; one file ⇒ one availableNow micro-batch). Reader
+    lives in sources/readers.py."""
+    return events_stream(spark, sf_dir)
 
 
 def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:

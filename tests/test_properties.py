@@ -1,0 +1,107 @@
+"""Property-based invariants (SURVEY.md §5 item 4, hypothesis):
+semantics that must hold for ALL inputs, not just fixture rows.
+Example counts are kept small — every example is a Spark round trip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_ingestor_and_features_creator_spark.features.hrv import (
+    poincare_exprs, with_diff)
+from data_ingestor_and_features_creator_spark.operators import (similarity,
+                                                                textops)
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+texts = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=40).map(
+        lambda s: " ".join(s.split()) or "a"),
+    min_size=1, max_size=12)
+
+
+@given(texts)
+@SETTINGS
+def test_exact_dedup_idempotent_and_subset(spark, ts):
+    docs = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    once = textops.exact_dedup_keys(docs)
+    ids_once = {r["doc_id"] for r in once.select("doc_id").collect()}
+    # subset of input
+    assert ids_once <= set(range(len(ts)))
+    # idempotent
+    twice = textops.exact_dedup_keys(once.drop("text_sha"))
+    assert {r["doc_id"] for r in twice.select("doc_id").collect()} == ids_once
+    # survivor count == distinct normalized texts
+    assert len(ids_once) == len({t.strip().lower() for t in ts})
+
+
+@given(st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                          allow_nan=False), min_size=1, max_size=30))
+@SETTINGS
+def test_range_filter_subset_and_within_bounds(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = [r["v"] for r in df.filter(F.col("v").between(300, 2000)).collect()]
+    assert all(300 <= v <= 2000 for v in out)
+    assert len(out) == sum(1 for v in vals if 300 <= v <= 2000)
+
+
+@given(st.lists(st.integers(0, 100), max_size=20),
+       st.lists(st.integers(0, 100), max_size=20))
+@SETTINGS
+def test_union_all_rowcount_additive(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs], "v long")
+    b = spark.createDataFrame([(y,) for y in ys], "v long")
+    assert a.unionByName(b).count() == len(xs) + len(ys)
+
+
+@given(st.lists(st.floats(min_value=400, max_value=1200, allow_nan=False),
+                min_size=8, max_size=40))
+@SETTINGS
+def test_poincare_sd1_equals_rotated_definition(spark, nn):
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    rows, t = [], 0.0
+    for v in nn:
+        rows.append((1, base + datetime.timedelta(milliseconds=t), float(v)))
+        t += v
+    df = with_diff(spark.createDataFrame(
+        rows, "record_id long, beat_ts timestamp, rri double"))
+    row = df.groupBy("record_id").agg(*poincare_exprs()).collect()[0]
+    d = np.diff(np.array(nn))
+    if d.std(ddof=1) == 0:
+        return  # degenerate: constant series has sd1 = 0, ratio undefined
+    sd1_rot = np.std((np.array(nn[1:]) - np.array(nn[:-1])) / math.sqrt(2),
+                     ddof=1)
+    assert row["sd1"] == pytest.approx(sd1_rot, rel=1e-5, abs=1e-6)
+
+
+@given(st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False),
+                min_size=4, max_size=16).filter(lambda v: any(x != 0 for x in v)))
+@SETTINGS
+def test_cosine_self_similarity_is_one(spark, vec):
+    df = spark.createDataFrame([(0, [float(x) for x in vec])],
+                               "vec_id long, embedding array<float>")
+    cos = similarity.dot("embedding", "embedding") / (
+        similarity.l2_norm("embedding") * similarity.l2_norm("embedding"))
+    got = df.select(cos.alias("c")).collect()[0]["c"]
+    assert got == pytest.approx(1.0, abs=1e-6)
+
+
+@given(st.text(alphabet="abc ", min_size=3, max_size=60).map(
+    lambda s: " ".join(s.split()) or "a b c"))
+@SETTINGS
+def test_minhash_identical_docs_identical_signatures(spark, text):
+    docs = spark.createDataFrame([(0, text), (1, text)],
+                                 "doc_id long, text string")
+    sig = textops.minhash_signature(docs).collect()
+    assert len(sig) == 2
+    s0 = [sig[0][f"sig_{i}"] for i in range(16)]
+    s1 = [sig[1][f"sig_{i}"] for i in range(16)]
+    assert s0 == s1
