@@ -122,6 +122,60 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, threshold: float,
                  .select("a", "b", "jaccard"))
 
 
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4          # 16-bit bands: hamming ≤ 3 ⇒ ≥1 band equal
+
+
+def simhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: explode tokens, one hash per token, and
+    per bit j sum +1/−1 by whether bit j is set; the packed sign vector
+    is the signature. One explode + one hash aggregate (64 narrow sum
+    columns — partial map-side, same shape as the MinHash pass)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    sums = [
+        F.sum(F.when(F.shiftright("__h", j).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: split the 64-bit signature into 4
+    16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one band exactly
+    equal), bucket-join on (band, value), verify with bit_count(xor).
+    Same cached-diamond + equi-join shape as the MinHash path."""
+    bands = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                  .alias("bv"))
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = (sig.select(id_col, "simhash",
+                         F.explode(F.array(*bands)).alias("e"))
+                 .select(id_col, "simhash", "e.band", "e.bv")).cache()
+    left = banded.select(F.col(id_col).alias("a"),
+                         F.col("simhash").alias("sh_a"), "band", "bv")
+    right = banded.select(F.col(id_col).alias("b"),
+                          F.col("simhash").alias("sh_b"), "band", "bv")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (left.join(right, ["band", "bv"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b", hamming.alias("hamming")).distinct()
+                .filter(F.col("hamming") <= max_hamming))
+
+
 def exact_dedup_keys(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Survivors of exact dedup: sha256 over normalized text, keep the

@@ -190,6 +190,177 @@ def tokenize_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("lang", "term", "cnt", "rnk"))
 
 
+@query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash + 4×16-bit band blocking +
+    bit_count(xor) ≤ 3 verify (pigeonhole guarantees recall at that
+    radius). Complements MinHash: SimHash is one 64-bit word per doc —
+    the cheapest at-scale near-dup index."""
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    sig = textops.simhash_signature(docs)
+    return textops.simhash_pairs(sig).orderBy("a", "b")
+
+
+@query("dedup_ngram_jaccard", oracle="""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, greatest(1, len(ts) - 2)),
+                i -> array_to_string(ts[i:i+2], ' '))) AS s
+  FROM tok),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.source = y.source AND x.s = y.s
+  WHERE x.doc_id < y.doc_id GROUP BY a, b)
+SELECT a, b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard dedup inside `source` blocks: explode
+    distinct 3-gram shingles, equi-join on (source, shingle), count
+    intersections, |A∪B| = |A|+|B|−|A∩B|. Blocking bounds the pair
+    space (the classic scalable exact-dedup shape: block key must fit
+    the skew budget); integer counts make the oracle bit-exact."""
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            textops.shingles(textops.tokens("text"), 3))).alias("s"),
+    ).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.select(F.col("doc_id").alias("a"), "source", "s")
+    y = sh.select(F.col("doc_id").alias("b"), "source", "s")
+    inter = (x.join(y, ["source", "s"]).filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (inter.join(sa, "a").join(sb, "b")
+                 .filter(jac >= 0.2)
+                 .select("a", "b", F.round(jac, 6).alias("jaccard")))
+
+
+_EMB_COS_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+             {_dot_sql('x.embedding', 'y.embedding')} /
+             (SQRT({_dot_sql('x.embedding', 'x.embedding')}) *
+              SQRT({_dot_sql('y.embedding', 'y.embedding')})) AS cos
+      FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
+SELECT a, b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine ≥ 0.4 inside `label`
+    blocks (blocking keeps the pair space linear-ish; unblocked
+    all-pairs is the LSH path's job). Same bit-exact zip-fold math as
+    the kNN oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.col("vec_id").alias("a"), "label",
+                   F.col("embedding").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("b"), "label",
+                   F.col("embedding").alias("eb"))
+    cos = similarity.dot("ea", "eb") / (similarity.l2_norm("ea") *
+                                        similarity.l2_norm("eb"))
+    return (x.join(y, "label").filter(F.col("a") < F.col("b"))
+             .withColumn("cosine", cos)
+             .filter(F.col("cosine") >= 0.4)
+             .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
+# Deterministic per-language marker vocabularies for the n-gram/keyword
+# language-ID heuristic. On the synthetic fixture every language shares
+# one vocabulary, so scores tie and the tiebreak (alphabetical lang)
+# decides — the OPERATOR mechanics (score → argmax → tie-break) are
+# what the oracle pins; swap marker lists for real corpora.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "est", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_intersect(string_split(text, ' '), {arr}))"
+
+
+@query("text_lang_id", oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang AS lang_true,
+         {', '.join(f'{_lang_score_sql(l)} AS s_{l}' for l in sorted(_LANG_MARKERS))}
+  FROM documents)
+SELECT doc_id, lang_true,
+       CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+            WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+            WHEN s_fr THEN 'fr' ELSE 'zh' END AS lang_pred,
+       greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
+FROM s
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID: per-language overlap score →
+    argmax with deterministic alphabetical tie-break (CASE checks langs
+    in sorted order on both engines). Pure set-intersection counts —
+    no UDF, exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split("text", r"\s+")
+    scores = {l: F.size(F.array_intersect(
+        tok, F.array(*[F.lit(w) for w in _LANG_MARKERS[l]])))
+        for l in sorted(_LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    # CASE chain in sorted-lang order: first match wins, mirroring the
+    # oracle's CASE ... WHEN order exactly
+    pred = F
+    for lang in sorted(_LANG_MARKERS):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    pred = pred.otherwise(F.lit("zh"))
+    return docs.select("doc_id", F.col("lang").alias("lang_true"),
+                       pred.alias("lang_pred"), best.alias("score"))
+
+
+_FP_B = 1_000_003
+_FP_M = 1_000_000_007
+
+
+@query("text_fingerprint", oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(len(t) * 131 + ascii(t[1:1]) AS BIGINT))),
+         (acc, h) -> (acc * {_FP_B} + h) % {_FP_M}) AS fingerprint,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: Rabin-Karp fold
+    acc = (acc·B + h(tok)) mod M over the ordered token stream —
+    order-sensitive (unlike sha2-of-text, it supports windowed/
+    incremental variants). h(tok) here is a toy cross-engine token hash
+    (len·131 + first char code) so DuckDB can verify the FOLD exactly;
+    production swaps h for xxhash64 (rows-only then). Exact BIGINT
+    arithmetic throughout — no float drift possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_h = lambda t: (F.length(t) * 131 +
+                       F.ascii(F.substring(t, 1, 1))).cast("long")
+    fp = F.aggregate(
+        F.transform(textops.tokens("text"), tok_h),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _FP_B + h) % _FP_M,
+    )
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"),
+        F.size(textops.tokens("text")).alias("n_tokens"))
+
+
 # ----------------------------------------------------------- multimodal
 
 @query("multimodal_table")  # rows-only: binary + pandas-UDF decode stage

@@ -41,6 +41,24 @@ def test_minhash_identical_docs_jaccard_one(spark):
     assert len(got) == 1 and got[0]["jaccard"] == pytest.approx(1.0)
 
 
+def test_simhash_planted_near_dup(spark):
+    near = BASE.replace("dark", "misty")          # one-token edit
+    distinct = " ".join(f"tok{i}" for i in range(24))
+    docs = _docs(spark, [BASE, near, distinct])
+    sig = textops.simhash_signature(docs)
+    got = textops.simhash_pairs(sig, max_hamming=8).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    docs = _docs(spark, [BASE, BASE])
+    sig = textops.simhash_signature(docs)
+    got = textops.simhash_pairs(sig, max_hamming=0).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 0
+
+
 def test_exact_dedup_keeps_lowest_id_and_is_idempotent(spark):
     docs = spark.createDataFrame(
         [(5, "a b c"), (2, "a b c"), (9, "x y z"), (7, " A B C ")],
