@@ -361,6 +361,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(textops.tokens("text")).alias("n_tokens"))
 
 
+@query("text_token_count", oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS bpe_pieces,
+       n_chars
+FROM documents
+""")
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (training-data budget accounting):
+    whitespace tokens and BPE-style pre-tokenizer pieces (letter runs /
+    digit runs / punctuation runs — the GPT-2 pre-tokenizer shape,
+    regex-only so it stays in codegen; both engines run the same RE2
+    class syntax)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(textops.tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0)).alias("bpe_pieces"),
+        "n_chars",
+    )
+
+
+@query("sim_ivf_ann")  # rows-only: kmeans-quantized, approximate by design
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the third scale path next to brute-force and
+    LSH): a seeded KMeans coarse quantizer (k=16) buckets the corpus by
+    nearest centroid; queries probe their 2 nearest centroids and
+    re-rank exactly. At 100 TB the centroid table is a broadcast join
+    and each probe touches ~2/16 of the corpus partition-pruned by
+    centroid id; recall vs brute force pinned in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding",
+                      array_to_vector("embedding").alias("features"))
+    km = KMeans(k=16, seed=7, maxIter=10, featuresCol="features")
+    model = km.fit(vecs)
+    # centroid assignment for the corpus; 2-probe for queries
+    assigned = model.transform(vecs).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("prediction").alias("centroid"))
+    centroids = [(i, [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    cdf = vecs.sparkSession.createDataFrame(
+        centroids, "centroid int, cvec array<double>")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    # distance of each query to each centroid → keep 2 nearest
+    qc = (q.crossJoin(F.broadcast(cdf))
+           .withColumn("d2", F.aggregate(
+               F.zip_with("qe", "cvec",
+                          lambda x, c: (x.cast("double") - c) ** 2),
+               F.lit(0.0), lambda a, x: a + x))
+           .withColumn("rk", F.row_number().over(
+               W.partitionBy("qid").orderBy("d2", "centroid")))
+           .filter(F.col("rk") <= 2).select("qid", "qe", "centroid"))
+    cos = similarity.dot("qe", "ce") / (similarity.l2_norm("qe") *
+                                        similarity.l2_norm("ce"))
+    ranked = (qc.join(assigned, "centroid")
+                .filter(F.col("qid") != F.col("cid"))
+                .withColumn("__cos", cos)
+                .withColumn("rnk", F.row_number().over(
+                    W.partitionBy("qid").orderBy(F.desc("__cos"), F.col("cid")))))
+    return (ranked.filter(F.col("rnk") <= 10)
+                  .select("qid", "cid", F.round("__cos", 6).alias("cosine"),
+                          "rnk")
+                  .orderBy("qid", "rnk"))
+
+
 # ----------------------------------------------------------- multimodal
 
 @query("multimodal_table")  # rows-only: binary + pandas-UDF decode stage
