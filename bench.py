@@ -28,6 +28,7 @@ HEADLINE = [
     "join_star_multi",
     "win_sliding_range",
     "hrv_time_domain",
+    "hrv_time_domain_sliding",
     "hrv_freq_domain",
     "dedup_fuzzy_minhash",
     "sim_knn_bruteforce",

@@ -89,6 +89,18 @@ def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     ]
 
 
+def time_domain_exprs_by_name(names: list[str], rri_col: str = "rri",
+                              d_col: str = "d") -> list[Column]:
+    """Named subset of the time-domain feature expressions (each Column
+    is aliased to its feature name, so selection is by alias)."""
+    wanted = set(names)
+    out = [e for e in time_domain_exprs(rri_col, d_col)
+           if e._jc.toString().rsplit(" AS ", 1)[-1].strip("`") in wanted]
+    if len(out) != len(wanted):
+        raise KeyError(f"unknown feature name in {names!r}")
+    return out
+
+
 def poincare_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     rri, d = F.col(rri_col), F.col(d_col)
     s = _stats(rri, d)

@@ -12,13 +12,14 @@ tested against numpy reference implementations instead
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..features import kernels
 from ..features.hrv import (csi_cvi_exprs, poincare_exprs, time_domain_exprs,
-                            triangular_index, with_diff)
+                            time_domain_exprs_by_name, triangular_index,
+                            with_diff)
 from ..functions.exact import dsum_sql, r6_sql
 from .registry import query
 
@@ -128,6 +129,54 @@ def hrv_geometrical(spark: SparkSession, sf_dir: str) -> DataFrame:
     heritage) — two chained hash aggregations. tinn intentionally
     omitted (see features/hrv.py docstring)."""
     return triangular_index(rr_from_events(spark, sf_dir))
+
+
+_Q15 = 900_000_000  # 15 min in µs
+
+
+@query("hrv_time_domain_sliding", oracle=f"""
+WITH rr0 AS (
+  SELECT user_id AS record_id, ts, value AS rri, epoch_us(ts) AS us
+  FROM events WHERE value > 0),
+ex AS (
+  SELECT record_id, ts, rri,
+         (us // {_Q15}) * {_Q15} - g * {_Q15} AS ws_us
+  FROM rr0, unnest(generate_series(0, 3)) AS t(g)),
+rr AS (
+  SELECT record_id, ws_us, rri,
+         rri - lag(rri) OVER (PARTITION BY record_id, ws_us ORDER BY ts) AS d
+  FROM ex)
+SELECT record_id, ws_us,
+  CAST(COUNT(rri) AS BIGINT) AS n_beats,
+  {r6_sql(_MEAN)} AS mean_nni,
+  {r6_sql(f'SQRT({_VAR_NNI})')} AS sdnn,
+  {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
+  SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS nni_50
+FROM rr GROUP BY record_id, ws_us
+""")
+def hrv_time_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference product shape: HRV features per (record, sliding
+    1 h window, 15 min stride) — the per-window python loop of the
+    reference pipeline as one distributed plan.
+
+    Implements the SURVEY.md §4 bounded-fan-out strategy explicitly:
+    each beat explodes into exactly width/stride = 4 window ids via
+    explode(sequence(0,3)) (no unbounded row explosion), the lag-diff
+    is computed WITHIN each window (reference slices the series before
+    diffing, so diffs never cross window starts), and one hash
+    aggregate emits the features. Degenerate 1-beat windows produce
+    NULL moments via safe_div rather than faulting."""
+    rr = rr_from_events(spark, sf_dir)
+    us = F.unix_micros("beat_ts")
+    ex = (rr.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(3))))
+            .withColumn("ws_us", (F.floor(us / _Q15) * _Q15
+                                  - F.col("g").cast("long") * _Q15)
+                        .cast("long")))
+    w = W.partitionBy("record_id", "ws_us").orderBy("beat_ts")
+    d = ex.withColumn("d", F.col("rri") - F.lag("rri").over(w))
+    feats = time_domain_exprs_by_name(["mean_nni", "sdnn", "rmssd", "nni_50"])
+    return (d.groupBy("record_id", "ws_us")
+              .agg(F.count("rri").alias("n_beats"), *feats))
 
 
 @query("hrv_freq_domain")  # rows-only: FFT kernel, not SQL-expressible
