@@ -129,6 +129,25 @@ def csi_cvi_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     ]
 
 
+def sliding_windows(rr: DataFrame, width_us: int, stride_us: int,
+                    record_col: str = "record_id",
+                    ts_col: str = "beat_ts",
+                    rri_col: str = "rri") -> DataFrame:
+    """Bounded sliding-window fan-out (SURVEY.md §4): each beat lands
+    in exactly width/stride windows via explode(sequence), window id =
+    integer epoch-µs start; the lag-diff ``d`` is computed WITHIN each
+    (record, window) — the reference slices the series before diffing,
+    so diffs never cross window starts."""
+    k = width_us // stride_us
+    us = F.unix_micros(ts_col)
+    ex = (rr.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .withColumn("ws_us", (F.floor(us / stride_us) * stride_us
+                                  - F.col("g").cast("long") * stride_us)
+                        .cast("long")))
+    w = W.partitionBy(record_col, "ws_us").orderBy(ts_col)
+    return ex.withColumn("d", F.col(rri_col) - F.lag(rri_col).over(w))
+
+
 def triangular_index(rr: DataFrame, record_col: str = "record_id",
                      rri_col: str = "rri", bin_ms: float = 7.8125) -> DataFrame:
     """n / max-bin-count over a fixed-width RR histogram — two hash

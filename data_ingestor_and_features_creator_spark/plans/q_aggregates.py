@@ -282,3 +282,31 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         nni.alias("nni_50_analog"),
         r6(100.0 * nni / F.count("dv").cast("double")).alias("pnni_50_analog"),
     )
+
+
+@query("agg_salted_skew", oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events GROUP BY event_type
+""")
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation for skewed keys (SURVEY.md §4; the
+    100 TB skew valve next to AQE skew-join): phase 1 aggregates on
+    (key, salt=hash%16) so one hot key spreads over 16 reducers; phase
+    2 combines the partials per key. The result is EXACTLY the plain
+    groupBy (the oracle is the unsalted SQL) because count and
+    decimal-exact sums are associative — which is the point: salting
+    changes the shuffle shape, never the answer. AQE's skew handling
+    covers joins; manual salting remains the tool for skewed
+    AGGREGATION keys when partial aggregation alone can't keep up
+    (e.g. high-cardinality payloads per hot key)."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("__salt")
+    phase1 = (ev.withColumn("__salt", salt)
+                .groupBy("event_type", "__salt")
+                .agg(F.count(F.lit(1)).alias("pn"),
+                     F.sum(F.col("value").cast(DEC)).alias("pv")))
+    return (phase1.groupBy("event_type")
+                  .agg(F.sum("pn").alias("n"),
+                       F.sum("pv").cast("double").alias("total_value")))

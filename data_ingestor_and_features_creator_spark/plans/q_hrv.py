@@ -17,9 +17,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..features import kernels
-from ..features.hrv import (csi_cvi_exprs, poincare_exprs, time_domain_exprs,
-                            time_domain_exprs_by_name, triangular_index,
-                            with_diff)
+from ..features.hrv import (csi_cvi_exprs, poincare_exprs, sliding_windows,
+                            time_domain_exprs, time_domain_exprs_by_name,
+                            triangular_index, with_diff)
 from ..functions.exact import dsum_sql, r6_sql
 from .registry import query
 
@@ -167,13 +167,7 @@ def hrv_time_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate emits the features. Degenerate 1-beat windows produce
     NULL moments via safe_div rather than faulting."""
     rr = rr_from_events(spark, sf_dir)
-    us = F.unix_micros("beat_ts")
-    ex = (rr.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(3))))
-            .withColumn("ws_us", (F.floor(us / _Q15) * _Q15
-                                  - F.col("g").cast("long") * _Q15)
-                        .cast("long")))
-    w = W.partitionBy("record_id", "ws_us").orderBy("beat_ts")
-    d = ex.withColumn("d", F.col("rri") - F.lag("rri").over(w))
+    d = sliding_windows(rr, width_us=4 * _Q15, stride_us=_Q15)
     feats = time_domain_exprs_by_name(["mean_nni", "sdnn", "rmssd", "nni_50"])
     return (d.groupBy("record_id", "ws_us")
               .agg(F.count("rri").alias("n_beats"), *feats))

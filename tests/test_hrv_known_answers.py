@@ -92,6 +92,29 @@ def test_triangular_index_known_answer(spark):
     assert row["triangular_index"] == pytest.approx(2.0)
 
 
+def test_sliding_windows_fanout_and_within_window_diff(spark):
+    """Two beats at 12:00:00 and 12:01:00 land in exactly the 4
+    windows starting 11:15/11:30/11:45/12:00 (1 h width, 15 min
+    stride), and the diff is computed inside each window."""
+    from data_ingestor_and_features_creator_spark.features.hrv import (
+        sliding_windows, time_domain_exprs_by_name)
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, base, 800.0), (1, base + datetime.timedelta(minutes=1), 810.0)],
+        schema=RR_INTERVALS)
+    q15 = 900_000_000
+    d = sliding_windows(df, width_us=4 * q15, stride_us=q15)
+    out = (d.groupBy("record_id", "ws_us")
+             .agg(*time_domain_exprs_by_name(["mean_nni", "rmssd"]))
+             .collect())
+    base_us = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * 10**6
+    expect_ws = {base_us - g * q15 for g in range(4)}
+    assert {r["ws_us"] for r in out} == expect_ws
+    for r in out:
+        assert r["mean_nni"] == pytest.approx(805.0)
+        assert r["rmssd"] == pytest.approx(10.0)  # diff within window
+
+
 def test_freq_domain_kernel_detects_lf_modulation():
     # 0.1 Hz (LF band) sinusoidal modulation of RR → LF ≫ HF
     n = 600
