@@ -41,3 +41,76 @@ def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 lambda b: float(sum(b)) / len(b) if len(b) else 0.0),
             "head_hex": content.map(lambda b: bytes(b[:8]).hex()),
         })
+
+
+RESIZED_SCHEMA = ("doc_id long, out_w int, out_h int, content binary")
+
+_RESIZE_W, _RESIZE_H = 8, 8
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for an image resize (see STUB NOTICE).
+
+    Interprets ``content`` as a row-major square grayscale 'image'
+    (side = floor(sqrt(len))), block-averages it down to a fixed
+    8x8 thumbnail, and re-emits the thumbnail as binary. A real
+    deployment swaps the numpy block-average for Pillow's
+    ``Image.resize``; everything around it — Arrow batching, binary
+    in/binary out, metadata columns — is the production shape.
+    """
+    import numpy as np
+
+    def resize_one(b: bytes) -> bytes:
+        side = int(len(b) ** 0.5)
+        if side == 0:
+            return bytes(_RESIZE_W * _RESIZE_H)
+        img = np.frombuffer(bytes(b)[: side * side],
+                            dtype=np.uint8).reshape(side, side)
+        ys = np.linspace(0, side, _RESIZE_H + 1).astype(int)
+        xs = np.linspace(0, side, _RESIZE_W + 1).astype(int)
+        out = np.empty((_RESIZE_H, _RESIZE_W), dtype=np.uint8)
+        for i in range(_RESIZE_H):
+            for j in range(_RESIZE_W):
+                block = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                            xs[j]:max(xs[j + 1], xs[j] + 1)]
+                out[i, j] = int(block.mean())
+        return out.tobytes()
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "out_w": _RESIZE_W,
+            "out_h": _RESIZE_H,
+            "content": pdf["content"].map(resize_one),
+        })
+
+
+FRAMES_SCHEMA = ("doc_id long, frame_idx int, frame_ts_ms long, "
+                 "n_bytes int, frame_hex string")
+
+
+def frame_sample(frame_bytes: int, every_nth: int, fps: float = 25.0):
+    """Build a deterministic stand-in for video frame sampling (see
+    STUB NOTICE): treat ``content`` as concatenated fixed-size frames
+    and keep every ``every_nth`` one. One input row fans out to many
+    output rows — the real cardinality shape of frame extraction,
+    which is why this is mapInPandas (per-batch fan-out) rather than a
+    scalar UDF. A real deployment replaces the byte-slicing with an
+    av/ffmpeg keyframe iterator; schema and batching stay the same.
+    """
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [],
+                                    "frame_ts_ms": [], "n_bytes": [],
+                                    "frame_hex": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                for idx in range(0, len(b) // frame_bytes, every_nth):
+                    frame = b[idx * frame_bytes:(idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(int(idx * 1000 / fps))
+                    out["n_bytes"].append(len(frame))
+                    out["frame_hex"].append(frame[:8].hex())
+            yield pd.DataFrame(out)
+    return sample

@@ -448,3 +448,69 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return binary.mapInPandas(multimodal.fake_decode,
                               schema=multimodal.DECODED_SCHEMA)
+
+
+@query("multimodal_resize")  # rows-only: pandas-UDF image-resize stage
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize analog over binary columns: mapInPandas block-average
+    to a fixed 8x8 thumbnail (deterministic stub kernel — see
+    operators/multimodal.py STUB NOTICE). Output is binary-in/binary-out
+    with size metadata; at scale the stage parallelizes by partition, so
+    skewed payload mixes get a size-based repartition first."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    resized = binary.mapInPandas(multimodal.fake_resize,
+                                 schema=multimodal.RESIZED_SCHEMA)
+    return (resized.select("doc_id", "out_w", "out_h",
+                           F.length("content").alias("thumb_bytes"),
+                           F.hex(F.substring("content", 1, 4)).alias("head"))
+                   .orderBy("doc_id"))
+
+
+@query("multimodal_frame_sample")  # rows-only: fan-out pandas-UDF stage
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling analog: one binary row fans out to every-4th
+    fixed-size 'frame' row via mapInPandas (deterministic stub kernel —
+    see operators/multimodal.py STUB NOTICE). The fan-out happens
+    executor-side inside the Arrow batch, so output cardinality never
+    touches the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    frames = binary.mapInPandas(
+        multimodal.frame_sample(frame_bytes=64, every_nth=4),
+        schema=multimodal.FRAMES_SCHEMA)
+    return frames.orderBy("doc_id", "frame_idx")
+
+
+# ------------------------------------------------------ dataset splits
+
+@query("data_split_hash", oracle="""
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (
+    SELECT n_chars,
+           CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 80
+                THEN 'train'
+                WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents)
+GROUP BY split ORDER BY split
+""")
+def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by a PORTABLE Knuth
+    multiplicative hash of the key — the training-pipeline way to split
+    100 TB: no sampling shuffle, no RNG state, any engine recomputes the
+    same assignment. The pre-mod by 1000003 keeps every intermediate
+    < 2^52 so DuckDB BIGINT (which faults on overflow, unlike Spark's
+    wrapping) evaluates the identical arithmetic — that's what makes
+    this SQL-oracle-checkable where xxhash64 splits are not."""
+    d = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 1000003 % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val")
+              .otherwise("test").alias("split"))
+    return (d.select(split, "n_chars")
+             .groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("chars"))
+             .orderBy("split"))

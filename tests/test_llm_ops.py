@@ -131,3 +131,46 @@ def test_multimodal_decode_roundtrip(spark):
     assert out[0]["n_bytes"] == 5 and out[1]["n_bytes"] == 7
     assert out[0]["head_hex"] == b"hello".hex()
     assert out[0]["mean_byte"] == pytest.approx(sum(b"hello") / 5)
+
+
+def test_multimodal_resize_fixed_thumbnail(spark):
+    # 16-byte payload = 4x4 'image' of constant 65 ('A') → every 8x8
+    # thumbnail byte is the block average 65; short/empty payloads
+    # still emit a full 64-byte thumbnail (zero-padded case).
+    docs = _docs(spark, ["A" * 16, ""])
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    out = {r["doc_id"]: r for r in
+           binary.mapInPandas(multimodal.fake_resize,
+                              schema=multimodal.RESIZED_SCHEMA).collect()}
+    assert out[0]["out_w"] == 8 and out[0]["out_h"] == 8
+    assert bytes(out[0]["content"]) == bytes([65] * 64)
+    assert bytes(out[1]["content"]) == bytes(64)
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    # 10 frames of 4 bytes, every 2nd kept → frames 0,2,4,6,8; the
+    # trailing 2-byte remainder is dropped (incomplete frame).
+    payload = "".join(chr(ord("a") + i) * 4 for i in range(10)) + "zz"
+    docs = _docs(spark, [payload])
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    rows = (binary.mapInPandas(
+                multimodal.frame_sample(frame_bytes=4, every_nth=2, fps=25.0),
+                schema=multimodal.FRAMES_SCHEMA)
+            .orderBy("frame_idx").collect())
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6, 8]
+    assert rows[1]["frame_hex"] == (b"c" * 4).hex()
+    assert rows[1]["frame_ts_ms"] == 80  # frame 2 at 25 fps
+    assert all(r["n_bytes"] == 4 for r in rows)
+
+
+def test_data_split_hash_deterministic_and_total(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans import q_llm
+    out = {r["split"]: r["n_docs"]
+           for r in q_llm.data_split_hash(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(out.values()) == total          # partition of the corpus
+    assert out.get("train", 0) > out.get("test", 0)  # ~80/10/10 shape
+    again = {r["split"]: r["n_docs"]
+             for r in q_llm.data_split_hash(spark, sf_dir).collect()}
+    assert out == again                        # rerun-stable
