@@ -56,11 +56,16 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally the fixture is one row group (a serial scan task), so
     shingling — the CPU-heavy expression — must be spread across cores
     explicitly; and hash-partitioning by doc_id lets the signature
-    groupBy and both verify joins reuse the same distribution."""
+    groupBy and both verify joins reuse the same distribution.
+
+    The corpus is shingled exactly ONCE: the cached ``shingle_sets``
+    table is the diamond top feeding both the MinHash signatures and
+    the exact-Jaccard verify (previously two full text passes)."""
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
-    sig = textops.minhash_signature(docs)
+    sets = textops.shingle_sets(docs).cache()
+    sig = textops.minhash_from_sets(sets)
     pairs = textops.candidate_pairs(textops.lsh_bands(sig))
-    return (textops.jaccard_verify(pairs, docs, threshold=0.3)
+    return (textops.jaccard_verify(pairs, docs, threshold=0.3, sets=sets)
                    .orderBy("a", "b"))
 
 
