@@ -310,3 +310,77 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (phase1.groupBy("event_type")
                   .agg(F.sum("pn").alias("n"),
                        F.sum("pv").cast("double").alias("total_value")))
+
+
+@query("agg_pivot", oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+       {dsum_sql('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'F'")} AS f_total,
+       {dsum_sql('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'O'")} AS o_total,
+       {dsum_sql('CASE WHEN o_orderstatus = %s THEN o_totalprice END' % "'P'")} AS p_total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide reshape, one column pair per status value. The
+    pivot values are declared explicitly — at scale an undeclared pivot
+    adds a whole distinct-scan job just to discover the columns, and
+    nondeterministic column order breaks downstream schemas."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice").alias("total")))
+    return (piv.select(
+                "o_orderpriority",
+                F.col("F_n").alias("f_n"), F.col("O_n").alias("o_n"),
+                F.col("P_n").alias("p_n"),
+                F.col("F_total").alias("f_total"),
+                F.col("O_total").alias("o_total"),
+                F.col("P_total").alias("p_total"))
+               .na.fill(0, ["f_n", "o_n", "p_n"])
+               .orderBy("o_orderpriority"))
+
+
+@query("unpivot_melt", oracle=f"""
+SELECT metric, {dsum_sql('v')} AS total, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+    UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT 'discount', l_discount FROM lineitem)
+GROUP BY metric ORDER BY metric
+""")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide→long without reading the table once per
+    measure — Spark's Expand node emits all three (metric, value) rows
+    per input row in one scan, vs the oracle's 3-scan UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric", valueColumnName="v")
+    metric = F.regexp_replace("metric", "^l_", "")
+    return (long.select(metric.alias("metric"), "v")
+                .groupBy("metric")
+                .agg(dsum("v").alias("total"),
+                     F.count(F.lit(1)).alias("n"))
+                .orderBy("metric"))
+
+
+@query("agg_hll_sketch_merge")  # rows-only: sketch estimates are not SQL-exact
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern for 100 TB distinct counts: build one
+    HLL sketch per day partition (Datasketches binary, `hll_sketch_agg`),
+    then `hll_union_agg` merges the partials into per-month estimates —
+    the shape that lets daily jobs precompute sketches and any rollup
+    combine them without re-scanning raw data. Estimate-vs-exact error
+    is pinned in tests/test_oracle_parity.py."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"),
+                       F.date_trunc("day", "o_orderdate").alias("day"))
+              .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    return (daily.groupBy("month")
+                 .agg(F.hll_sketch_estimate(
+                          F.hll_union_agg("sk")).alias("approx_custs"))
+                 .orderBy("month"))

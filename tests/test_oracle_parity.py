@@ -32,3 +32,30 @@ def test_rows_only_runs(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_hll_sketch_estimate_accuracy_and_mergeability(spark, sf_dir):
+    """Merged daily partials must estimate within HLL error of the exact
+    per-month distinct count AND agree exactly with a sketch built in
+    one pass over the month (merge ≡ rebuild is what makes daily
+    precomputation sound)."""
+    from pyspark.sql import functions as F
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_aggregates import (
+        agg_hll_sketch_merge)
+    merged = {r["month"]: r["approx_custs"]
+              for r in agg_hll_sketch_merge(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+    exact = {r["month"]: r["n"] for r in
+             o.groupBy(month).agg(F.countDistinct("o_custkey").alias("n"))
+              .collect()}
+    onepass = {r["month"]: r["n"] for r in
+               o.groupBy(month)
+                .agg(F.hll_sketch_estimate(
+                         F.hll_sketch_agg("o_custkey")).alias("n"))
+                .collect()}
+    assert merged.keys() == exact.keys()
+    for m, est in merged.items():
+        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+        assert est == onepass[m], (m, est, onepass[m])
