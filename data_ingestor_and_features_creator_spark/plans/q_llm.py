@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import multimodal, similarity, textops
+from ..operators import graph, multimodal, similarity, textops
 from .registry import query
 
 
@@ -277,6 +277,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("cosine", cos)
              .filter(F.col("cosine") >= 0.4)
              .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
+@query("dedup_cluster_cc", oracle=f"""
+WITH RECURSIVE
+e AS (SELECT a, b FROM ({_EMB_COS_ORACLE.replace('ROUND(cos, 6) AS cosine', 'cos')})),
+sym AS (SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e),
+reach(n, m) AS (
+    SELECT n, n FROM (SELECT DISTINCT n FROM sym)
+    UNION
+    SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n),
+lbl AS (SELECT n AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (vec_id = cluster_id) AS is_canonical
+FROM lbl ORDER BY vec_id
+""")
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: transitive closure over the
+    embedding-cosine near-dup pair graph via iterative min-label
+    propagation (operators/graph.py), canonical doc = min vec_id per
+    component. This is the step that turns pairwise dedup output into
+    an actionable keep/drop list. The oracle is a DuckDB recursive CTE
+    computing min-reachable-node — an exact SQL twin of the fixpoint,
+    so this 'iterative algorithm' is fully oracle-checked."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("a", "b")
+    cc = graph.connected_components(pairs)
+    w = W.partitionBy("cluster_id")
+    return (cc.select(F.col("n").alias("vec_id"), "cluster_id")
+              .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+              .withColumn("is_canonical",
+                          F.col("vec_id") == F.col("cluster_id"))
+              .orderBy("vec_id"))
 
 
 # Deterministic per-language marker vocabularies for the n-gram/keyword

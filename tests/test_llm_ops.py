@@ -174,3 +174,14 @@ def test_data_split_hash_deterministic_and_total(spark, sf_dir):
     again = {r["split"]: r["n_docs"]
              for r in q_llm.data_split_hash(spark, sf_dir).collect()}
     assert out == again                        # rerun-stable
+
+
+def test_connected_components_chain_and_isolated_clique(spark):
+    # chain 1-2-3-4 needs multi-round propagation; 5-6 is a separate
+    # component; min reachable id becomes the cluster id
+    from data_ingestor_and_features_creator_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (6, 5)], "a long, b long")
+    got = {r["n"]: r["cluster_id"]
+           for r in graph.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}

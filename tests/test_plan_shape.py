@@ -83,3 +83,12 @@ def test_minhash_caches_diamond_tops(spark, sf_dir):
 def test_knn_broadcasts_query_side(spark, sf_dir):
     plan = _physical(QUERIES["sim_knn_bruteforce"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key into the same bucket count →
+    the SMJ must read co-located buckets with NO shuffle on either side."""
+    from data_ingestor_and_features_creator_spark.plans.q_joins import bucketed_join
+    plan = _physical(bucketed_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
