@@ -4,10 +4,11 @@ re-expressed as closed-form Spark aggregate expressions.
 Semantics follow the Aura org's public ``hrvanalysis`` API [PK:high]:
 
 - time domain (``get_time_domain_features``): mean_nni, sdnn (ddof=1),
-  sdsd (ddof=1 of successive diffs), rmssd = sqrt(mean(d²)),
+  sdsd (ddof=0 of successive diffs — np.std default in the public
+  package; only sdnn is ddof=1), rmssd = sqrt(mean(d²)),
   median_nni, range_nni, cvsd = rmssd/mean_nni, cvnni = sdnn/mean_nni,
   nni_50/pnni_50 (pnni divides by len(nn)), nni_20/pnni_20,
-  hr = 60000/nn → mean/max/min/std_hr (ddof=1);
+  hr = 60000/nn → mean/max/min/std_hr (ddof=0);
 - Poincaré (``get_poincare_plot_features``): sd1 = sqrt(0.5·var₁(d)),
   sd2 = sqrt(2·var₁(nn) − 0.5·var₁(d)), ratio = sd2/sd1;
 - CSI/CVI (``get_csi_cvi_features``): T = 4·sd1, L = 4·sd2,
@@ -32,9 +33,14 @@ from ..functions.exact import dsum, r6, safe_div
 
 
 def with_diff(rr: DataFrame, record_col: str = "record_id",
-              ts_col: str = "beat_ts", rri_col: str = "rri") -> DataFrame:
-    """Attach the successive-difference column ``d`` per record."""
-    w = W.partitionBy(record_col).orderBy(ts_col)
+              ts_col: str = "beat_ts", rri_col: str = "rri",
+              tiebreak_col: str | None = None) -> DataFrame:
+    """Attach the successive-difference column ``d`` per record.
+
+    ``tiebreak_col`` (a unique id) pins a total order when ``ts_col``
+    can tie — registry house rule for hash-stable oracles."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = W.partitionBy(record_col).orderBy(*order)
     return rr.withColumn("d", F.col(rri_col) - F.lag(rri_col).over(w))
 
 
@@ -57,8 +63,10 @@ def _stats(rri: Column, d: Column) -> dict[str, Column]:
         "var_nni": safe_div(s2 - safe_div(s1 * s1, n), n - 1),
         "mean_d2": safe_div(sd2_, nd),
         "var_d": safe_div(sd2_ - safe_div(sd1_ * sd1_, nd), nd - 1),
+        "var_d_pop": safe_div(sd2_ - safe_div(sd1_ * sd1_, nd), nd),
         "mean_hr": safe_div(sh1, n),
         "var_hr": safe_div(sh2 - safe_div(sh1 * sh1, n), n - 1),
+        "var_hr_pop": safe_div(sh2 - safe_div(sh1 * sh1, n), n),
     }
 
 
@@ -72,7 +80,7 @@ def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     return [
         r6(s["mean_nni"]).alias("mean_nni"),
         r6(sdnn).alias("sdnn"),
-        r6(F.sqrt(s["var_d"])).alias("sdsd"),
+        r6(F.sqrt(s["var_d_pop"])).alias("sdsd"),
         r6(rmssd).alias("rmssd"),
         r6(F.expr(f"percentile({rri_col}, 0.5)")).alias("median_nni"),
         (F.max(rri) - F.min(rri)).alias("range_nni"),
@@ -85,7 +93,7 @@ def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
         r6(s["mean_hr"]).alias("mean_hr"),
         r6(F.lit(60000.0) / F.min(rri)).alias("max_hr"),
         r6(F.lit(60000.0) / F.max(rri)).alias("min_hr"),
-        r6(F.sqrt(s["var_hr"])).alias("std_hr"),
+        r6(F.sqrt(s["var_hr_pop"])).alias("std_hr"),
     ]
 
 
@@ -132,20 +140,34 @@ def csi_cvi_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
 def sliding_windows(rr: DataFrame, width_us: int, stride_us: int,
                     record_col: str = "record_id",
                     ts_col: str = "beat_ts",
-                    rri_col: str = "rri") -> DataFrame:
+                    rri_col: str = "rri",
+                    tiebreak_col: str | None = None) -> DataFrame:
     """Bounded sliding-window fan-out (SURVEY.md §4): each beat lands
     in exactly width/stride windows via explode(sequence), window id =
     integer epoch-µs start; the lag-diff ``d`` is computed WITHIN each
     (record, window) — the reference slices the series before diffing,
-    so diffs never cross window starts."""
+    so diffs never cross window starts.
+
+    The lag runs ONCE per record BEFORE the explode: the in-window
+    predecessor of a beat is always its global predecessor (both are in
+    [ws, ws+width) and nothing lies between them), so d is the global
+    successive diff masked to NULL when the predecessor falls before
+    the window start (prev_us < ws_us). One window sort over n beats
+    instead of k·n exploded rows across n·k tiny partitions — at 100 TB
+    that removes the dominant exchange+sort entirely."""
     k = width_us // stride_us
-    us = F.unix_micros(ts_col)
-    ex = (rr.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-            .withColumn("ws_us", (F.floor(us / stride_us) * stride_us
-                                  - F.col("g").cast("long") * stride_us)
-                        .cast("long")))
-    w = W.partitionBy(record_col, "ws_us").orderBy(ts_col)
-    return ex.withColumn("d", F.col(rri_col) - F.lag(rri_col).over(w))
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = W.partitionBy(record_col).orderBy(*order)
+    base = (rr.withColumn("__us", F.unix_micros(ts_col))
+              .withColumn("__d_raw", F.col(rri_col) - F.lag(rri_col).over(w))
+              .withColumn("__prev_us", F.lag("__us").over(w)))
+    ex = (base.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+              .withColumn("ws_us", (F.floor(F.col("__us") / stride_us) * stride_us
+                                    - F.col("g").cast("long") * stride_us)
+                          .cast("long")))
+    return (ex.withColumn("d", F.when(F.col("__prev_us") >= F.col("ws_us"),
+                                      F.col("__d_raw")))
+              .drop("__us", "__d_raw", "__prev_us", "g"))
 
 
 def triangular_index(rr: DataFrame, record_col: str = "record_id",

@@ -4,7 +4,7 @@ Importing this package imports every query module, which registers its
 queries (and oracle SQL twins) with the registry.
 """
 
-from .registry import QUERIES, ORACLES, query  # noqa: F401
+from .registry import MODULES, ORACLES, QUERIES, query  # noqa: F401
 
 
 def load_all() -> None:
@@ -21,11 +21,37 @@ def load_all() -> None:
     from . import q_udf  # noqa: F401
 
 
-def queries():
+# The driver verifies queries in dict order and has a bounded per-round
+# budget (round 1 stopped after the first 50 of 105). Order the dict so
+# the budget lands on the queries with the least prior evidence:
+#   1. queries whose round-1 CORRECTNESS row was FAIL (now fixed),
+#   2. oracle-bearing queries from modules the driver never reached,
+#   3. rows-only queries from those modules (weaker check anyway),
+#   4. the block that already has green round-1 rows.
+_FIXED_FAILS = ["filter_null", "agg_conditional", "agg_collect"]
+_UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
+                      "q_streaming", "q_udf"]
+
+
+def _ordered_ids() -> list[str]:
     load_all()
-    return dict(QUERIES)
+    rank = {m: i for i, m in enumerate(_UNCHECKED_MODULES)}
+
+    def key(name: str) -> tuple:
+        if name in _FIXED_FAILS:
+            return (0, _FIXED_FAILS.index(name))
+        mod = MODULES.get(name, "")
+        if mod in rank:
+            return (1 if name in ORACLES else 2, rank[mod])
+        return (3, 0)
+
+    return sorted(QUERIES, key=key)
+
+
+def queries():
+    return {name: QUERIES[name] for name in _ordered_ids()}
 
 
 def oracles():
-    load_all()
-    return dict(ORACLES)
+    order = _ordered_ids()
+    return {name: ORACLES[name] for name in order if name in ORACLES}

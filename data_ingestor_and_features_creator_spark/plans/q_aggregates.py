@@ -180,19 +180,29 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("agg_collect", oracle="""
-SELECT user_id, list(value ORDER BY ts) AS values_by_ts
+SELECT user_id,
+       array_to_string(
+         list(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) ORDER BY ts, value),
+         ',') AS values_by_ts
 FROM events WHERE event_type = 'purchase' GROUP BY user_id
 """)
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered per-group gather — the handoff shape for UDF kernels that
     need the whole window series (SURVEY.md §2.9). Order is pinned by
-    sorting (ts, value) structs, never by arrival order."""
+    sorting (ts, value) structs, never by arrival order.
+
+    Joined to a scalar via array_join so the driver canonicalizer can
+    hash the result (raw array columns are unhashable in pandas)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     gathered = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("tv")
     )
     return gathered.select(
-        "user_id", F.transform("tv", lambda x: x.value).alias("values_by_ts")
+        "user_id",
+        F.array_join(
+            F.transform("tv", lambda x: x.value.cast("decimal(18,6)").cast("string")),
+            ",",
+        ).alias("values_by_ts"),
     )
 
 
@@ -261,11 +271,11 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_conditional", oracle=f"""
 WITH d AS (
   SELECT event_type,
-         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
   FROM events
 )
 SELECT event_type,
-       SUM(CASE WHEN ABS(dv) > 50 THEN 1 ELSE 0 END) AS nni_50_analog,
+       CAST(SUM(CASE WHEN ABS(dv) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nni_50_analog,
        {r6_sql("100.0 * SUM(CASE WHEN ABS(dv) > 50 THEN 1 ELSE 0 END)"
                " / CAST(COUNT(dv) AS DOUBLE)")} AS pnni_50_analog
 FROM d GROUP BY event_type
@@ -275,7 +285,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.4 [PK:high]) on the events stand-in series."""
     from pyspark.sql import Window as W
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select("event_type", (F.col("value") - F.lag("value").over(w)).alias("dv"))
     nni = F.sum(F.when(F.abs("dv") > 50, 1).otherwise(0))
     return d.groupBy("event_type").agg(

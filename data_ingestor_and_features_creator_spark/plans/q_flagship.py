@@ -27,7 +27,7 @@ WITH d AS (
   SELECT event_type,
          CAST(ts AS DATE) AS day,
          value,
-         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
   FROM events
 )
 SELECT event_type, day,
@@ -47,7 +47,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # Ordered-series primitive: per-user successive difference.
     # ts is µs-unique in the fixtures (measured), so the order is total.
-    w = W.partitionBy("user_id").orderBy("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = events.select(
         "event_type",
         F.to_date("ts").alias("day"),

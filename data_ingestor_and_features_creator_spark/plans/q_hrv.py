@@ -34,6 +34,7 @@ def rr_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").filter(F.col("value") > 0).select(
         F.col("user_id").alias("record_id"),
         F.col("ts").alias("beat_ts"),
+        F.col("event_id"),
         F.col("value").alias("rri"),
     )
 
@@ -41,7 +42,7 @@ def rr_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RR_CTE = """
 WITH rr AS (
   SELECT user_id AS record_id, ts AS beat_ts, value AS rri,
-         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
   FROM events WHERE value > 0
 )
 """
@@ -52,8 +53,10 @@ _MEAN = f"({dsum_sql('rri')} / {_N})"
 _VAR_NNI = f"(({dsum_sql('rri*rri')} - {dsum_sql('rri')} * {dsum_sql('rri')} / {_N}) / ({_N} - 1))"
 _MEAN_D2 = f"({dsum_sql('d*d')} / {_ND})"
 _VAR_D = f"(({dsum_sql('d*d')} - {dsum_sql('d')} * {dsum_sql('d')} / {_ND}) / ({_ND} - 1))"
+_VAR_D_POP = f"(({dsum_sql('d*d')} - {dsum_sql('d')} * {dsum_sql('d')} / {_ND}) / {_ND})"
 _MEAN_HR = f"({dsum_sql('60000.0/rri')} / {_N})"
 _VAR_HR = f"(({dsum_sql('(60000.0/rri)*(60000.0/rri)')} - {dsum_sql('60000.0/rri')} * {dsum_sql('60000.0/rri')} / {_N}) / ({_N} - 1))"
+_VAR_HR_POP = f"(({dsum_sql('(60000.0/rri)*(60000.0/rri)')} - {dsum_sql('60000.0/rri')} * {dsum_sql('60000.0/rri')} / {_N}) / {_N})"
 _SD1 = f"SQRT(0.5 * {_VAR_D})"
 _SD2 = f"SQRT(2.0 * {_VAR_NNI} - 0.5 * {_VAR_D})"
 
@@ -62,20 +65,20 @@ _SD2 = f"SQRT(2.0 * {_VAR_NNI} - 0.5 * {_VAR_D})"
 SELECT record_id,
   {r6_sql(_MEAN)} AS mean_nni,
   {r6_sql(f'SQRT({_VAR_NNI})')} AS sdnn,
-  {r6_sql(f'SQRT({_VAR_D})')} AS sdsd,
+  {r6_sql(f'SQRT({_VAR_D_POP})')} AS sdsd,
   {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
   {r6_sql('quantile_cont(rri, 0.5)')} AS median_nni,
   MAX(rri) - MIN(rri) AS range_nni,
   {r6_sql(f'SQRT({_MEAN_D2}) / {_MEAN}')} AS cvsd,
   {r6_sql(f'SQRT({_VAR_NNI}) / {_MEAN}')} AS cvnni,
-  SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS nni_50,
+  CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nni_50,
   {r6_sql(f'100.0 * SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) / {_N}')} AS pnni_50,
-  SUM(CASE WHEN ABS(d) > 20 THEN 1 ELSE 0 END) AS nni_20,
+  CAST(SUM(CASE WHEN ABS(d) > 20 THEN 1 ELSE 0 END) AS BIGINT) AS nni_20,
   {r6_sql(f'100.0 * SUM(CASE WHEN ABS(d) > 20 THEN 1 ELSE 0 END) / {_N}')} AS pnni_20,
   {r6_sql(_MEAN_HR)} AS mean_hr,
   {r6_sql('60000.0 / MIN(rri)')} AS max_hr,
   {r6_sql('60000.0 / MAX(rri)')} AS min_hr,
-  {r6_sql(f'SQRT({_VAR_HR})')} AS std_hr
+  {r6_sql(f'SQRT({_VAR_HR_POP})')} AS std_hr
 FROM rr GROUP BY record_id
 """)
 def hrv_time_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +86,7 @@ def hrv_time_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — the reference's per-window python loop collapsed into a
     single distributed groupBy (cites hrvanalysis
     get_time_domain_features [PK:high])."""
-    rr = with_diff(rr_from_events(spark, sf_dir))
+    rr = with_diff(rr_from_events(spark, sf_dir), tiebreak_col="event_id")
     return rr.groupBy("record_id").agg(*time_domain_exprs())
 
 
@@ -98,7 +101,7 @@ def hrv_poincare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poincaré sd1/sd2 via the closed-form variance identities — no
     scatter rotation needed (property-tested against the rotated
     definition in tests/test_hrv_known_answers.py)."""
-    rr = with_diff(rr_from_events(spark, sf_dir))
+    rr = with_diff(rr_from_events(spark, sf_dir), tiebreak_col="event_id")
     return rr.groupBy("record_id").agg(*poincare_exprs())
 
 
@@ -110,7 +113,7 @@ SELECT record_id,
 FROM rr GROUP BY record_id
 """)
 def hrv_csi_cvi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rr = with_diff(rr_from_events(spark, sf_dir))
+    rr = with_diff(rr_from_events(spark, sf_dir), tiebreak_col="event_id")
     return rr.groupBy("record_id").agg(*csi_cvi_exprs())
 
 
@@ -136,22 +139,22 @@ _Q15 = 900_000_000  # 15 min in µs
 
 @query("hrv_time_domain_sliding", oracle=f"""
 WITH rr0 AS (
-  SELECT user_id AS record_id, ts, value AS rri, epoch_us(ts) AS us
+  SELECT user_id AS record_id, ts, event_id, value AS rri, epoch_us(ts) AS us
   FROM events WHERE value > 0),
 ex AS (
-  SELECT record_id, ts, rri,
+  SELECT record_id, ts, event_id, rri,
          (us // {_Q15}) * {_Q15} - g * {_Q15} AS ws_us
   FROM rr0, unnest(generate_series(0, 3)) AS t(g)),
 rr AS (
   SELECT record_id, ws_us, rri,
-         rri - lag(rri) OVER (PARTITION BY record_id, ws_us ORDER BY ts) AS d
+         rri - lag(rri) OVER (PARTITION BY record_id, ws_us ORDER BY ts, event_id) AS d
   FROM ex)
 SELECT record_id, ws_us,
   CAST(COUNT(rri) AS BIGINT) AS n_beats,
   {r6_sql(_MEAN)} AS mean_nni,
   {r6_sql(f'SQRT({_VAR_NNI})')} AS sdnn,
   {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
-  SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS nni_50
+  CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nni_50
 FROM rr GROUP BY record_id, ws_us
 """)
 def hrv_time_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +170,8 @@ def hrv_time_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate emits the features. Degenerate 1-beat windows produce
     NULL moments via safe_div rather than faulting."""
     rr = rr_from_events(spark, sf_dir)
-    d = sliding_windows(rr, width_us=4 * _Q15, stride_us=_Q15)
+    d = sliding_windows(rr, width_us=4 * _Q15, stride_us=_Q15,
+                        tiebreak_col="event_id")
     feats = time_domain_exprs_by_name(["mean_nni", "sdnn", "rmssd", "nni_50"])
     return (d.groupBy("record_id", "ws_us")
               .agg(F.count("rri").alias("n_beats"), *feats))

@@ -229,9 +229,23 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     write is the amortized cost — every subsequent co-located join
     reads the bucketed layout and skips its shuffle entirely."""
     import re
+    import shutil
+    from pathlib import Path
+
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     to_name, tc_name = f"b_orders_{tag}", f"b_customer_{tag}"
     if not spark.catalog.tableExists(to_name):
+        # A fresh session gets a fresh in-memory metastore, but managed-
+        # table directories persist in spark-warehouse/ — drop both the
+        # catalog entry AND any stale location, or saveAsTable throws
+        # LOCATION_ALREADY_EXISTS on the second session.
+        warehouse = Path(spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:"))
+        for name in (to_name, tc_name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            stale = warehouse / name
+            if stale.exists():
+                shutil.rmtree(stale)
         (load_table(spark, sf_dir, "orders").write
             .bucketBy(8, "o_custkey").sortBy("o_custkey")
             .mode("overwrite").saveAsTable(to_name))

@@ -162,7 +162,7 @@ def filter_range_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("filter_ectopic", oracle="""
 WITH d AS (
   SELECT event_id, user_id, value,
-         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 )
 SELECT event_id, user_id, value FROM d
@@ -173,7 +173,7 @@ def filter_ectopic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.2 [PK:high]): drop samples deviating >20% from the
     previous value in the per-record ordered series."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.withColumn("prev", F.lag("value").over(w))
         .filter(F.col("prev").isNull()
@@ -184,19 +184,19 @@ def filter_ectopic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("filter_null", oracle=f"""
 WITH d AS (
-  SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv
+  SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
   FROM events
 )
 SELECT user_id,
        COUNT(*) AS n_rows,
        COUNT(dv) AS n_diff,
-       SUM(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        {dsum_sql('COALESCE(dv, 0.0)')} AS sum_filled
 FROM d GROUP BY user_id
 """)
 def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select("user_id", (F.col("value") - F.lag("value").over(w)).alias("dv"))
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -212,7 +212,7 @@ WITH g AS (
          CASE WHEN value <= 200.0 THEN value END AS v,
          row_number() OVER w AS rn
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), f AS (
   SELECT event_id, user_id, v, rn,
     last_value(v IGNORE NULLS) OVER wb AS prev_v,
@@ -238,7 +238,7 @@ def interpolate_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.when(F.col("value") <= 200.0, F.col("value"))
     )
     out = interpolate_nan_values(
-        ev, "v", order_by=["ts"], partition_by=["user_id"], out_col="interp_raw"
+        ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"], out_col="interp_raw"
     )
     return out.select("event_id", r6(F.col("interp_raw")).alias("interp"))
 
@@ -285,7 +285,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sort_multikey", oracle="""
 WITH d AS (
-  SELECT event_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv
+  SELECT event_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
   FROM events
 )
 SELECT event_id, dv,
@@ -296,7 +296,7 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with explicit null placement; the global row_number
     makes the order observable to the order-insensitive oracle hash."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select("event_id", (F.col("value") - F.lag("value").over(w)).alias("dv"))
     wg = W.orderBy(F.col("dv").desc_nulls_last(), F.col("event_id"))
     return d.withColumn("rn", F.row_number().over(wg))

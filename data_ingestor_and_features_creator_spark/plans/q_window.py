@@ -19,13 +19,13 @@ from .registry import query
 
 def _w(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    return ev, W.partitionBy("user_id").orderBy("ts")
+    return ev, W.partitionBy("user_id").orderBy("ts", "event_id")
 
 
 @query("win_lag_diff", oracle="""
 SELECT event_id, user_id,
-       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS dv,
-       lead(value) OVER (PARTITION BY user_id ORDER BY ts) - value AS dv_next
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS dv_next
 FROM events
 """)
 def win_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +39,7 @@ def win_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("win_row_number", oracle="""
-SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS beat_idx
+SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS beat_idx
 FROM events
 """)
 def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +73,7 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("win_running_agg", oracle=f"""
 SELECT event_id,
        CAST(SUM(CAST(value AS DECIMAL(38,6)))
-            OVER (PARTITION BY user_id ORDER BY ts
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_total
 FROM events
@@ -136,7 +136,7 @@ SELECT event_id,
        last_value(value) OVER w AS last_v,
        nth_value(value, 3) OVER w AS third_v
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """)
 def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,10 +16,18 @@ from typing import Any
 
 
 def norm_cell(v: Any) -> str:
+    import numpy as np
+
     if v is None:
         return "<NULL>"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -33,6 +41,11 @@ def norm_cell(v: Any) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, datetime.datetime):
+        # DuckDB .df() renders DATE as midnight datetime64 while Spark
+        # keeps datetime.date; house rules forbid raw timestamps in
+        # results, so a midnight datetime IS a date — collapse it.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()

@@ -37,14 +37,14 @@ def test_time_domain_known_answer(spark):
     assert row["mean_nni"] == pytest.approx(801.25)
     assert row["rmssd"] == pytest.approx(math.sqrt((100 + 400 + 225) / 3), abs=1e-6)
     assert row["sdnn"] == pytest.approx(np.std(nn, ddof=1), abs=1e-6)
-    assert row["sdsd"] == pytest.approx(np.std(d, ddof=1), abs=1e-6)
+    assert row["sdsd"] == pytest.approx(np.std(d), abs=1e-6)
     assert row["median_nni"] == pytest.approx(802.5)
     assert row["range_nni"] == pytest.approx(20.0)
     assert row["nni_50"] == 0 and row["nni_20"] == 0
     assert row["pnni_20"] == pytest.approx(0.0)
     assert row["mean_hr"] == pytest.approx(np.mean(60000.0 / nn), abs=1e-6)
     assert row["max_hr"] == pytest.approx(60000.0 / 790, abs=1e-6)
-    assert row["std_hr"] == pytest.approx(np.std(60000.0 / nn, ddof=1), abs=1e-6)
+    assert row["std_hr"] == pytest.approx(np.std(60000.0 / nn), abs=1e-6)
     assert row["cvsd"] == pytest.approx(row["rmssd"] / 801.25, abs=1e-6)
     assert row["cvnni"] == pytest.approx(row["sdnn"] / 801.25, abs=1e-6)
 

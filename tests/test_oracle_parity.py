@@ -18,12 +18,17 @@ ROWS_ONLY_IDS = sorted(set(_QUERIES) - set(_ORACLES))
 
 @pytest.mark.parametrize("name", SQL_IDS)
 def test_sql_oracle_parity(name, spark, duck, sf_dir):
+    """Both results go through pandas — the driver's canonicalization
+    path — so type-representation drift (e.g. DuckDB HUGEINT → float64
+    vs Spark int64) fails HERE before the driver sees it."""
     df = _QUERIES[name](spark, sf_dir)
-    spark_rows = [tuple(r) for r in df.collect()]
-    cur = duck.execute(_ORACLES[name])
-    duck_cols = [c[0] for c in cur.description]
-    duck_rows = cur.fetchall()
-    assert_same_result(name, df.columns, spark_rows, duck_cols, duck_rows)
+    spark_pdf = df.toPandas()
+    spark_rows = list(spark_pdf.itertuples(index=False, name=None))
+    duck_pdf = duck.execute(_ORACLES[name]).df()
+    duck_cols = list(duck_pdf.columns)
+    duck_rows = list(duck_pdf.itertuples(index=False, name=None))
+    assert_same_result(name, list(spark_pdf.columns), spark_rows,
+                       duck_cols, duck_rows)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_IDS)
