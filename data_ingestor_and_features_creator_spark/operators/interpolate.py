@@ -24,11 +24,22 @@ def interpolate_nan_values(
     order_by: list[str | Column],
     partition_by: list[str | Column],
     out_col: str = "interp",
+    method: str = "linear",
 ) -> DataFrame:
-    """Add ``out_col``: value_col with nulls linearly interpolated.
+    """Add ``out_col``: value_col with nulls filled by ``method`` —
+    the reference API's method-selection surface
+    (``interpolate_nan_values(method=...)``):
 
-    Boundary policy (matches linear gap-fill with edge hold): leading
-    nulls take the first non-null, trailing nulls the last non-null.
+    - ``linear``  — blend between nearest non-null neighbors (default);
+    - ``nearest`` — copy the closer neighbor by row distance, previous
+      wins ties (pandas 'nearest' convention);
+    - ``locf``    — last observation carried forward (pandas 'ffill' /
+      'pad'), with leading nulls backfilled from the first observation.
+
+    All methods share the same two IGNORE NULLS window passes; only the
+    final combine expression differs, so plan shape and cost are
+    method-independent. Boundary policy for linear/nearest (edge hold):
+    leading nulls take the first non-null, trailing nulls the last.
     """
     w = W.partitionBy(*partition_by).orderBy(*order_by)
     before = w.rowsBetween(W.unboundedPreceding, 0)
@@ -44,12 +55,24 @@ def interpolate_nan_values(
         .withColumn("__prev_rn", F.last(rn_if_val, ignorenulls=True).over(before))
         .withColumn("__next_rn", F.first(rn_if_val, ignorenulls=True).over(after))
     )
-    frac = (F.col("__rn") - F.col("__prev_rn")) / (F.col("__next_rn") - F.col("__prev_rn"))
+    prev_v, next_v = F.col("__prev_v"), F.col("__next_v")
+    prev_rn, next_rn = F.col("__prev_rn"), F.col("__next_rn")
+    if method == "linear":
+        frac = (F.col("__rn") - prev_rn) / (next_rn - prev_rn)
+        fill = prev_v + (next_v - prev_v) * frac
+    elif method == "nearest":
+        fill = F.when(
+            F.col("__rn") - prev_rn <= next_rn - F.col("__rn"), prev_v
+        ).otherwise(next_v)
+    elif method == "locf":
+        fill = prev_v  # carried forward; head handled by the backfill arm
+    else:
+        raise ValueError(f"unknown interpolation method {method!r}")
     interp = (
         F.when(v.isNotNull(), v)
-        .when(F.col("__prev_v").isNull(), F.col("__next_v"))
-        .when(F.col("__next_v").isNull(), F.col("__prev_v"))
-        .otherwise(F.col("__prev_v") + (F.col("__next_v") - F.col("__prev_v")) * frac)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(fill)
     )
     return df.withColumn(out_col, interp).drop(
         "__rn", "__prev_v", "__next_v", "__prev_rn", "__next_rn"

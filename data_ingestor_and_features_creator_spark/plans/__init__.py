@@ -29,6 +29,9 @@ def load_all() -> None:
 #   3. rows-only queries from those modules (weaker check anyway),
 #   4. the block that already has green round-1 rows.
 _FIXED_FAILS = ["filter_null", "agg_conditional", "agg_collect"]
+_NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
+                   "filter_ectopic_karlsson", "filter_ectopic_custom",
+                   "interpolate_nearest", "interpolate_locf"]
 _UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
                       "q_streaming", "q_udf"]
 
@@ -40,6 +43,8 @@ def _ordered_ids() -> list[str]:
     def key(name: str) -> tuple:
         if name in _FIXED_FAILS:
             return (0, _FIXED_FAILS.index(name))
+        if name in _NEW_THIS_ROUND:
+            return (0, 10 + _NEW_THIS_ROUND.index(name))
         mod = MODULES.get(name, "")
         if mod in rank:
             return (1 if name in ORACLES else 2, rank[mod])

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..features import kernels
+from ..operators import peaks
 from ..features.hrv import (csi_cvi_exprs, poincare_exprs, sliding_windows,
                             time_domain_exprs, time_domain_exprs_by_name,
                             triangular_index, with_diff)
@@ -175,6 +176,34 @@ def hrv_time_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = time_domain_exprs_by_name(["mean_nni", "sdnn", "rmssd", "nni_50"])
     return (d.groupBy("record_id", "ws_us")
               .agg(F.count("rri").alias("n_beats"), *feats))
+
+
+@query("signal_rpeak_detect", oracle="""
+WITH ids AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS record_id FROM events),
+p AS (SELECT record_id, 70 + record_id % 30 AS period FROM ids),
+pk AS (SELECT record_id, period,
+              unnest(generate_series(0, 1023 // period)) * period AS peak_idx
+       FROM p)
+SELECT record_id, peak_idx,
+       peak_idx * 7.8125 AS peak_ms,
+       CASE WHEN peak_idx = 0 THEN NULL
+            ELSE period * 7.8125 END AS rr_ms
+FROM pk
+""")
+def signal_rpeak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's step 2 (raw signal → beat locations,
+    SURVEY.md §3.1): adaptive-threshold R-peak detection over a sampled
+    signal, as a per-record applyInPandas kernel (operators/peaks.py —
+    see its STUB NOTICE: the signal is a deterministic stand-in, the
+    detector/plumbing are real).
+
+    Fully oracle-checked: the stand-in plants beats every 70+id%30
+    samples, so the expected beat grid (and RR series) is derivable in
+    pure SQL independently of the detector — the oracle asserts the
+    kernel finds exactly the planted beats, no more, no less."""
+    ids = (load_table(spark, sf_dir, "events")
+           .select(F.col("user_id").alias("record_id")).distinct())
+    return peaks.detect_rpeaks(peaks.synthetic_signal(ids))
 
 
 @query("hrv_freq_domain")  # rows-only: FFT kernel, not SQL-expressible

@@ -206,14 +206,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash_pairs(sig).orderBy("a", "b")
 
 
-@query("dedup_ngram_jaccard", oracle="""
+_JACCARD_MAX_DF = 100  # stop-shingle cap: document frequency per (source, shingle)
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
 WITH tok AS (
   SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, source,
          unnest(list_transform(generate_series(1, greatest(1, len(ts) - 2)),
                 i -> array_to_string(ts[i:i+2], ' '))) AS s
   FROM tok),
+sh AS (
+  SELECT doc_id, source, s FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY source, s) <= {_JACCARD_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
@@ -229,13 +235,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 3-gram shingles, equi-join on (source, shingle), count
     intersections, |A∪B| = |A|+|B|−|A∩B|. Blocking bounds the pair
     space (the classic scalable exact-dedup shape: block key must fit
-    the skew budget); integer counts make the oracle bit-exact."""
+    the skew budget); integer counts make the oracle bit-exact.
+
+    Stop-shingle cap: shingles appearing in > _JACCARD_MAX_DF documents of one
+    source (boilerplate) are dropped BEFORE the self-join — a hot
+    shingle with document frequency f fans out into f² candidate rows,
+    so an uncapped header line is the one input that can melt this plan
+    at 100 TB. Sizes are computed on the capped shingle set, keeping
+    Jaccard internally consistent; the oracle applies the identical
+    cap. The hot list is tiny (boilerplate is rare) → broadcast
+    anti-join, no extra shuffle on the big side."""
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     sh = docs.select(
         "doc_id", "source",
         F.explode(F.array_distinct(
             textops.shingles(textops.tokens("text"), 3))).alias("s"),
     ).cache()
+    hot = (sh.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > _JACCARD_MAX_DF)
+             .select("source", "s"))
+    sh = sh.join(F.broadcast(hot), ["source", "s"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = sh.select(F.col("doc_id").alias("a"), "source", "s")
     y = sh.select(F.col("doc_id").alias("b"), "source", "s")

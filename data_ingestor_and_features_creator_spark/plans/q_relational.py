@@ -182,6 +182,80 @@ def filter_ectopic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ectopic_filtered(spark: SparkSession, sf_dir: str, method: str,
+                      custom_rule: float = 0.2) -> DataFrame:
+    """remove_ectopic_beats(method=...) — the public hrvanalysis method
+    family [PK:high], stationary interpretation (each beat compared to
+    its raw neighbors, same as the malik plan above):
+
+    - malik/custom: |rri − prev| ≤ rule·prev (malik rule = 0.2);
+    - kamath: keep if 0 ≤ rri − prev ≤ 0.325·prev (rise) or
+      0 ≤ prev − rri ≤ 0.245·prev (drop);
+    - karlsson: |mean(prev, next) − rri| < 0.2·mean(prev, next).
+
+    Boundary beats with no neighbor to test against are kept."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v, prev, nxt = F.col("value"), F.col("prev"), F.col("next")
+    d = ev.withColumn("prev", F.lag("value").over(w))
+    if method == "kamath":
+        keep = prev.isNull() | ((v - prev).between(0, 0.325 * prev)
+                                | (prev - v).between(0, 0.245 * prev))
+    elif method == "karlsson":
+        d = d.withColumn("next", F.lead("value").over(w))
+        m = (prev + nxt) / 2
+        keep = prev.isNull() | nxt.isNull() | (F.abs(m - v) < 0.2 * m)
+    else:  # malik family with a custom threshold
+        keep = prev.isNull() | (F.abs(v - prev) <= custom_rule * prev)
+    return d.filter(keep).select("event_id", "user_id", "value")
+
+
+@query("filter_ectopic_kamath", oracle="""
+WITH d AS (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, value FROM d
+WHERE prev IS NULL
+   OR (value - prev BETWEEN 0 AND 0.325 * prev)
+   OR (prev - value BETWEEN 0 AND 0.245 * prev)
+""")
+def filter_ectopic_kamath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ectopic_filtered(spark, sf_dir, "kamath")
+
+
+@query("filter_ectopic_karlsson", oracle="""
+WITH d AS (
+  SELECT event_id, user_id, value,
+         lag(value)  OVER w AS prev,
+         lead(value) OVER w AS next
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, value FROM d
+WHERE prev IS NULL OR next IS NULL
+   OR ABS((prev + next) / 2 - value) < 0.2 * ((prev + next) / 2)
+""")
+def filter_ectopic_karlsson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ectopic_filtered(spark, sf_dir, "karlsson")
+
+
+@query("filter_ectopic_custom", oracle="""
+WITH d AS (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, value FROM d
+WHERE prev IS NULL OR ABS(value - prev) <= 0.35 * prev
+""")
+def filter_ectopic_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """custom_removing_rule=0.35 — the malik comparison with a caller-
+    chosen threshold (the reference API's escape hatch)."""
+    return _ectopic_filtered(spark, sf_dir, "custom", custom_rule=0.35)
+
+
 @query("filter_null", oracle=f"""
 WITH d AS (
   SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
@@ -241,6 +315,70 @@ def interpolate_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"], out_col="interp_raw"
     )
     return out.select("event_id", r6(F.col("interp_raw")).alias("interp"))
+
+
+_INTERP_CTE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value <= 200.0 THEN value END AS v,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT event_id, user_id, v, rn,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    first_value(v IGNORE NULLS) OVER wa AS next_v,
+    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS prev_rn,
+    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wa AS next_rn
+  FROM g
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wa AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+"""
+
+
+@query("interpolate_nearest", oracle=f"""{_INTERP_CTE}
+SELECT event_id,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN prev_v IS NULL THEN next_v
+       WHEN next_v IS NULL THEN prev_v
+       WHEN rn - prev_rn <= next_rn - rn THEN prev_v
+       ELSE next_v END AS interp_nearest
+FROM f
+""")
+def interpolate_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor gap-fill (method='nearest'): copy the closer
+    non-null neighbor, previous wins ties. Pure value copies — no
+    arithmetic, so no rounding guard needed."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") <= 200.0, F.col("value"))
+    )
+    out = interpolate_nan_values(
+        ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"],
+        out_col="interp_nearest", method="nearest",
+    )
+    return out.select("event_id", "interp_nearest")
+
+
+@query("interpolate_locf", oracle=f"""{_INTERP_CTE}
+SELECT event_id,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN prev_v IS NULL THEN next_v
+       ELSE prev_v END AS interp_locf
+FROM f
+""")
+def interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap-fill (method='locf' /
+    pandas ffill), leading nulls backfilled from the first value."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") <= 200.0, F.col("value"))
+    )
+    out = interpolate_nan_values(
+        ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"],
+        out_col="interp_locf", method="locf",
+    )
+    return out.select("event_id", "interp_locf")
 
 
 @query("case_when", oracle="""

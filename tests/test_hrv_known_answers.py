@@ -166,3 +166,40 @@ def test_sampen_regularity_ordering():
     regular = 800 + 10 * np.sin(np.arange(200) * 0.3)
     noisy = 800 + 10 * rng.standard_normal(200)
     assert kernels.sample_entropy(regular) < kernels.sample_entropy(noisy)
+
+
+def test_rpeak_detection_finds_planted_beats(spark):
+    """The synthetic signal plants beats every 70+id%30 samples; the
+    detector must find exactly that grid with RR = period/fs."""
+    from data_ingestor_and_features_creator_spark.operators import peaks
+
+    ids = spark.createDataFrame([(3,), (17,), (42,)], "record_id long")
+    out = (peaks.detect_rpeaks(peaks.synthetic_signal(ids))
+           .orderBy("record_id", "peak_idx").collect())
+    by_rec: dict[int, list] = {}
+    for r in out:
+        by_rec.setdefault(r["record_id"], []).append(r)
+    assert set(by_rec) == {3, 17, 42}
+    for rid, rows in by_rec.items():
+        period = 70 + rid % 30
+        expect_idx = list(range(0, peaks.N_SAMPLES, period))
+        assert [r["peak_idx"] for r in rows] == expect_idx
+        assert rows[0]["rr_ms"] is None
+        for r in rows[1:]:
+            assert r["rr_ms"] == pytest.approx(period * 1000.0 / peaks.FS_HZ)
+
+
+def test_rpeak_kernel_refractory_suppresses_close_taller_candidate():
+    """Two supra-threshold candidates inside one refractory window →
+    one beat, the taller one."""
+    from data_ingestor_and_features_creator_spark.operators.peaks import (
+        REFRACTORY, detect_rpeaks_kernel)
+
+    n = 400
+    amp = np.zeros(n)
+    amp[100] = 1.0
+    amp[100 + REFRACTORY // 2] = 1.5   # taller, too close → replaces 100
+    amp[300] = 1.0
+    pdf = pd.DataFrame({"record_id": 7, "k": np.arange(n), "amp": amp})
+    got = detect_rpeaks_kernel(pdf)
+    assert list(got["peak_idx"]) == [100 + REFRACTORY // 2, 300]

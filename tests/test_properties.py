@@ -105,3 +105,51 @@ def test_minhash_identical_docs_identical_signatures(spark, text):
     s0 = [sig[0][f"sig_{i}"] for i in range(16)]
     s1 = [sig[1][f"sig_{i}"] for i in range(16)]
     assert s0 == s1
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(min_value=-100, max_value=100,
+                                    allow_nan=False)),
+                min_size=1, max_size=12))
+@SETTINGS
+def test_interpolation_methods_fill_all_gaps_within_hull(spark, vals):
+    """Every method returns non-null everywhere (when any observation
+    exists), agrees with the input on observed points, and stays inside
+    [min, max] of the observations."""
+    from data_ingestor_and_features_creator_spark.operators.interpolate import (
+        interpolate_nan_values)
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "idx long, v double")
+    obs = [v for v in vals if v is not None]
+    for method in ("linear", "nearest", "locf"):
+        out = interpolate_nan_values(
+            df, "v", order_by=["idx"], partition_by=[F.lit(1)],
+            out_col="o", method=method).orderBy("idx").collect()
+        if not obs:
+            assert all(r["o"] is None for r in out)
+            continue
+        for r in out:
+            assert r["o"] is not None
+            assert min(obs) - 1e-9 <= r["o"] <= max(obs) + 1e-9
+            if vals[r["idx"]] is not None:
+                assert r["o"] == vals[r["idx"]]
+
+
+def test_interpolation_method_semantics_tiny_series(spark):
+    """[10, null, null, 40]: linear blends 20/30, nearest copies the
+    closer end (prev wins the tie), locf carries 10 forward."""
+    from data_ingestor_and_features_creator_spark.operators.interpolate import (
+        interpolate_nan_values)
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, None), (2, None), (3, 40.0)], "idx long, v double")
+    got = {}
+    for method in ("linear", "nearest", "locf"):
+        rows = interpolate_nan_values(
+            df, "v", order_by=["idx"], partition_by=[F.lit(1)],
+            out_col="o", method=method).orderBy("idx").collect()
+        got[method] = [r["o"] for r in rows]
+    assert got["linear"] == pytest.approx([10.0, 20.0, 30.0, 40.0])
+    assert got["nearest"] == pytest.approx([10.0, 10.0, 40.0, 40.0])
+    assert got["locf"] == pytest.approx([10.0, 10.0, 10.0, 40.0])
