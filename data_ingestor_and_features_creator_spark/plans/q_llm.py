@@ -570,3 +570,53 @@ def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum("n_chars").alias("chars"))
              .orderBy("split"))
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@query("data_pack_sequences", oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_start
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       tok_start // {_PACK_BUDGET} AS pack_id,
+       tok_start % {_PACK_BUDGET} AS offset_in_pack,
+       (tok_start + n_tokens - 1) // {_PACK_BUDGET} > tok_start // {_PACK_BUDGET}
+         AS crosses_boundary
+FROM c
+""")
+def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (concat-and-chunk): within
+    each source, documents are concatenated in doc_id order and cut
+    into fixed token-budget sequences; each doc gets the pack id and
+    offset where its first token lands, plus a crosses-boundary flag
+    (the doc spans two training sequences).
+
+    One window running sum + integer arithmetic — no UDF, no shuffle
+    beyond the per-source partitioning, and the running sum is the
+    same cumsum primitive the HRV window bucketing uses (§2.5). At
+    100 TB pack within (source, shard) so no single partition carries
+    a whole source; exact integers make the oracle bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (W.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, 0))
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    c = t.withColumn("tok_start",
+                     F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    pack = (F.col("tok_start") / _PACK_BUDGET).cast("long")
+    end_pack = ((F.col("tok_start") + F.col("n_tokens") - 1)
+                / _PACK_BUDGET).cast("long")
+    return c.select(
+        "doc_id", "source", "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("tok_start") % _PACK_BUDGET).alias("offset_in_pack"),
+        (end_pack > pack).alias("crosses_boundary"),
+    )

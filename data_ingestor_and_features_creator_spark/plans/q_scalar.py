@@ -179,9 +179,18 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("map_funcs")  # rows-only: Spark MapType has no stable DuckDB twin
+@query("map_funcs", oracle="""
+SELECT event_id,
+       'value,k' AS keys_csv,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
+       2 AS map_size
+FROM events
+""")
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType construction + access (completeness row, SURVEY.md §2.8)."""
+    """MapType construction + access (SURVEY.md §2.8). DuckDB has no
+    stable MapType twin, so the oracle checks the map's OBSERVABLE
+    outputs flattened to scalars (joined keys, element_at lookup,
+    size) — the map machinery runs on the Spark side either way."""
     ev = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("value"), F.col("value"),
@@ -189,10 +198,10 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
         F.element_at(m, F.lit("k")).alias("k_val"),
-    ).select("event_id", "keys", "k_val")
+        F.size(m).alias("map_size"),
+    )
 
 
 @query("null_funcs", oracle="""

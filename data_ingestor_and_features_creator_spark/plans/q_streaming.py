@@ -114,6 +114,24 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     load_table(spark, sf_dir, "customer"))
 
 
+@query("stream_stream_join", oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ⋈ same-user clicks in the
+    preceding 30 min) — batch path of the shared transform; the
+    watermarked streaming twin is asserted equal in tests. The
+    interval bound is what makes this viable in streaming mode: state
+    for either side is evictable once the watermark passes the bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return transforms.stream_stream_purchase_click(ev)
+
+
 @query("stream_watermark", oracle=f"""
 SELECT (epoch_us(ts) // {_HOUR}) * {_HOUR} AS ws_us,
        CAST(COUNT(*) AS BIGINT) AS cnt

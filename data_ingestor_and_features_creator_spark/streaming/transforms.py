@@ -81,3 +81,35 @@ def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     return (events.join(F.broadcast(dim), "user_id")
                   .select("event_id", "user_id", "c_name", "c_nationkey",
                           "event_type", "value"))
+
+
+def stream_stream_purchase_click(events: DataFrame,
+                                 events_b: DataFrame | None = None) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding 30 minutes. In streaming mode both
+    sides buffer in the state store and the time-bound condition lets
+    Spark evict rows older than the interval (with watermarks on both
+    sides); in batch mode the identical condition is a plain range
+    join. ``events_b`` lets the streaming test pass a second readStream
+    of the same source (self-joins of one stream handle require two
+    logical sources)."""
+    right = events_b if events_b is not None else events
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"),
+                 F.col("ts").alias("p_ts")))
+    c = (right.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts < p.p_ts),
+    )
+    return joined.select(
+        "purchase_id", "user_id", "click_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )

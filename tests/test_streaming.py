@@ -98,3 +98,14 @@ def test_foreach_batch_sink_roundtrip(spark, sf_dir, ev_stream):
     assert out.select("event_id").distinct().count() == n_src
     assert set(out.columns) == {"event_id", "user_id", "event_type",
                                 "value", "batch_id"}
+
+
+def test_stream_stream_join_batch_equals_stream(spark, sf_dir, ev_batch):
+    """Stream-stream interval join with watermarks on both sides must
+    reproduce the batch range join exactly under availableNow."""
+    left = runner.read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    right = runner.read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    stream = _rows(runner.run_available_now(
+        transforms.stream_stream_purchase_click(left, right)))
+    batch = _rows(transforms.stream_stream_purchase_click(ev_batch))
+    assert stream == batch
