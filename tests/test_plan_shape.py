@@ -92,3 +92,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = _physical(bucketed_join(spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_jaccard_hot_shingle_filter_is_broadcast_anti_join(spark, sf_dir):
+    """The stop-shingle cap must be applied as a BROADCAST anti-join
+    (the hot list is tiny); shuffling the full shingle table to filter
+    it would defeat the point."""
+    plan = _physical(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pack_sequences_single_window_no_udf(spark, sf_dir):
+    """Sequence packing is one window cumsum + arithmetic: exactly one
+    exchange (the per-source partitioning), no Python stage."""
+    plan = _physical(QUERIES["data_pack_sequences"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sliding_hrv_lags_before_explode(spark, sf_dir):
+    """The lag-before-explode rewrite: the window sort must run over
+    the base beats, with Generate (the explode) ABOVE the Window node,
+    and exactly one hash-partition exchange feeding both the window
+    and the (record, ws_us) aggregation."""
+    plan = _physical(QUERIES["hrv_time_domain_sliding"](spark, sf_dir))
+    assert "Generate explode" in plan
+    assert plan.index("Generate explode") < plan.index("Window")  # explode above lag
+    assert "EvalPython" not in plan
+
+
+def test_rpeak_prunes_udf_input_columns(spark, sf_dir):
+    """The applyInPandas stage must receive only (record_id, k, amp) —
+    fan-out plumbing, not whole-row transfer."""
+    df = QUERIES["signal_rpeak_detect"](spark, sf_dir)
+    plan = _physical(df)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
