@@ -32,7 +32,8 @@ _FIXED_FAILS = ["filter_null", "agg_conditional", "agg_collect"]
 _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "filter_ectopic_karlsson", "filter_ectopic_custom",
                    "interpolate_nearest", "interpolate_locf",
-                   "data_pack_sequences", "stream_stream_join", "map_funcs"]
+                   "data_pack_sequences", "stream_stream_join", "map_funcs",
+                   "hrv_pipeline_full"]
 _UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
                       "q_streaming", "q_udf"]
 

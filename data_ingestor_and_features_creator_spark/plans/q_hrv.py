@@ -228,3 +228,89 @@ def hrv_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rr.groupBy("record_id").applyInPandas(
         kernels.sampen_kernel, schema=kernels.SAMPEN_SCHEMA
     )
+
+
+_PIPE_CTE = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value BETWEEN 1.0 AND 250.0 THEN value END AS v,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT event_id, user_id, ts, v, rn,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    first_value(v IGNORE NULLS) OVER wa AS next_v,
+    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS prev_rn,
+    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wa AS next_rn
+  FROM g
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wa AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), interp AS (
+  SELECT event_id, user_id, ts,
+    ROUND(CASE WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v) * (rn - prev_rn) / (next_rn - prev_rn)
+          END, 6) AS rri
+  FROM f
+), ect AS (
+  SELECT event_id, user_id, rri, ts,
+         lag(rri) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM interp WHERE rri IS NOT NULL
+), rr AS (
+  SELECT user_id AS record_id, ts, event_id, rri,
+         rri - lag(rri) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM ect
+  WHERE prev IS NULL OR ABS(rri - prev) <= 0.2 * prev
+)
+"""
+
+
+@query("hrv_pipeline_full", oracle=f"""{_PIPE_CTE}
+SELECT record_id,
+  CAST(COUNT(rri) AS BIGINT) AS n_beats,
+  {{mean}} AS mean_nni,
+  {{sdnn}} AS sdnn,
+  {{rmssd}} AS rmssd,
+  {{nni50}} AS nni_50
+FROM rr GROUP BY record_id
+""".format(
+    mean=r6_sql(_MEAN),
+    sdnn=r6_sql(f"SQRT({_VAR_NNI})"),
+    rmssd=r6_sql(f"SQRT({_MEAN_D2})"),
+    nni50="CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT)",
+))
+def hrv_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's END-TO-END cleaning+features pipeline
+    (get_nn_intervals → get_time_domain_features [PK:high]) as ONE
+    distributed plan: range outliers → NULL, linear interpolation,
+    malik ectopic removal, then time-domain features per record —
+    every window stage shares the SAME (user, ts) partitioning, so one
+    exchange feeds all four cleaning stages; the only other exchange
+    carries map-side aggregate partials (one row per record per
+    partition), not beats.
+
+    The reconstructed series is rounded to 1e-6 ms after interpolation
+    on BOTH engines: quantization far below physiological resolution,
+    and it pins the cross-engine bit-contract before the decimal-exact
+    feature sums (registry house rule)."""
+    from ..operators.interpolate import interpolate_nan_values
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value").between(1.0, 250.0), F.col("value")))
+    interp = interpolate_nan_values(
+        ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"],
+        out_col="rri_raw",
+    ).withColumn("rri", F.round("rri_raw", 6)).filter(F.col("rri").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ect = interp.withColumn("prev", F.lag("rri").over(w)).filter(
+        F.col("prev").isNull()
+        | (F.abs(F.col("rri") - F.col("prev")) <= 0.2 * F.col("prev")))
+    rr = ect.select(F.col("user_id").alias("record_id"),
+                    F.col("ts").alias("beat_ts"), "event_id", "rri")
+    feats = time_domain_exprs_by_name(["mean_nni", "sdnn", "rmssd", "nni_50"])
+    return (with_diff(rr, tiebreak_col="event_id")
+            .groupBy("record_id")
+            .agg(F.count("rri").alias("n_beats"), *feats))
