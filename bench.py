@@ -32,6 +32,8 @@ HEADLINE = [
     "hrv_freq_domain",
     "dedup_fuzzy_minhash",
     "sim_knn_bruteforce",
+    "hrv_pipeline_full",
+    "dedup_ngram_jaccard",
 ]
 
 
