@@ -221,9 +221,12 @@ sh AS (
   SELECT doc_id, source, s FROM sh0
   QUALIFY COUNT(*) OVER (PARTITION BY source, s) <= {_JACCARD_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shj AS (
+  SELECT doc_id, source, s FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY source, s) >= 2),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-  FROM sh x JOIN sh y ON x.source = y.source AND x.s = y.s
+  FROM shj x JOIN shj y ON x.source = y.source AND x.s = y.s
   WHERE x.doc_id < y.doc_id GROUP BY a, b)
 SELECT a, b,
        ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
@@ -251,13 +254,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(
             textops.shingles(textops.tokens("text"), 3))).alias("s"),
     ).cache()
-    hot = (sh.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df"))
-             .filter(F.col("df") > _JACCARD_MAX_DF)
-             .select("source", "s"))
+    dfreq = sh.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df")).cache()
+    hot = (dfreq.filter(F.col("df") > _JACCARD_MAX_DF).select("source", "s"))
     sh = sh.join(F.broadcast(hot), ["source", "s"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.select(F.col("doc_id").alias("a"), "source", "s")
-    y = sh.select(F.col("doc_id").alias("b"), "source", "s")
+    # df == 1 shingles cannot intersect anything: drop them from the
+    # self-join input (typically the large majority of a real corpus),
+    # but AFTER sizes — |A| still counts unique shingles, so Jaccard is
+    # unchanged. Exactness preserved; the oracle mirrors the filter.
+    joinable = (dfreq.filter((F.col("df") >= 2)
+                             & (F.col("df") <= _JACCARD_MAX_DF))
+                     .select("source", "s"))
+    shj = sh.join(joinable, ["source", "s"], "left_semi")
+    x = shj.select(F.col("doc_id").alias("a"), "source", "s")
+    y = shj.select(F.col("doc_id").alias("b"), "source", "s")
     inter = (x.join(y, ["source", "s"]).filter(F.col("a") < F.col("b"))
               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
