@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, r6, safe_div
+from ..functions.exact import dsum, r6, safe_div, safe_sqrt
 
 
 def with_diff(rr: DataFrame, record_col: str = "record_id",
@@ -73,14 +73,14 @@ def _stats(rri: Column, d: Column) -> dict[str, Column]:
 def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     rri, d = F.col(rri_col), F.col(d_col)
     s = _stats(rri, d)
-    sdnn = F.sqrt(s["var_nni"])
+    sdnn = safe_sqrt(s["var_nni"])
     rmssd = F.sqrt(s["mean_d2"])
     nni_50 = F.sum(F.when(F.abs(d) > 50, 1).otherwise(0))
     nni_20 = F.sum(F.when(F.abs(d) > 20, 1).otherwise(0))
     return [
         r6(s["mean_nni"]).alias("mean_nni"),
         r6(sdnn).alias("sdnn"),
-        r6(F.sqrt(s["var_d_pop"])).alias("sdsd"),
+        r6(safe_sqrt(s["var_d_pop"])).alias("sdsd"),
         r6(rmssd).alias("rmssd"),
         r6(F.expr(f"percentile({rri_col}, 0.5)")).alias("median_nni"),
         (F.max(rri) - F.min(rri)).alias("range_nni"),
@@ -93,7 +93,7 @@ def time_domain_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
         r6(s["mean_hr"]).alias("mean_hr"),
         r6(F.lit(60000.0) / F.min(rri)).alias("max_hr"),
         r6(F.lit(60000.0) / F.max(rri)).alias("min_hr"),
-        r6(F.sqrt(s["var_hr_pop"])).alias("std_hr"),
+        r6(safe_sqrt(s["var_hr_pop"])).alias("std_hr"),
     ]
 
 
@@ -112,8 +112,8 @@ def time_domain_exprs_by_name(names: list[str], rri_col: str = "rri",
 def poincare_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     rri, d = F.col(rri_col), F.col(d_col)
     s = _stats(rri, d)
-    sd1 = F.sqrt(F.lit(0.5) * s["var_d"])
-    sd2 = F.sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
+    sd1 = safe_sqrt(F.lit(0.5) * s["var_d"])
+    sd2 = safe_sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
     return [
         r6(sd1).alias("sd1"),
         r6(sd2).alias("sd2"),
@@ -124,8 +124,8 @@ def poincare_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
 def csi_cvi_exprs(rri_col: str = "rri", d_col: str = "d") -> list[Column]:
     rri, d = F.col(rri_col), F.col(d_col)
     s = _stats(rri, d)
-    sd1 = F.sqrt(F.lit(0.5) * s["var_d"])
-    sd2 = F.sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
+    sd1 = safe_sqrt(F.lit(0.5) * s["var_d"])
+    sd2 = safe_sqrt(F.lit(2.0) * s["var_nni"] - F.lit(0.5) * s["var_d"])
     t = 4 * sd1
     l = 4 * sd2
     # log10(0) is -inf, not an ANSI fault, but NULL is the consistent

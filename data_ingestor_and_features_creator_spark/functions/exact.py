@@ -63,6 +63,15 @@ def r6(col: Column) -> Column:
     return F.round(col, 6)
 
 
+def safe_sqrt(x: Column) -> Column:
+    """NULL-on-negative square root. Variances assembled from exact
+    sums can cancel to ~-1e-17 for near-constant groups, and the sd2
+    operand (2·var_nni − 0.5·var_d) can go genuinely negative in tiny
+    windows: Spark's sqrt would emit NaN there while DuckDB FAULTS —
+    both sides guard to NULL instead (same policy as safe_div)."""
+    return F.when(x >= 0, F.sqrt(x))
+
+
 def safe_div(num: Column, den: Column) -> Column:
     """NULL-on-zero division. ANSI mode faults the whole job on x/0;
     degenerate groups (constant series → sd1 = 0, single row → n−1 = 0)
@@ -92,3 +101,8 @@ def dstd_samp_sql(expr: str) -> str:
 
 def r6_sql(expr: str) -> str:
     return f"ROUND(({expr}), 6)"
+
+
+def safe_sqrt_sql(expr: str) -> str:
+    """DuckDB twin of safe_sqrt (CASE guard; DuckDB errors on SQRT<0)."""
+    return f"CASE WHEN ({expr}) >= 0 THEN SQRT({expr}) END"

@@ -21,7 +21,7 @@ from ..operators import peaks
 from ..features.hrv import (csi_cvi_exprs, poincare_exprs, sliding_windows,
                             time_domain_exprs, time_domain_exprs_by_name,
                             triangular_index, with_diff)
-from ..functions.exact import dsum_sql, r6_sql
+from ..functions.exact import dsum_sql, r6_sql, safe_sqrt_sql
 from .registry import query
 
 
@@ -58,20 +58,20 @@ _VAR_D_POP = f"(({dsum_sql('d*d')} - {dsum_sql('d')} * {dsum_sql('d')} / {_ND}) 
 _MEAN_HR = f"({dsum_sql('60000.0/rri')} / {_N})"
 _VAR_HR = f"(({dsum_sql('(60000.0/rri)*(60000.0/rri)')} - {dsum_sql('60000.0/rri')} * {dsum_sql('60000.0/rri')} / {_N}) / ({_N} - 1))"
 _VAR_HR_POP = f"(({dsum_sql('(60000.0/rri)*(60000.0/rri)')} - {dsum_sql('60000.0/rri')} * {dsum_sql('60000.0/rri')} / {_N}) / {_N})"
-_SD1 = f"SQRT(0.5 * {_VAR_D})"
-_SD2 = f"SQRT(2.0 * {_VAR_NNI} - 0.5 * {_VAR_D})"
+_SD1 = safe_sqrt_sql(f"0.5 * {_VAR_D}")
+_SD2 = safe_sqrt_sql(f"2.0 * {_VAR_NNI} - 0.5 * {_VAR_D}")
 
 
 @query("hrv_time_domain", oracle=f"""{_RR_CTE}
 SELECT record_id,
   {r6_sql(_MEAN)} AS mean_nni,
-  {r6_sql(f'SQRT({_VAR_NNI})')} AS sdnn,
-  {r6_sql(f'SQRT({_VAR_D_POP})')} AS sdsd,
+  {r6_sql(safe_sqrt_sql(_VAR_NNI))} AS sdnn,
+  {r6_sql(safe_sqrt_sql(_VAR_D_POP))} AS sdsd,
   {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
   {r6_sql('quantile_cont(rri, 0.5)')} AS median_nni,
   MAX(rri) - MIN(rri) AS range_nni,
   {r6_sql(f'SQRT({_MEAN_D2}) / {_MEAN}')} AS cvsd,
-  {r6_sql(f'SQRT({_VAR_NNI}) / {_MEAN}')} AS cvnni,
+  {r6_sql(f'{safe_sqrt_sql(_VAR_NNI)} / {_MEAN}')} AS cvnni,
   CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nni_50,
   {r6_sql(f'100.0 * SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) / {_N}')} AS pnni_50,
   CAST(SUM(CASE WHEN ABS(d) > 20 THEN 1 ELSE 0 END) AS BIGINT) AS nni_20,
@@ -79,7 +79,7 @@ SELECT record_id,
   {r6_sql(_MEAN_HR)} AS mean_hr,
   {r6_sql('60000.0 / MIN(rri)')} AS max_hr,
   {r6_sql('60000.0 / MAX(rri)')} AS min_hr,
-  {r6_sql(f'SQRT({_VAR_HR_POP})')} AS std_hr
+  {r6_sql(safe_sqrt_sql(_VAR_HR_POP))} AS std_hr
 FROM rr GROUP BY record_id
 """)
 def hrv_time_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +153,7 @@ rr AS (
 SELECT record_id, ws_us,
   CAST(COUNT(rri) AS BIGINT) AS n_beats,
   {r6_sql(_MEAN)} AS mean_nni,
-  {r6_sql(f'SQRT({_VAR_NNI})')} AS sdnn,
+  {r6_sql(safe_sqrt_sql(_VAR_NNI))} AS sdnn,
   {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
   CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nni_50
 FROM rr GROUP BY record_id, ws_us
@@ -278,7 +278,7 @@ SELECT record_id,
 FROM rr GROUP BY record_id
 """.format(
     mean=r6_sql(_MEAN),
-    sdnn=r6_sql(f"SQRT({_VAR_NNI})"),
+    sdnn=r6_sql(safe_sqrt_sql(_VAR_NNI)),
     rmssd=r6_sql(f"SQRT({_MEAN_D2})"),
     nni50="CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT)",
 ))
@@ -314,3 +314,32 @@ def hrv_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (with_diff(rr, tiebreak_col="event_id")
             .groupBy("record_id")
             .agg(F.count("rri").alias("n_beats"), *feats))
+
+
+@query("hrv_poincare_sliding", oracle=f"""
+WITH rr0 AS (
+  SELECT user_id AS record_id, ts, event_id, value AS rri, epoch_us(ts) AS us
+  FROM events WHERE value > 0),
+ex AS (
+  SELECT record_id, ts, event_id, rri,
+         (us // {_Q15}) * {_Q15} - g * {_Q15} AS ws_us
+  FROM rr0, unnest(generate_series(0, 3)) AS t(g)),
+rr AS (
+  SELECT record_id, ws_us, rri,
+         rri - lag(rri) OVER (PARTITION BY record_id, ws_us ORDER BY ts, event_id) AS d
+  FROM ex)
+SELECT record_id, ws_us,
+  {r6_sql(_SD1)} AS sd1,
+  {r6_sql(_SD2)} AS sd2
+FROM rr GROUP BY record_id, ws_us
+""")
+def hrv_poincare_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poincaré sd1/sd2 per (record, sliding window) — same bounded
+    explode fan-out and lag-before-explode plan as the time-domain
+    sliding query, different feature set; shows the sliding harness is
+    feature-family-generic."""
+    rr = rr_from_events(spark, sf_dir)
+    d = sliding_windows(rr, width_us=4 * _Q15, stride_us=_Q15,
+                        tiebreak_col="event_id")
+    return (d.groupBy("record_id", "ws_us")
+             .agg(*poincare_exprs()[:2]))

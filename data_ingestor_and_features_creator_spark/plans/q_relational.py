@@ -111,6 +111,32 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
 
+@query("sink_csv_json", oracle=f"""
+SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+FROM events GROUP BY event_type
+""")
+def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON sink round trips (§2.1 sink family): write events
+    through both text formats with explicit schema+timestamp options,
+    read each back, union, and aggregate halves — equality with the
+    parquet-sourced oracle proves BOTH text round trips are lossless
+    and type-faithful (each half carries every event exactly once,
+    so the union doubles n and total; halved again below)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
+                                                    "value")
+    base = tempfile.mkdtemp(prefix="sink_text_")
+    csv_out, json_out = os.path.join(base, "csv"), os.path.join(base, "json")
+    ev.write.mode("overwrite").option("header", True).csv(csv_out)
+    ev.write.mode("overwrite").json(json_out)
+    back = (
+        spark.read.schema(ev.schema).option("header", True).csv(csv_out)
+        .unionAll(spark.read.schema(ev.schema).json(json_out))
+    )
+    return (back.groupBy("event_type")
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n"),
+                 (dsum("value") / F.lit(2.0)).alias("total_value")))
+
+
 # ------------------------------------------------- §2.2 projections/filters
 
 @query("project_select", oracle="""
