@@ -33,7 +33,8 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "filter_ectopic_karlsson", "filter_ectopic_custom",
                    "interpolate_nearest", "interpolate_locf",
                    "data_pack_sequences", "stream_stream_join", "map_funcs",
-                   "hrv_pipeline_full", "hrv_poincare_sliding", "sink_csv_json"]
+                   "hrv_pipeline_full", "hrv_poincare_sliding", "sink_csv_json",
+                   "rollup_time_hierarchy"]
 _UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
                       "q_streaming", "q_udf"]
 

@@ -394,3 +394,53 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.hll_sketch_estimate(
                           F.hll_union_agg("sk")).alias("approx_custs"))
                  .orderBy("month"))
+
+
+@query("rollup_time_hierarchy", oracle=f"""
+SELECT COALESCE(y, DATE '1900-01-01') AS y,
+       COALESCE(m, DATE '1900-01-01') AS m,
+       COALESCE(d, DATE '1900-01-01') AS d,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value
+FROM (SELECT CAST(date_trunc('year', ts) AS DATE) AS y,
+             CAST(date_trunc('month', ts) AS DATE) AS m,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             value
+      FROM events)
+GROUP BY ROLLUP (y, m, d)
+""")
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: day/month/year subtotals + grand
+    total in ONE scan via ROLLUP (Expand: each row fans into 4 grouping
+    sets before the agg). This is the materialized-rollup shape for
+    time-series dashboards at 100 TB — the alternative is 4 scans.
+
+    Subtotal rows' NULL keys are coalesced to a 1900-01-01 sentinel:
+    NULL dates canonicalize as NaT on the DuckDB→pandas path but None
+    on Spark's, which would hash-mismatch rows that are identical."""
+    ev = load_table(spark, sf_dir, "events")
+    sentinel = F.lit("1900-01-01").cast("date")
+    rolled = (ev.select(F.date_trunc("year", "ts").cast("date").alias("y"),
+                        F.date_trunc("month", "ts").cast("date").alias("m"),
+                        F.date_trunc("day", "ts").cast("date").alias("d"),
+                        "value")
+                .rollup("y", "m", "d")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     dsum("value").alias("total_value")))
+    return rolled.select(
+        F.coalesce("y", sentinel).alias("y"),
+        F.coalesce("m", sentinel).alias("m"),
+        F.coalesce("d", sentinel).alias("d"),
+        "n", "total_value")
+
+
+@query("agg_percentile_approx")  # rows-only: t-digest estimate, engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the single-pass mergeable quantile sketch
+    that replaces exact percentile (per-group sort) at 100 TB. Accuracy
+    vs the exact quantile is pinned in tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    )

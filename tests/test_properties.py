@@ -153,3 +153,12 @@ def test_interpolation_method_semantics_tiny_series(spark):
     assert got["linear"] == pytest.approx([10.0, 20.0, 30.0, 40.0])
     assert got["nearest"] == pytest.approx([10.0, 10.0, 40.0, 40.0])
     assert got["locf"] == pytest.approx([10.0, 10.0, 10.0, 40.0])
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    """t-digest median must land within 1% relative error of exact on
+    the fixture distribution (accuracy=1000)."""
+    from data_ingestor_and_features_creator_spark.plans.q_aggregates import (
+        agg_percentile_approx)
+    for r in agg_percentile_approx(spark, sf_dir).collect():
+        assert r["p50_approx"] == pytest.approx(r["p50_exact"], rel=0.01)
