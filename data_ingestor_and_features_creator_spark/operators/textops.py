@@ -45,13 +45,24 @@ def shingles(tok: Column, k: int = 3) -> Column:
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", shingle_len: int = 3) -> DataFrame:
-    """(id, sh: array<string>) — each doc's DISTINCT shingle set. This
-    is the one CPU-heavy text pass of the dedup pipeline; callers cache
-    it at the diamond top so MinHash signatures AND Jaccard verify read
-    the same materialization instead of re-shingling the corpus."""
+    """(id, sh: array<long>) — each doc's DISTINCT shingle set, hashed
+    to xxhash64 at creation. This is the one CPU-heavy text pass of the
+    dedup pipeline; callers cache it at the diamond top so MinHash
+    signatures AND Jaccard verify read the same materialization instead
+    of re-shingling the corpus.
+
+    Hashing inside this pass (not downstream) means every later stage —
+    the cached table itself, the signature explode, and the verify's
+    array_intersect/array_union — carries 8-byte longs instead of
+    arbitrary-length shingle strings. Jaccard over hashed sets equals
+    Jaccard over string sets up to xxhash64 collisions (~2⁻⁶⁴ per
+    shingle pair — negligible against the 0.3 decision threshold)."""
     return docs.select(
         F.col(id_col),
-        F.array_distinct(shingles(tokens(text_col), shingle_len)).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(tokens(text_col), shingle_len),
+                        lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
 
 
@@ -68,12 +79,12 @@ def minhash_from_sets(sets: DataFrame, id_col: str = "doc_id",
                       sh_col: str = "sh", k: int = MINHASH_K) -> DataFrame:
     """MinHash over pre-built shingle sets (see ``shingle_sets``).
 
-    Each shingle string is hashed ONCE; the k families are derived by
-    re-hashing the 8-byte base value — same min-over-independent-hashes
-    semantics, k× fewer long-string traversals (measured 5.0 s → 2 s
-    for the signature stage at sf0.1: 5k docs, ~260k shingles, k=16)."""
-    base = (sets.select(id_col, F.explode(sh_col).alias("__shingle"))
-                .select(id_col, F.xxhash64("__shingle").alias("__h")))
+    Sets arrive already hashed (8-byte base value per shingle, hashed
+    once in the shingling pass); the k families are derived by
+    re-hashing the base — same min-over-independent-hashes semantics,
+    k× fewer long-string traversals (measured 5.0 s → 2 s for the
+    signature stage at sf0.1: 5k docs, ~260k shingles, k=16)."""
+    base = sets.select(id_col, F.explode(sh_col).alias("__h"))
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"sig_{i}")
             for i in range(k)]
     return base.groupBy(id_col).agg(*aggs)
