@@ -88,6 +88,53 @@ def lsh_buckets(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS,
               .select("vec_id", "e.table", "e.bucket"))
 
 
+# Near-dup self-join wants FINER buckets than query-style kNN: the
+# join is corpus×corpus, so expected bucket size N/2^bits bounds the
+# pair fan-out (bits should grow ~log₂N at scale; 8 bits ⇒ 256 buckets
+# per table). Fewer tables than kNN — near-dups (high cos) collide
+# per-table with prob (1−θ/π)^bits, much higher than for cos≈0.4
+# neighbors, so 4 tables recover most of them.
+NEARDUP_BITS = 8
+NEARDUP_TABLES = 4
+
+
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
+                       tables: int = NEARDUP_TABLES,
+                       bits: int = NEARDUP_BITS, dim: int = DIM,
+                       seed: int = LSH_SEED,
+                       max_bucket: int | None = 1000) -> DataFrame:
+    """Approximate near-dup pairs over the WHOLE corpus (no blocking
+    key needed — this is the scale path past `dedup_embedding_cosine`'s
+    label-blocked exact join): bucket by sign-of-projection per table,
+    self-join on (table, bucket), exact-cosine verify ≥ threshold.
+
+    Precision is exact (the verify recomputes true cosine); recall is
+    the union over tables of per-table collision probability — 1.0 for
+    identical vectors, decaying with angle. ``max_bucket`` is the same
+    skew valve as textops.candidate_pairs: a degenerate bucket of m
+    vectors emits m² candidates, so drop buckets past the cap (window
+    count, one shuffle). The bucket table is cached — both sides of
+    the self-join are separate plan branches."""
+    b = lsh_buckets(df, tables, bits, dim, seed)
+    if max_bucket is not None:
+        w = W.partitionBy("table", "bucket")
+        b = (b.withColumn("__bc", F.count(F.lit(1)).over(w))
+              .filter(F.col("__bc") <= max_bucket).drop("__bc"))
+    b = b.cache()
+    left = b.select(F.col("vec_id").alias("a"), "table", "bucket")
+    right = b.select(F.col("vec_id").alias("b"), "table", "bucket")
+    cand = (left.join(right, ["table", "bucket"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+    x = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    y = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    cos = dot("ea", "eb") / (l2_norm("ea") * l2_norm("eb"))
+    return (cand.join(x, "a").join(y, "b")
+                .withColumn("__cos", cos)
+                .filter(F.col("__cos") >= threshold)
+                .select("a", "b", F.round("__cos", 6).alias("cosine")))
+
+
 def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int,
             tables: int = LSH_TABLES, bits: int = LSH_BITS,
             dim: int = DIM, seed: int = LSH_SEED) -> DataFrame:

@@ -308,6 +308,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("a", "b", F.round("cosine", 6).alias("cosine")))
 
 
+def _lsh_bucket_sql(planes, t: int, bits: int) -> str:
+    """DuckDB twin of similarity.lsh_buckets for one hash table:
+    Σⱼ 2ʲ·[dot(embedding, planeⱼ) > 0] with the plane baked in as a
+    double-literal array. ``repr(float)`` round-trips exactly, so both
+    engines see bit-identical plane constants, and both fold the dot
+    left-to-right — the sign (hence the bucket) matches exactly."""
+    terms = []
+    for j in range(bits):
+        lit = "[" + ", ".join(repr(float(v)) for v in planes[t, j]) + "]"
+        terms.append(f"(CASE WHEN {_dot_sql('embedding', lit)} > 0 "
+                     f"THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_PLANES = similarity._hyperplanes(
+    similarity.NEARDUP_TABLES, similarity.NEARDUP_BITS)
+_EMB_LSH_ORACLE = f"""
+WITH bk0 AS (
+  {' UNION ALL '.join(
+      f"SELECT vec_id, {t} AS tbl, "
+      f"{_lsh_bucket_sql(_LSH_PLANES, t, similarity.NEARDUP_BITS)} AS bucket "
+      f"FROM embeddings"
+      for t in range(similarity.NEARDUP_TABLES))}
+),
+bk AS (SELECT * FROM bk0
+       QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 1000),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bk x JOIN bk y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket
+          AND x.vec_id < y.vec_id),
+p AS (SELECT cand.a, cand.b,
+             {_dot_sql('x.embedding', 'y.embedding')} /
+             (SQRT({_dot_sql('x.embedding', 'x.embedding')}) *
+              SQRT({_dot_sql('y.embedding', 'y.embedding')})) AS cos
+      FROM cand
+      JOIN embeddings x ON cand.a = x.vec_id
+      JOIN embeddings y ON cand.b = y.vec_id)
+SELECT a, b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a blocking key — the scale path
+    (`dedup_embedding_cosine` needs a `label` block; real corpora have
+    none): 4 tables × 8-bit random-hyperplane buckets, self-join on
+    (table, bucket) with a 1000-vector bucket cap, exact-cosine verify
+    ≥ 0.4. Fully oracle-checked: the seeded hyperplanes are plan
+    literals replicated into the DuckDB SQL, so both engines build
+    identical buckets, identical candidates, identical cosines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (similarity.lsh_near_dup_pairs(emb, threshold=0.4)
+                      .orderBy("a", "b"))
+
+
 @query("dedup_cluster_cc", oracle=f"""
 WITH RECURSIVE
 e AS (SELECT a, b FROM ({_EMB_COS_ORACLE.replace('ROUND(cos, 6) AS cosine', 'cos')})),

@@ -105,6 +105,25 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
             assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
 
 
+def test_lsh_near_dup_finds_planted_dups(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    # plant: 100=exact copy of 0, 101=tiny perturbation of 1
+    rows.append((100, vecs[0].tolist()))
+    rows.append((101, (vecs[1] + 0.01 * rng.standard_normal(64)
+                       .astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in similarity.lsh_near_dup_pairs(df, threshold=0.9).collect()}
+    # identical vectors collide in EVERY table -> recall 1.0 for exact dups
+    assert got.get((0, 100)) == pytest.approx(1.0, abs=1e-6)
+    # the near-identical pair survives the verify threshold
+    assert (1, 101) in got and got[(1, 101)] >= 0.9
+    # precision is exact: every reported pair truly passes the threshold
+    assert all(c >= 0.9 for c in got.values())
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans import q_llm
