@@ -265,6 +265,49 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.hint("merge").join(c, o.o_custkey == c.c_custkey)
 
 
+@query("join_salted_skew", oracle=f"""
+WITH dim AS (
+  SELECT event_type,
+         ({dsum_sql('value')} / CAST(COUNT(*) AS DOUBLE)) AS ev_avg
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('ABS(e.value - d.ev_avg)')} AS total_abs_dev
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+""")
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED join for a skewed fact key — the join-side twin of
+    agg_salted_skew (SURVEY.md §4). `events.event_type` has ~6 values
+    over the whole fact table: a shuffled join on it lands each key on
+    ONE reducer. Salting spreads it: the fact side gets a deterministic
+    salt = hash(event_id) % 16, the dim side is exploded ×16 (dim rows
+    replicate — cheap, dims are small even when too big to broadcast),
+    and the join key becomes (event_type, salt) → 16 reducers per hot
+    key. Result ≡ the unsalted join (the oracle is plain SQL): salting
+    changes the shuffle shape, never the answer. AQE's skew-join split
+    handles most cases at runtime; explicit salting is the tool when
+    the skew is known and you want the plan pinned (or the build is a
+    stateful/streaming join AQE can't touch). The merge hint forces the
+    shuffle path — broadcast would hide the demonstrated mechanics."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (ev.groupBy("event_type")
+             .agg((dsum("value") / F.count(F.lit(1))).alias("ev_avg")))
+    n_salt = 16
+    fact = ev.withColumn("__salt",
+                         F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+    dim_x = dim.withColumn("__salt",
+                           F.explode(F.sequence(F.lit(0),
+                                                F.lit(n_salt - 1))
+                                      .cast("array<long>")))
+    joined = fact.hint("merge").join(dim_x, ["event_type", "__salt"])
+    return (joined.groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       dsum(F.abs(F.col("value") - F.col("ev_avg")))
+                           .alias("total_abs_dev"))
+                  .orderBy("event_type"))
+
+
 @query("join_bucketed_colocated", oracle=f"""
 SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

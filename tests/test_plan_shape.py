@@ -127,3 +127,33 @@ def test_rpeak_prunes_udf_input_columns(spark, sf_dir):
     df = QUERIES["signal_rpeak_detect"](spark, sf_dir)
     plan = _physical(df)
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_salted_join_shuffles_on_composite_key(spark, sf_dir):
+    """The salted join must shuffle BOTH sides on (event_type, __salt)
+    — that composite key is the whole point (16 reducers per hot key)
+    — and join via SMJ, not broadcast (broadcast would hide the
+    mechanics being demonstrated)."""
+    plan = _physical(QUERIES["join_salted_skew"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(event_type" in plan
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet + a partition-key filter must prune at
+    planning time: PartitionFilters carries the predicate and the scan
+    reads ONE partition directory's files, not all of them."""
+    out = str(tmp_path / "events_parted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "hr")
+    plan = _formatted(back)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf_line and "hr" in pf_line
+    n_types = ev.select("event_type").distinct().count()
+    # pruned scan must touch only the one matching partition
+    full = spark.read.parquet(out)
+    assert back.count() == full.filter(F.col("event_type") == "hr").count()
+    assert n_types > 1
