@@ -505,6 +505,91 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic corpus has no punctuation or PII, so the two operators
+# below PLANT deterministic structure with pure expressions (identical
+# strings on both engines) before exercising the regex machinery — the
+# operator mechanics (match, count, replace, split, position) are what
+# the oracle pins; on a real corpus the planting stage is dropped.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+@query("text_pii_scrub", oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@mail.example.org or +1 555-01' ||
+         CAST(doc_id % 10 AS VARCHAR) || ' now' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM t
+""")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data compliance pass): count and replace
+    email/phone patterns with typed placeholders. Regex-only — stays in
+    whole-stage codegen, pattern classes restricted to RE2-compatible
+    syntax so Java (Spark) and RE2 (DuckDB) agree. Note DuckDB's
+    regexp_replace needs the 'g' flag for global replacement; Spark's
+    is global by default."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.org or +1 555-01"),
+                 (F.col("doc_id") % 10).cast("string"), F.lit(" now"))
+    base = d.select("doc_id", t.alias("t"))
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0))
+         .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>").alias("scrubbed"),
+    )
+
+
+@query("text_sentence_split", oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || '. ' || substr(text, 61, 60) || '! ' ||
+         substr(text, 121, 60) || '?' AS t
+  FROM documents),
+arr AS (SELECT doc_id, string_split_regex(t, '[.!?]\s*') AS a FROM t),
+ex AS (SELECT doc_id,
+              CAST(generate_subscripts(a, 1) AS BIGINT) AS sent_idx,
+              trim(unnest(a)) AS sentence
+       FROM arr)
+SELECT doc_id, sent_idx, sentence,
+       CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
+FROM ex WHERE sentence <> ''
+""")
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation: split on terminator+whitespace, explode
+    WITH POSITION (order is meaningful downstream — packing, windowed
+    context). posexplode is 0-based vs generate_subscripts' 1-based →
+    +1; empties from trailing/consecutive terminators are filtered
+    AFTER numbering on both engines, so indices keep identical gaps.
+    No lookbehind in the pattern — RE2 (DuckDB) has none, so the
+    terminator is consumed rather than kept."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.substring("text", 1, 60), F.lit(". "),
+                 F.substring("text", 61, 60), F.lit("! "),
+                 F.substring("text", 121, 60), F.lit("?"))
+    arr = d.select("doc_id", F.split(t, r"[.!?]\s*").alias("a"))
+    ex = arr.select("doc_id", F.posexplode("a").alias("pos", "s"))
+    return (ex.select("doc_id",
+                      (F.col("pos") + 1).cast("long").alias("sent_idx"),
+                      F.trim("s").alias("sentence"))
+              .filter(F.col("sentence") != "")
+              .withColumn("n_tokens",
+                          F.size(F.split("sentence", " ")).cast("long")))
+
+
 @query("sim_ivf_ann")  # rows-only: kmeans-quantized, approximate by design
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the third scale path next to brute-force and

@@ -137,6 +137,26 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (dsum("value") / F.lit(2.0)).alias("total_value")))
 
 
+@query("sink_orc", oracle=f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events GROUP BY event_type
+""")
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan round trip — the second columnar format Spark
+    ships natively (vectorized reader, predicate pushdown, same
+    partitionBy/bucketBy surface as parquet). Equality with the
+    parquet-sourced oracle proves the round trip is lossless and
+    type-faithful."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
+                                                    "value")
+    ev.write.mode("overwrite").orc(out)
+    return (spark.read.orc(out)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")))
+
+
 # ------------------------------------------------- §2.2 projections/filters
 
 @query("project_select", oracle="""
