@@ -114,3 +114,46 @@ def frame_sample(frame_bytes: int, every_nth: int, fps: float = 25.0):
                     out["frame_hex"].append(frame[:8].hex())
             yield pd.DataFrame(out)
     return sample
+
+
+AUDIO_SCHEMA = ("doc_id long, frame_idx int, frame_ts_ms long, "
+                "rms double, zcr double")
+
+
+def audio_features(frame_samples: int = 256, sample_rate: int = 8000):
+    """Build a deterministic stand-in for audio decode + framewise
+    feature extraction (see STUB NOTICE): interpret ``content`` as
+    little-endian int16 PCM, frame it, and emit per-frame RMS energy
+    and zero-crossing rate — the canonical audio-featurization shape
+    (one binary row → n_frames feature rows, executor-side fan-out,
+    exactly like frame_sample). A real deployment replaces the
+    ``np.frombuffer`` 'decode' with torchaudio/soundfile; the framing,
+    vectorized per-frame math, Arrow batching, and schema are the
+    production shape.
+    """
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [],
+                                    "frame_ts_ms": [], "rms": [], "zcr": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                pcm = (np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2")
+                         .astype(np.float64) / 32768.0)
+                n = len(pcm) // frame_samples
+                if n == 0:
+                    continue
+                frames = pcm[: n * frame_samples].reshape(n, frame_samples)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                sign = np.signbit(frames)
+                zcr = (sign[:, 1:] != sign[:, :-1]).mean(axis=1)
+                out["doc_id"].extend([doc_id] * n)
+                out["frame_idx"].extend(range(n))
+                out["frame_ts_ms"].extend(
+                    int(i * frame_samples * 1000 / sample_rate)
+                    for i in range(n))
+                out["rms"].extend(np.round(rms, 6))
+                out["zcr"].extend(np.round(zcr, 6))
+            yield pd.DataFrame(out)
+    return extract

@@ -444,3 +444,37 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
         F.expr("percentile(value, 0.5)").alias("p50_exact"),
     )
+
+
+@query("profile_table", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(value) AS BIGINT) AS value_nulls,
+       {r6_sql('MIN(value)')} AS value_min,
+       {r6_sql('MAX(value)')} AS value_max,
+       {dsum_sql('value')} AS value_sum,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_distinct,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS type_distinct,
+       CAST(MIN(ts) AS DATE) AS ts_min_day,
+       CAST(MAX(ts) AS DATE) AS ts_max_day
+FROM events
+""")
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile — the one-pass report every ingest runs
+    before training: row/null counts, numeric range + exact sum,
+    distinct key cardinalities, time coverage. All in ONE aggregate
+    over one scan (Spark plans multi-distinct via Expand, still a
+    single pass of the input); at 100 TB swap the exact distincts for
+    approx_count_distinct (see agg_approx_distinct) — the report shape
+    stays identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("value_nulls"),
+        r6(F.min("value")).alias("value_min"),
+        r6(F.max("value")).alias("value_max"),
+        dsum("value").alias("value_sum"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        F.countDistinct("event_type").alias("type_distinct"),
+        F.to_date(F.min("ts")).alias("ts_min_day"),
+        F.to_date(F.max("ts")).alias("ts_max_day"),
+    )

@@ -688,6 +688,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy("doc_id", "frame_idx")
 
 
+@query("multimodal_audio_features")  # rows-only: fan-out pandas-UDF stage
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurization analog completing the modality triple
+    (image=resize, video=frame_sample, audio=this): binary 'PCM' rows
+    fan out to per-frame (RMS energy, zero-crossing rate) rows via
+    mapInPandas (deterministic stub kernel — see operators/
+    multimodal.py STUB NOTICE). Per-frame math is vectorized numpy over
+    the reshaped (n_frames, frame_samples) matrix — no per-sample
+    Python loop even inside the stub."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    feats = binary.mapInPandas(
+        multimodal.audio_features(frame_samples=64, sample_rate=8000),
+        schema=multimodal.AUDIO_SCHEMA)
+    return feats.orderBy("doc_id", "frame_idx")
+
+
 # ------------------------------------------------------ dataset splits
 
 @query("data_split_hash", oracle="""

@@ -204,3 +204,20 @@ def test_connected_components_chain_and_isolated_clique(spark):
     got = {r["n"]: r["cluster_id"]
            for r in graph.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_audio_features_known_answer(spark):
+    import struct
+    # 128 samples alternating +1000/-1000: signbit flips every sample
+    pcm = struct.pack("<128h", *([1000, -1000] * 64))
+    df = spark.createDataFrame([(1, bytearray(pcm))],
+                               "doc_id long, content binary")
+    out = df.mapInPandas(multimodal.audio_features(frame_samples=64,
+                                                   sample_rate=8000),
+                         schema=multimodal.AUDIO_SCHEMA).collect()
+    assert len(out) == 2  # 128 samples / 64 per frame
+    expected_rms = round(1000.0 / 32768.0, 6)
+    for r in out:
+        assert r["rms"] == pytest.approx(expected_rms, abs=1e-6)
+        assert r["zcr"] == pytest.approx(1.0, abs=1e-6)  # flips every step
+    assert [r["frame_ts_ms"] for r in out] == [0, 8]  # 64/8000 s = 8 ms
