@@ -265,6 +265,60 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.hint("merge").join(c, o.o_custkey == c.c_custkey)
 
 
+@query("upsert_merge", oracle="""
+WITH upd AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         o_totalprice / 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 0),
+delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN d.o_orderkey IS NULL THEN 'kept'
+            WHEN b.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS action
+FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+""")
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics at the engine level (update-matched +
+    insert-unmatched in one pass): base FULL OUTER delta on the key,
+    COALESCE picks the delta's value where present, and the action
+    column records matched/unmatched provenance. The delta here is
+    derived deterministically from the base (10% updates, 0.1%
+    inserts) with boundary-safe arithmetic (+1000, /2 — bit-identical
+    doubles on both engines; ROUND(x*1.1, 2) was observed to straddle
+    half-cent HALF_UP/HALF_EVEN boundaries) so the oracle is pure SQL. At scale this is ONE shuffle
+    of each side on the merge key — with the base table bucketed on
+    the key (see join_bucketed_colocated) the base side's shuffle
+    disappears, which is exactly how table formats (Delta/Iceberg)
+    execute MERGE; file rewrite/commit is the format's job, the join
+    is the engine's."""
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                      "o_totalprice")
+    upd = (base.filter(F.col("o_orderkey") % 10 == 0)
+               .select("o_orderkey",
+                       (F.col("o_totalprice") + 1000.0)
+                        .alias("o_totalprice")))
+    ins = (base.filter(F.col("o_orderkey") % 1000 == 0)
+               .select((F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                       (F.col("o_totalprice") / 2)
+                        .alias("o_totalprice")))
+    delta = upd.unionAll(ins)
+    b, d = base.alias("b"), delta.alias("d")
+    joined = b.join(d, F.col("b.o_orderkey") == F.col("d.o_orderkey"),
+                    "full_outer")
+    return joined.select(
+        F.coalesce("d.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("d.o_totalprice", "b.o_totalprice")
+         .alias("o_totalprice"),
+        F.when(F.col("d.o_orderkey").isNull(), "kept")
+         .when(F.col("b.o_orderkey").isNull(), "inserted")
+         .otherwise("updated").alias("action"),
+    )
+
+
 @query("join_salted_skew", oracle=f"""
 WITH dim AS (
   SELECT event_type,
