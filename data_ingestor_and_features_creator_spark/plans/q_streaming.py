@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum_sql, r6_sql, safe_sqrt_sql
 from ..streaming import runner, transforms
 from .registry import query
 
@@ -149,6 +150,35 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.unix_micros(F.col("window.start")).alias("ws_us"),
                          "cnt"))
     return runner.run_available_now(agg, output_mode="complete")
+
+
+_SHRV_N = "CAST(COUNT(*) AS DOUBLE)"
+_SHRV_VAR = (f"CASE WHEN ({_SHRV_N} - 1.0) <> 0 THEN "
+             f"(({dsum_sql('value*value')} - {dsum_sql('value')} * "
+             f"{dsum_sql('value')} / {_SHRV_N}) / ({_SHRV_N} - 1.0)) END")
+
+
+@query("stream_hrv_features", oracle=f"""
+SELECT (epoch_us(ts) // {_HOUR}) * {_HOUR} AS ws_us,
+       user_id AS record_id,
+       CAST(COUNT(*) AS BIGINT) AS n_beats,
+       {r6_sql(f"{dsum_sql('value')} / {_SHRV_N}")} AS mean_nni,
+       {r6_sql(safe_sqrt_sql(_SHRV_VAR))} AS sdnn,
+       {r6_sql(f"{dsum_sql('60000.0/value')} / {_SHRV_N}")} AS mean_hr
+FROM events WHERE value > 0
+GROUP BY ws_us, record_id
+""")
+def stream_hrv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HRV features — the reference's product computed as
+    a STREAM: per (record, 1 h tumbling window), the lag-free subset
+    of the time-domain set (mean_nni, sdnn, mean_hr) as exact-sum
+    algebraic aggregates the state store can hold as one partial per
+    open window. Batch path registered (oracle-checkable); the stream
+    twin under availableNow is asserted equal in tests/
+    test_streaming.py. rmssd/sdsd need successive-diff state — that's
+    stream_stateful's applyInPandasWithState territory."""
+    return transforms.hrv_windowed_features(
+        load_table(spark, sf_dir, "events"))
 
 
 @query("stream_stateful")  # rows-only: state-store output, not SQL

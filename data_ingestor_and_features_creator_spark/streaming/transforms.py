@@ -113,3 +113,36 @@ def stream_stream_purchase_click(events: DataFrame,
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
+
+
+def hrv_windowed_features(events: DataFrame) -> DataFrame:
+    """Streaming HRV features — the reference's PRODUCT shape run
+    incrementally: per (record, 1 h tumbling window), the lag-free
+    subset of the time-domain feature set (mean_nni, sdnn, mean_hr,
+    n_beats). These are closed-form distributive/algebraic aggregates
+    (exact sums + count), so the state store holds one partial per
+    open window and the identical code runs batch and stream.
+    rmssd/sdsd need successive-diff state → that's the
+    applyInPandasWithState path (stream_stateful), not a window agg.
+    Exact-sum + assemble-in-double math per functions/exact.py house
+    rules, so the batch path is bit-stable against the DuckDB oracle."""
+    from ..functions.exact import DEC, r6, safe_div, safe_sqrt
+
+    rr = events.filter(F.col("value") > 0)
+    w = F.window("ts", "1 hour")
+    n = F.count("value").cast("double")
+    sx = F.sum(F.col("value").cast(DEC)).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double")
+    shr = F.sum((F.lit(60000.0) / F.col("value")).cast(DEC)).cast("double")
+    agg = rr.groupBy(w, "user_id").agg(
+        n.alias("n"), sx.alias("sx"), sxx.alias("sxx"), shr.alias("shr"))
+    var = safe_div(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                   F.col("n") - 1.0)
+    return agg.select(
+        F.unix_micros(F.col("window.start")).alias("ws_us"),
+        F.col("user_id").alias("record_id"),
+        F.col("n").cast("long").alias("n_beats"),
+        r6(F.col("sx") / F.col("n")).alias("mean_nni"),
+        r6(safe_sqrt(var)).alias("sdnn"),
+        r6(F.col("shr") / F.col("n")).alias("mean_hr"),
+    )

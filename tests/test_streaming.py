@@ -109,3 +109,10 @@ def test_stream_stream_join_batch_equals_stream(spark, sf_dir, ev_batch):
         transforms.stream_stream_purchase_click(left, right)))
     batch = _rows(transforms.stream_stream_purchase_click(ev_batch))
     assert stream == batch
+
+
+def test_hrv_features_batch_equals_stream(spark, sf_dir, ev_batch, ev_stream):
+    batch = _rows(transforms.hrv_windowed_features(ev_batch))
+    stream = _rows(runner.run_available_now(
+        transforms.hrv_windowed_features(ev_stream), output_mode="complete"))
+    assert batch == stream
