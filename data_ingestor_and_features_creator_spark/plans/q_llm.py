@@ -363,7 +363,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .orderBy("a", "b"))
 
 
-@query("dedup_cluster_cc", oracle=f"""
+_CC_ORACLE = f"""
 WITH RECURSIVE
 e AS (SELECT a, b FROM ({_EMB_COS_ORACLE.replace('ROUND(cos, 6) AS cosine', 'cos')})),
 sym AS (SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e),
@@ -376,7 +376,31 @@ SELECT vec_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        (vec_id = cluster_id) AS is_canonical
 FROM lbl ORDER BY vec_id
-""")
+"""
+
+
+def _cluster_report(cc: DataFrame) -> DataFrame:
+    w = W.partitionBy("cluster_id")
+    return (cc.select(F.col("n").alias("vec_id"), "cluster_id")
+              .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+              .withColumn("is_canonical",
+                          F.col("vec_id") == F.col("cluster_id"))
+              .orderBy("vec_id"))
+
+
+@query("dedup_cluster_cc_star", oracle=_CC_ORACLE)
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster assignment as dedup_cluster_cc but via
+    LARGE-STAR/SMALL-STAR contraction (operators/graph.py,
+    connected_components_star) — the web-scale path: O(log² n) rounds
+    on the shrinking edge set vs O(diameter) rounds of full-graph
+    propagation, robust to high-degree hubs. Identical oracle: both
+    algorithms must land on min-node-per-component exactly."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("a", "b")
+    return _cluster_report(graph.connected_components_star(pairs))
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE)
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER assignment: transitive closure over the
     embedding-cosine near-dup pair graph via iterative min-label
@@ -386,13 +410,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing min-reachable-node — an exact SQL twin of the fixpoint,
     so this 'iterative algorithm' is fully oracle-checked."""
     pairs = dedup_embedding_cosine(spark, sf_dir).select("a", "b")
-    cc = graph.connected_components(pairs)
-    w = W.partitionBy("cluster_id")
-    return (cc.select(F.col("n").alias("vec_id"), "cluster_id")
-              .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-              .withColumn("is_canonical",
-                          F.col("vec_id") == F.col("cluster_id"))
-              .orderBy("vec_id"))
+    return _cluster_report(graph.connected_components(pairs))
 
 
 # Deterministic per-language marker vocabularies for the n-gram/keyword

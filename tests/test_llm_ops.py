@@ -221,3 +221,22 @@ def test_audio_features_known_answer(spark):
         assert r["rms"] == pytest.approx(expected_rms, abs=1e-6)
         assert r["zcr"] == pytest.approx(1.0, abs=1e-6)  # flips every step
     assert [r["frame_ts_ms"] for r in out] == [0, 8]  # 64/8000 s = 8 ms
+
+
+def _cc_map(df):
+    return {r["n"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_star_cc_equals_label_propagation(spark):
+    from data_ingestor_and_features_creator_spark.operators import graph
+    rng = np.random.default_rng(11)
+    # chain (worst diameter for propagation), clique, random pairs
+    chain = [(i, i + 1) for i in range(20)]
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    rand = [(int(a), int(b)) for a, b in rng.integers(200, 240, (30, 2))
+            if a != b]
+    edges = spark.createDataFrame(chain + clique + rand, "a long, b long")
+    lp = _cc_map(graph.connected_components(edges))
+    star = _cc_map(graph.connected_components_star(edges))
+    assert lp == star
+    assert star[19] == 0 and star[104] == 100  # chain and clique roots
