@@ -38,7 +38,8 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "join_salted_skew", "text_pii_scrub",
                    "text_sentence_split", "sink_orc", "profile_table",
                    "multimodal_audio_features", "upsert_merge",
-                   "stream_hrv_features", "dedup_cluster_cc_star"]
+                   "stream_hrv_features", "dedup_cluster_cc_star",
+                   "text_tfidf_topk"]
 _UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
                       "q_streaming", "q_udf"]
 

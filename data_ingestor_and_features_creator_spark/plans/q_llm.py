@@ -195,6 +195,50 @@ def tokenize_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("lang", "term", "cnt", "rnk"))
 
 
+@query("text_tfidf_topk", oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+       GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) + 1.0)
+               / (CAST(df.df AS DOUBLE) + 1.0), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""")
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic keyword/feature
+    extraction pass: explode once, tf per (doc, term), df per term,
+    broadcast the (small) df table back onto tf, rank per doc. The idf
+    is the RATIONAL variant (N+1)/(df+1) — pure integer-derived double
+    division, bit-identical across engines, where ln() would risk
+    1-ulp libm drift on the 6-dp rounding boundary; ranks are immune
+    either way (equal (tf, df) ⇒ equal score ⇒ alphabetical
+    tiebreak). At 100 TB the df table is ~vocabulary-sized — broadcast
+    when it fits, else it's one more equi-join on term."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # plan constant (one tiny job), not a crossJoin
+    tfidf = F.round(F.col("tf").cast("double") * F.lit(float(n_docs) + 1.0)
+                    / (F.col("df").cast("double") + 1.0), 6)
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (tf.join(F.broadcast(df), "term")
+              .withColumn("tfidf", tfidf)
+              .withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= 5)
+              .select("doc_id", "term", "tf", "df", "tfidf", "rnk"))
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via 64-bit SimHash + 4×16-bit band blocking +
