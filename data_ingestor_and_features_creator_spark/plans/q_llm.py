@@ -801,6 +801,42 @@ def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("split"))
 
 
+@query("data_sample_stratified", oracle="""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id % 1000003) * 2654435761) % 1000003 % 100 AS h
+  FROM documents),
+kept AS (
+  SELECT * FROM s
+  WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM kept GROUP BY lang ORDER BY lang
+""")
+def data_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling — per-stratum keep rates
+    (down-weight dominant languages, keep the tail whole: the data-mix
+    rebalancing every pretraining corpus goes through) via the same
+    portable Knuth hash as data_split_hash: no RNG, no sampling
+    shuffle, any engine recomputes the identical keep set, and the
+    rate per stratum is just a broadcastable CASE (or dim join) on the
+    stratum key. df.sampleBy() is the built-in analog but is
+    seed/partitioning-dependent — hash-gating is the reproducible
+    100 TB form."""
+    d = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 1000003 % 100
+    rate = (F.when(F.col("lang") == "en", 10)
+             .when(F.col("lang") == "de", 50).otherwise(100))
+    return (d.filter(h < rate)
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_kept"),
+                  F.sum("n_chars").alias("chars"),
+                  F.min("doc_id").alias("first_doc"))
+             .orderBy("lang"))
+
+
 _PACK_BUDGET = 2048  # tokens per training sequence
 
 
