@@ -39,7 +39,8 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "text_sentence_split", "sink_orc", "profile_table",
                    "multimodal_audio_features", "upsert_merge",
                    "stream_hrv_features", "dedup_cluster_cc_star",
-                   "text_tfidf_topk", "data_sample_stratified"]
+                   "text_tfidf_topk", "data_sample_stratified",
+                   "win_sliding_median"]
 _UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
                       "q_streaming", "q_udf"]
 

@@ -169,3 +169,35 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("event_type", "event_id", "value")
     )
+
+
+@query("win_sliding_median", oracle=f"""
+SELECT event_id, user_id,
+       {r6_sql('quantile_cont(value, 0.5) OVER w')} AS med101,
+       (ABS(value - quantile_cont(value, 0.5) OVER w)
+        > 0.2 * quantile_cont(value, 0.5) OVER w) AS is_artifact
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
+""")
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-MEDIAN artifact filter: the robust centered statistic
+    the quotient/moving-median RR-artifact rule is built on (a beat
+    deviating > 20% from the local median is suspect) — mean-based
+    rules break on the very artifacts being hunted. Spark's exact
+    `percentile` and DuckDB's `quantile_cont` both linearly
+    interpolate, so the 101-row frame medians match bit-for-bit.
+    Scale note: an exact sliding median recomputes its frame per row —
+    O(frame) each; this is fine for physiologic window sizes (~10²
+    beats). For wide frames switch to a two-heap/indexable-skiplist
+    kernel via applyInPandas, or percentile_approx when ±ε is
+    acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-50, 50))
+    med = F.expr("percentile(value, 0.5)").over(w)
+    return ev.select(
+        "event_id", "user_id",
+        r6(med).alias("med101"),
+        (F.abs(F.col("value") - med) > 0.2 * med).alias("is_artifact"),
+    )
