@@ -73,19 +73,33 @@ def _hyperplanes(tables: int = LSH_TABLES, bits: int = LSH_BITS,
 def lsh_buckets(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS,
                 dim: int = DIM, seed: int = LSH_SEED) -> DataFrame:
     """(vec_id, table, bucket): sign-of-projection bits packed into an
-    int bucket id per hash table. The hyperplane matrix is plan-literal
-    (seeded), so every executor computes identical buckets."""
+    int bucket id per hash table.
+
+    The hyperplanes ride along as a BROADCAST (table, bit, plane)
+    DataFrame — 32 rows — rather than plan literals: an earlier
+    literal-unrolled form (tables × bits dot products, each an
+    `aggregate` over 64 `lit` floats) built a ~2048-literal expression
+    tree whose first-run analysis/codegen cost ~8 s PER PLAN — paid
+    again by every fresh query over the same data. With planes as
+    data, the expression is ONE small dot product; the fan-out is
+    |vecs| × tables·bits rows (cheap, Arrow-free, JVM-side) and the
+    bucket reassembles via an integer sum keyed on (vec_id, table).
+    Seeded generation keeps buckets deterministic across engines; the
+    fold math is unchanged, so oracle twins built from the same seed
+    still match bit-for-bit."""
     planes = _hyperplanes(tables, bits, dim, seed)
-    rows = []
-    for t in range(tables):
-        bucket = F.lit(0)
-        for j in range(bits):
-            h = F.array(*[F.lit(float(v)) for v in planes[t, j]])
-            bit = (dot("embedding", h) > 0).cast("int")
-            bucket = bucket + bit * F.lit(1 << j)
-        rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return (df.select("vec_id", F.explode(F.array(*rows)).alias("e"))
-              .select("vec_id", "e.table", "e.bucket"))
+    spark = df.sparkSession
+    prows = [(t, j, [float(v) for v in planes[t, j]])
+             for t in range(tables) for j in range(bits)]
+    pdf = spark.createDataFrame(
+        prows, "table int, bit int, plane array<double>")
+    term = F.when(dot("embedding", "plane") > 0,
+                  F.expr("CAST(pow(2, bit) AS LONG)")).otherwise(F.lit(0))
+    return (df.select("vec_id", "embedding")
+              .join(F.broadcast(pdf))
+              .select("vec_id", "table", term.alias("term"))
+              .groupBy("vec_id", "table")
+              .agg(F.sum("term").cast("int").alias("bucket")))
 
 
 # Near-dup self-join wants FINER buckets than query-style kNN: the

@@ -399,9 +399,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_embedding_cosine` needs a `label` block; real corpora have
     none): 4 tables × 8-bit random-hyperplane buckets, self-join on
     (table, bucket) with a 1000-vector bucket cap, exact-cosine verify
-    ≥ 0.4. Fully oracle-checked: the seeded hyperplanes are plan
-    literals replicated into the DuckDB SQL, so both engines build
-    identical buckets, identical candidates, identical cosines."""
+    ≥ 0.4. Fully oracle-checked: the seeded hyperplanes are a
+    broadcast plane table on the Spark side and literal arrays in the
+    DuckDB SQL — same floats from the same seed, same left-to-right
+    fold, so both engines build identical buckets, identical
+    candidates, identical cosines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (similarity.lsh_near_dup_pairs(emb, threshold=0.4)
                       .orderBy("a", "b"))
