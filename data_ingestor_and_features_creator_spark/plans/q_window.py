@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import DEC, r6, r6_sql
+from ..functions.exact import DEC, dsum, dsum_sql, r6, r6_sql
 from .registry import query
 
 
@@ -200,4 +200,61 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         r6(med).alias("med101"),
         (F.abs(F.col("value") - med) > 0.2 * med).alias("is_artifact"),
+    )
+
+
+_Q15_US = 900_000_000
+
+
+@query("time_bucket_gapfill", oracle=f"""
+WITH b AS (
+  SELECT user_id, (epoch_us(ts) // {_Q15_US}) * {_Q15_US} AS bucket_us, value
+  FROM events),
+a AS (
+  SELECT user_id, bucket_us,
+         {dsum_sql('value')} / CAST(COUNT(value) AS DOUBLE) AS v
+  FROM b GROUP BY user_id, bucket_us),
+g AS (
+  SELECT user_id, unnest(generate_series(mn, mx, {_Q15_US})) AS bucket_us
+  FROM (SELECT user_id, MIN(bucket_us) AS mn, MAX(bucket_us) AS mx
+        FROM a GROUP BY user_id)),
+j AS (
+  SELECT g.user_id, g.bucket_us, a.v
+  FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bucket_us = a.bucket_us)
+SELECT user_id, bucket_us,
+       {r6_sql('''last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS v_filled,
+       (v IS NULL) AS was_gap
+FROM j
+""")
+def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-grid RESAMPLING with gap fill — TimescaleDB's
+    `time_bucket_gapfill` shape, and the regularization step a
+    frequency-domain pass needs (Welch wants an evenly-sampled
+    series): bucket to a 15 min grid, average within buckets (exact
+    sums), EXPLODE the per-user [min, max] bucket range to materialize
+    missing grid rows, left-join observations back, LOCF-fill the
+    holes. The grid explode is bounded by the observed span — the same
+    bounded `explode(sequence)` fan-out idiom as the sliding-window
+    HRV features, never a cartesian. First grid point is always
+    observed (the range starts at the user's min bucket), so LOCF has
+    no leading-NULL edge."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(f"(unix_micros(ts) div {_Q15_US}) * {_Q15_US}")
+    a = (ev.select("user_id", bucket.alias("bucket_us"), "value")
+           .groupBy("user_id", "bucket_us")
+           .agg((dsum("value") / F.count("value").cast("double")).alias("v")))
+    rng = a.groupBy("user_id").agg(F.min("bucket_us").alias("mn"),
+                                   F.max("bucket_us").alias("mx"))
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.lit(_Q15_US))).alias("bucket_us"))
+    j = grid.join(a, ["user_id", "bucket_us"], "left")
+    w = (W.partitionBy("user_id").orderBy("bucket_us")
+          .rowsBetween(W.unboundedPreceding, 0))
+    return j.select(
+        "user_id", "bucket_us",
+        r6(F.last("v", ignorenulls=True).over(w)).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
     )
