@@ -258,3 +258,42 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.last("v", ignorenulls=True).over(w)).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query("funnel_steps", oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us >= t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND us >= t2 GROUP BY e.user_id)
+SELECT s1.user_id, t1, t2, t3,
+       CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""")
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered FUNNEL progression (signup → first click AFTER signup →
+    first purchase AFTER that click) — the event-analytics staple whose
+    ORDER constraint a plain per-type min can't express. Each stage is
+    a groupBy-min gated on the previous stage's timestamp; all three
+    joins and aggregations key on user_id, so one hash partitioning
+    serves the whole chain (a single exchange lineage at scale, same
+    co-partitioning argument as hrv_pipeline_full). Timestamps compared
+    as integer epoch-µs per the house rule."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    s1 = (ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click").join(s1, "user_id")
+            .filter(F.col("us") >= F.col("t1"))
+            .groupBy("user_id").agg(F.min("us").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+            .filter(F.col("us") >= F.col("t2"))
+            .groupBy("user_id").agg(F.min("us").alias("t3")))
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+              .when(F.col("t2").isNotNull(), 2).otherwise(1))
+    return (s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+              .select("user_id", "t1", "t2", "t3", stage.alias("stage")))
