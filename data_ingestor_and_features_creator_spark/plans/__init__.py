@@ -40,7 +40,7 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "multimodal_audio_features", "upsert_merge",
                    "stream_hrv_features", "dedup_cluster_cc_star",
                    "text_tfidf_topk", "data_sample_stratified",
-                   "win_sliding_median", "time_bucket_gapfill", "funnel_steps"]
+                   "win_sliding_median", "time_bucket_gapfill", "funnel_steps", "retention_cohort"]
 _UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
                       "q_streaming", "q_udf"]
 

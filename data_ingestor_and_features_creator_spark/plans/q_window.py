@@ -297,3 +297,42 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(F.col("t2").isNotNull(), 2).otherwise(1))
     return (s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
               .select("user_id", "t1", "t2", "t3", stage.alias("stage")))
+
+
+@query("retention_cohort", oracle="""
+WITH c AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (
+  SELECT e.user_id, c.cohort_week,
+         CAST((epoch(CAST(date_trunc('week', e.ts) AS DATE))
+               - epoch(c.cohort_week)) / 604800 AS BIGINT) AS week_offset
+  FROM events e JOIN c USING (user_id)
+  WHERE CAST(date_trunc('week', e.ts) AS DATE) >= c.cohort_week)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM a GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""")
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort RETENTION matrix — (signup week × weeks-since-signup →
+    distinct active users), the second event-analytics staple next to
+    funnel_steps. Cohort assignment is a per-user min, the matrix one
+    distinct-count aggregate; both key on user_id so the join is
+    co-partitioned with the cohort agg. Week offsets computed from
+    DATE-truncated epochs (integer arithmetic — no timestamp-dialect
+    drift); at 100 TB the distinct count swaps for an HLL sketch per
+    cell (agg_hll_sketch_merge) and the matrix stays mergeable across
+    partitions/days."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts").cast("date")
+    c = (ev.filter(F.col("event_type") == "signup")
+           .groupBy("user_id").agg(F.min(wk).alias("cohort_week")))
+    a = (ev.select("user_id", wk.alias("act_week")).join(c, "user_id")
+           .filter(F.col("act_week") >= F.col("cohort_week")))
+    offset = ((F.unix_date("act_week") - F.unix_date("cohort_week")) / 7) \
+        .cast("long")
+    return (a.select("cohort_week", offset.alias("week_offset"), "user_id")
+             .groupBy("cohort_week", "week_offset")
+             .agg(F.countDistinct("user_id").alias("active_users"))
+             .orderBy("cohort_week", "week_offset"))

@@ -157,3 +157,11 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     full = spark.read.parquet(out)
     assert back.count() == full.filter(F.col("event_type") == "hr").count()
     assert n_types > 1
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """The document-frequency table must ride a broadcast join onto
+    the tf table — shuffling the whole (doc, term) table on `term`
+    just to attach df would be the 100 TB mistake."""
+    plan = _physical(QUERIES["text_tfidf_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
