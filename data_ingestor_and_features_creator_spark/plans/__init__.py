@@ -41,8 +41,13 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "stream_hrv_features", "dedup_cluster_cc_star",
                    "text_tfidf_topk", "data_sample_stratified",
                    "win_sliding_median", "time_bucket_gapfill", "funnel_steps", "retention_cohort"]
-_UNCHECKED_MODULES = ["q_window", "q_scalar", "q_hrv", "q_llm",
+# q_hrv before q_scalar: the HRV SQL ids carried the round-1 latent
+# HUGEINT bug class and have never had a driver row — highest
+# information per checked slot; scalar-function mappings are the
+# lowest-risk of the never-checked ids.
+_UNCHECKED_MODULES = ["q_window", "q_hrv", "q_scalar", "q_llm",
                       "q_streaming", "q_udf"]
+_R1_GREEN = {"win_lag_diff"}  # only id from those modules with a round-1 pass
 
 
 def _ordered_ids() -> list[str]:
@@ -55,7 +60,7 @@ def _ordered_ids() -> list[str]:
         if name in _NEW_THIS_ROUND:
             return (0, 10 + _NEW_THIS_ROUND.index(name))
         mod = MODULES.get(name, "")
-        if mod in rank:
+        if mod in rank and name not in _R1_GREEN:
             return (1 if name in ORACLES else 2, rank[mod])
         return (3, 0)
 
