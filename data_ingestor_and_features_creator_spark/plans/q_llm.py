@@ -459,6 +459,32 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_report(graph.connected_components(pairs))
 
 
+@query("dedup_minhash_cluster")  # rows-only: xxhash64 upstream
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FUZZY-dedup keep/drop list — what a pretraining
+    pipeline actually consumes: MinHash-LSH near-dup pairs
+    (dedup_fuzzy_minhash's plan) → star-contraction connected
+    components → (doc_id, cluster_id, keep) where keep = lowest doc_id
+    per duplicate cluster; docs in no pair keep themselves (left join,
+    label coalesces to self). rows-only like its pair-stage upstream
+    (xxhash64 has no DuckDB twin); the cluster step itself is
+    oracle-proven on the embedding path (dedup_cluster_cc[_star])."""
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    sets = textops.shingle_sets(docs).cache()
+    sig = textops.minhash_from_sets(sets)
+    pairs = textops.candidate_pairs(textops.lsh_bands(sig))
+    dup = (textops.jaccard_verify(pairs, docs, threshold=0.3, sets=sets)
+                  .select("a", "b"))
+    cc = graph.connected_components_star(dup)
+    return (docs.select("doc_id")
+                .join(cc.select(F.col("n").alias("doc_id"), "cluster_id"),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+                .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+                .orderBy("doc_id"))
+
+
 # Deterministic per-language marker vocabularies for the n-gram/keyword
 # language-ID heuristic. On the synthetic fixture every language shares
 # one vocabulary, so scores tie and the tiebreak (alphabetical lang)

@@ -336,3 +336,47 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("cohort_week", "week_offset")
              .agg(F.countDistinct("user_id").alias("active_users"))
              .orderBy("cohort_week", "week_offset"))
+
+
+@query("win_streaks_islands", oracle="""
+WITH f AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+g AS (
+  SELECT user_id, event_id, us, rn,
+         rn - row_number() OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS island
+  FROM f WHERE value > 60.0)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_beats
+FROM g GROUP BY user_id, island
+HAVING COUNT(*) >= 3
+ORDER BY user_id, start_us
+""")
+def win_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: maximal runs of CONSECUTIVE over-threshold
+    beats (≥ 3 long) — the episode-detection shape (tachycardia run,
+    artifact burst, sensor dropout). The classic rn − rn_filtered
+    difference labels each island with a per-user constant, then one
+    aggregate summarizes each episode; two window passes + one agg,
+    all on the same user_id partitioning — no self-join, no
+    explode, which is what makes episode detection tractable on an
+    unbounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    f = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"),
+                  "value", F.row_number().over(w_all).alias("rn"))
+    w_flag = W.partitionBy("user_id").orderBy("us", "event_id")
+    g = (f.filter(F.col("value") > 60.0)
+          .withColumn("island",
+                      F.col("rn") - F.row_number().over(w_flag)))
+    return (g.groupBy("user_id", "island")
+             .agg(F.min("us").alias("start_us"),
+                  F.max("us").alias("end_us"),
+                  F.count(F.lit(1)).alias("n_beats"))
+             .filter(F.col("n_beats") >= 3)
+             .select("user_id", "start_us", "end_us", "n_beats")
+             .orderBy("user_id", "start_us"))
