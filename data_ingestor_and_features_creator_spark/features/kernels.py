@@ -125,3 +125,22 @@ def sampen_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         "n_beats": [len(rri)],
         "sampen": [sample_entropy(rri)],
     })
+
+
+FREQ_SLIDING_SCHEMA = ("record_id long, ws_us long, n_beats long, "
+                       "vlf double, lf double, hf double, "
+                       "total_power double, lf_hf_ratio double, "
+                       "lfnu double, hfnu double")
+
+
+def freq_domain_window_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """(key, pdf) form of freq_domain_kernel for per-(record, window)
+    groups — the sliding/windowed frequency features (the production
+    shape: bounded windows keep every Arrow group small, where
+    per-record grouping would hand one giant series to one task at
+    100 TB). Same resample→Welch→band-power math; window id carried
+    through from the group key."""
+    record_id, ws_us = key
+    out = freq_domain_kernel(pdf.assign(record_id=record_id))
+    out.insert(1, "ws_us", [ws_us])
+    return out

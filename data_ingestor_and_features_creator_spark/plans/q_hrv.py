@@ -343,3 +343,33 @@ def hrv_poincare_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                         tiebreak_col="event_id")
     return (d.groupBy("record_id", "ws_us")
              .agg(*poincare_exprs()[:2]))
+
+
+@query("hrv_freq_domain_sliding")  # rows-only: FFT kernel, not SQL
+def hrv_freq_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch band powers per (record, 14 d window, 7 d stride) — the
+    frequency-domain twin of hrv_time_domain_sliding and the shape
+    that actually scales: the per-record variant (hrv_freq_domain)
+    hands each record's WHOLE series to one Arrow group, fine for
+    bounded fixtures but a one-task hotspot for a year-long record;
+    windowed groups are bounded by construction. Reuses the
+    lag-before-explode sliding fan-out (features/hrv.py) — the d
+    column is unused here but the ws_us assignment and bounded
+    explode(sequence) are identical — then one applyInPandas over
+    (record, ws) with a 3-column pre-select."""
+    rr = rr_from_events(spark, sf_dir)
+    # window sized to the fixture's beat density (~2 events/day/user →
+    # ~30 beats per 14 d window). Note the SYNTHETIC rri values sum to
+    # only seconds of signal time per window, so Welch's ≥32-grid-point
+    # guard yields NULL features on this fixture for the per-record op
+    # and this one alike — the kernel's numerics are pinned by
+    # known-answer tests on realistic series
+    # (tests/test_hrv_known_answers.py); what this query exercises is
+    # the bounded-window grouping and Arrow plumbing at scale.
+    ex = sliding_windows(rr, width_us=14 * 86_400_000_000,
+                         stride_us=7 * 86_400_000_000,
+                         tiebreak_col="event_id")
+    return (ex.select("record_id", "ws_us", "beat_ts", "rri")
+              .groupBy("record_id", "ws_us")
+              .applyInPandas(kernels.freq_domain_window_kernel,
+                             schema=kernels.FREQ_SLIDING_SCHEMA))

@@ -203,3 +203,20 @@ def test_rpeak_kernel_refractory_suppresses_close_taller_candidate():
     pdf = pd.DataFrame({"record_id": 7, "k": np.arange(n), "amp": amp})
     got = detect_rpeaks_kernel(pdf)
     assert list(got["peak_idx"]) == [100 + REFRACTORY // 2, 300]
+
+
+def test_freq_domain_window_kernel_carries_key():
+    import numpy as np
+    import pandas as pd
+    from data_ingestor_and_features_creator_spark.features import kernels
+    # realistic RR series: 300 beats ~1000ms + 0.1Hz LF modulation
+    n = 300
+    rri = 1000.0 + 50.0 * np.sin(2 * np.pi * 0.1 * np.arange(n))
+    pdf = pd.DataFrame({
+        "beat_ts": pd.date_range("2024-01-01", periods=n, freq="s"),
+        "rri": rri,
+    })
+    out = kernels.freq_domain_window_kernel((7, 123456), pdf).iloc[0]
+    assert out["record_id"] == 7 and out["ws_us"] == 123456
+    assert out["n_beats"] == n
+    assert out["lf"] is not None and out["lf"] > out["hf"]  # 0.1 Hz is LF
