@@ -38,40 +38,72 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the right row with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
-    (NULLs when no such row). Left columns pass through unchanged.
+    """For each left row, attach the payload of the nearest right row
+    within the same ``on`` key (NULLs when no such row). Left columns
+    pass through unchanged.
+
+    ``direction="backward"`` (default): greatest ``right_ts`` <=
+    ``left_ts`` — last(ignorenulls) over the preceding frame.
+    ``direction="forward"``: smallest ``right_ts`` >= ``left_ts`` —
+    first(ignorenulls) over the following frame; the __src sort flag
+    flips so an equal-timestamp reference still matches (ties are
+    inclusive in both directions, matching DuckDB ASOF >= / <=).
+    ``tolerance_us``: max |left_ts − right_ts| in µs (pandas
+    merge_asof semantics) — matches farther away than the tolerance
+    are masked back to NULL; the matched reference timestamp rides the
+    same window fill, so this costs no extra shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction!r}")
+    backward = direction == "backward"
     # left_ts travels as __ts (renamed back at the end), so exclude it here
     left_other = [c for c in left.columns if c not in on and c != left_ts]
     out_payloads = [p + suffix for p in payload_cols]
+    # reference sorts before probe on timestamp ties for backward
+    # (so last() sees it), after probe for forward (so first() does)
+    probe_flag, ref_flag = (1, 0) if backward else (0, 1)
 
     lpart = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__src"),
+        F.lit(probe_flag).alias("__src"),
         *[F.col(c) for c in left_other],
         *[F.lit(None).cast(right.schema[p].dataType).alias(o)
           for p, o in zip(payload_cols, out_payloads)],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__ref_ts"),
     )
     rpart = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__src"),
+        F.lit(ref_flag).alias("__src"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_other],
         *[F.col(p).alias(o) for p, o in zip(payload_cols, out_payloads)],
+        F.col(right_ts).alias("__ref_ts"),
     )
     unioned = lpart.unionByName(rpart)
-    w = (
-        W.partitionBy(*on)
-        .orderBy("__ts", "__src")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    w = W.partitionBy(*on).orderBy("__ts", "__src")
+    if backward:
+        w = w.rowsBetween(W.unboundedPreceding, 0)
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(0, W.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         *on, "__ts", "__src", *left_other,
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_payloads],
+        *[fill(o).over(w).alias(o) for o in out_payloads],
+        fill("__ref_ts").over(w).alias("__ref_ts"),
     )
-    return filled.filter(F.col("__src") == 1).drop("__src").withColumnRenamed(
-        "__ts", left_ts
-    )
+    probes = filled.filter(F.col("__src") == F.lit(probe_flag)).drop("__src")
+    if tolerance_us is not None:
+        in_tol = (F.abs(F.unix_micros("__ts") - F.unix_micros("__ref_ts"))
+                  <= tolerance_us)
+        probes = probes.select(
+            *on, "__ts", *left_other,
+            *[F.when(in_tol, F.col(o)).alias(o) for o in out_payloads],
+        )
+    else:
+        probes = probes.drop("__ref_ts")
+    return probes.withColumnRenamed("__ts", left_ts)

@@ -189,6 +189,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("join_asof_forward", oracle="""
+SELECT e.event_id, e.user_id,
+       s.event_id AS next_signup_id,
+       epoch_us(s.ts) - epoch_us(e.ts) AS lead_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts <= s.ts
+""")
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each event gets the EARLIEST same-user signup
+    at-or-after it (merge_asof direction='forward') — same union +
+    window machinery as the backward join with the frame flipped to
+    first(ignorenulls) over the following rows. Oracle is DuckDB ASOF
+    with the inequality reversed."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id"))
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"), signups,
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["signup_id", "ts"], direction="forward")
+    return joined.select(
+        "event_id", "user_id",
+        F.col("signup_id_asof").alias("next_signup_id"),
+        (F.unix_micros("ts_asof") - F.unix_micros("ts")).alias("lead_us"))
+
+
+@query("join_asof_tolerance", oracle="""
+SELECT e.event_id, e.user_id,
+       CASE WHEN epoch_us(e.ts) - epoch_us(s.ts) <= 86400000000
+            THEN s.event_id END AS signup_id_tol
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+""")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 24 h TOLERANCE (merge_asof tolerance=...): a match
+    farther back than the tolerance is masked to NULL — 'attach the
+    latest calibration, but only if it's recent enough'. The matched
+    reference timestamp rides the same window fill, so the mask costs
+    no extra shuffle (operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id"))
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"), signups,
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["signup_id"], tolerance_us=86_400_000_000)
+    return joined.select(
+        "event_id", "user_id",
+        F.col("signup_id_asof").alias("signup_id_tol"))
+
+
 @query("join_star_multi", oracle=f"""
 SELECT r.r_name, o.o_orderpriority,
        COUNT(*) AS n_items,
