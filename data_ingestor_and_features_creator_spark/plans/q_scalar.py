@@ -223,3 +223,33 @@ def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.isNull().alias("capped_is_null"),
         F.coalesce(capped, F.lit(-1.0)).alias("capped_filled"),
     )
+
+
+@query("bitwise_edit_funcs", oracle="""
+SELECT doc_id,
+       doc_id & 255 AS low_byte,
+       doc_id | 4096 AS with_flag,
+       xor(doc_id, 21845) AS toggled,
+       CAST(bit_count(CAST(doc_id AS BIGINT)) AS INTEGER) AS popcount,
+       doc_id << 2 AS shifted_l,
+       doc_id >> 1 AS shifted_r,
+       levenshtein(substr(text, 1, 12), substr(text, 3, 12)) AS edit_dist
+FROM documents
+""")
+def bitwise_edit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (the SimHash/banding building blocks as a
+    user-facing surface) + Levenshtein edit distance (the
+    short-string near-dup verifier for id/title fields where shingle
+    Jaccard is overkill). All JVM built-ins on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("doc_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("doc_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("doc_id").bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.bit_count("doc_id").alias("popcount"),
+        F.shiftleft("doc_id", 2).alias("shifted_l"),
+        F.shiftright("doc_id", 1).alias("shifted_r"),
+        F.levenshtein(F.substring("text", 1, 12),
+                      F.substring("text", 3, 12)).alias("edit_dist"),
+    )
