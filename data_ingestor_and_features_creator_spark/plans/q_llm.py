@@ -778,6 +778,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy("doc_id", "frame_idx")
 
 
+@query("feature_hashing", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+SELECT doc_id,
+       CAST((len(t) * 131 + ascii(t[1:1])) % 64 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+""")
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK: tokens → fixed-width sparse count vector
+    (bucket = h(token) mod 64) with no vocabulary pass — the
+    streaming-friendly featurizer (HashingVectorizer): one explode +
+    one agg, dimensionality fixed up front, no global dictionary to
+    build or broadcast. Token hash is the same toy cross-engine h as
+    text_fingerprint so the oracle verifies the BUCKETING exactly;
+    production swaps in xxhash64 (rows-only then). Collisions are the
+    accepted trade — that's the trick's contract, not a bug."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_h = (F.length("t") * 131 + F.ascii(F.substring("t", 1, 1)))
+    return (d.select("doc_id", F.explode(textops.tokens("text")).alias("t"))
+              .select("doc_id", (tok_h % 64).cast("long").alias("bucket"))
+              .groupBy("doc_id", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("doc_id", "bucket"))
+
+
+@query("vec_normalize", oracle=f"""
+SELECT vec_id,
+       ROUND(SQRT({_dot_sql('embedding', 'embedding')}), 6) AS l2_norm,
+       list_aggregate(
+         list_transform(embedding,
+           x -> CAST(CAST(CAST(x AS DOUBLE) /
+                          SQRT({_dot_sql('embedding', 'embedding')})
+                          AS DECIMAL(18,6)) AS VARCHAR)),
+         'string_agg', ',') AS unit_csv
+FROM embeddings
+""")
+def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column — the prep step every
+    cosine-based op wants done once upstream (then cosine IS the dot
+    product). Unit components leave the query as DECIMAL(18,6)-cast
+    strings joined to CSV: identical fixed-point rendering on both
+    engines, where raw double→string rendering differs (scientific
+    notation thresholds) and raw arrays crash the driver's
+    canonicalizer. Same zip-fold norm as every similarity op."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = similarity.l2_norm("embedding")
+    unit = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") / nrm).cast("decimal(18,6)")
+                   .cast("string"))
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.array_join(unit, ",").alias("unit_csv"),
+    )
+
+
 @query("multimodal_audio_features")  # rows-only: fan-out pandas-UDF stage
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio featurization analog completing the modality triple
