@@ -137,6 +137,36 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (dsum("value") / F.lit(2.0)).alias("total_value")))
 
 
+@query("sink_dynamic_overwrite", oracle=f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")}
+         AS total_value
+FROM events GROUP BY event_type
+""")
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the idempotent-backfill primitive:
+    rewriting one day/partition must not clobber its siblings. Write
+    the full table hive-partitioned, then overwrite ONLY the 'click'
+    partition (values doubled) with partitionOverwriteMode=dynamic;
+    the oracle describes the expected merged state, so a static-mode
+    regression (which would truncate every other partition) fails the
+    row counts immediately. At 100 TB this is how daily reruns land:
+    recompute one partition, swap it atomically, leave the rest."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_dynover_"), "events")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
+                                                    "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    clicks2 = (ev.filter(F.col("event_type") == "click")
+                 .withColumn("value", F.col("value") * 2))
+    (clicks2.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type").parquet(out))
+    return (spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("total_value")))
+
+
 @query("sink_orc", oracle=f"""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        {dsum_sql('value')} AS total_value
