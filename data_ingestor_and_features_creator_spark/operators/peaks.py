@@ -96,3 +96,62 @@ def detect_rpeaks(signal: DataFrame) -> DataFrame:
     w = W.partitionBy("record_id").orderBy("peak_idx")
     return beats.withColumn(
         "rr_ms", F.col("peak_ms") - F.lag("peak_ms").over(w))
+
+
+def pan_tompkins_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """FULL Pan–Tompkins preprocessing chain + adaptive dual-threshold
+    decision over ONE record's samples — all numpy convolutions (no
+    scipy): crude band-pass as a difference of boxcar moving averages,
+    five-point derivative, squaring, 150 ms moving-window integration,
+    then the classic SPKI/NPKI running-estimate threshold with a
+    refractory period. O(n) per group like the simple detector; the
+    signal-peak / noise-peak estimates adapt per candidate, which is
+    what makes PT robust to amplitude drift where a global
+    mean+3σ threshold is not."""
+    pdf = pdf.sort_values("k")
+    x = pdf["amp"].to_numpy(dtype=np.float64)
+    k = pdf["k"].to_numpy()
+    n = len(x)
+    if n < 64:
+        return pd.DataFrame({"record_id": np.empty(0, dtype="int64"),
+                             "peak_idx": np.empty(0, dtype="int64"),
+                             "peak_ms": np.empty(0, dtype="float64")})
+
+    def ma(sig: np.ndarray, w: int) -> np.ndarray:
+        return np.convolve(sig, np.ones(w) / w, mode="same")
+
+    bp = ma(x, 5) - ma(x, 32)                       # band-pass approx
+    deriv = np.convolve(bp, np.array([2.0, 1.0, 0.0, -1.0, -2.0]) / 8.0,
+                        mode="same")
+    mwi = ma(deriv * deriv, 19)                     # 150 ms at 128 Hz
+    # local maxima of the integrated signal are the candidates
+    cand = np.flatnonzero((mwi[1:-1] > mwi[:-2]) & (mwi[1:-1] >= mwi[2:])) + 1
+    spki = 0.25 * float(mwi.max())                  # signal-peak estimate
+    npki = 0.5 * float(mwi.mean())                  # noise-peak estimate
+    peaks: list[int] = []
+    last = -(10 * REFRACTORY)
+    for i in cand:
+        thr = npki + 0.25 * (spki - npki)
+        if mwi[i] > thr and k[i] - last >= REFRACTORY:
+            peaks.append(i)
+            last = k[i]
+            spki = 0.125 * mwi[i] + 0.875 * spki
+        else:
+            npki = 0.125 * mwi[i] + 0.875 * npki
+    idx = k[np.array(peaks, dtype=int)] if peaks else np.empty(0, dtype="int64")
+    return pd.DataFrame({
+        "record_id": np.repeat(pdf["record_id"].iloc[0], len(peaks)),
+        "peak_idx": np.asarray(idx, dtype="int64"),
+        "peak_ms": np.asarray(idx, dtype="float64") * (1000.0 / FS_HZ),
+    })
+
+
+def detect_rpeaks_pt(signal: DataFrame) -> DataFrame:
+    """Pan–Tompkins variant of detect_rpeaks (same contract)."""
+    from pyspark.sql import Window as W
+    beats = (signal.select("record_id", "k", "amp")
+             .groupBy("record_id")
+             .applyInPandas(pan_tompkins_kernel, schema=PEAKS_SCHEMA))
+    w = W.partitionBy("record_id").orderBy("peak_idx")
+    return beats.withColumn(
+        "rr_ms", F.col("peak_ms") - F.lag("peak_ms").over(w))

@@ -41,7 +41,8 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "stream_hrv_features", "dedup_cluster_cc_star",
                    "text_tfidf_topk", "data_sample_stratified",
                    "win_sliding_median", "time_bucket_gapfill", "funnel_steps", "retention_cohort", "win_streaks_islands",
-                   "dedup_minhash_cluster", "hrv_freq_domain_sliding", "join_asof_forward", "join_asof_tolerance", "bitwise_edit_funcs", "feature_hashing", "vec_normalize", "sink_dynamic_overwrite"]
+                   "dedup_minhash_cluster", "hrv_freq_domain_sliding", "join_asof_forward", "join_asof_tolerance", "bitwise_edit_funcs", "feature_hashing", "vec_normalize", "sink_dynamic_overwrite",
+                   "signal_rpeak_detect_pt"]
 # q_hrv before q_scalar: the HRV SQL ids carried the round-1 latent
 # HUGEINT bug class and have never had a driver row — highest
 # information per checked slot; scalar-function mappings are the

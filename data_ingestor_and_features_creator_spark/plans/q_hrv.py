@@ -206,6 +206,30 @@ def signal_rpeak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peaks.detect_rpeaks(peaks.synthetic_signal(ids))
 
 
+@query("signal_rpeak_detect_pt", oracle="""
+WITH ids AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS record_id FROM events)
+SELECT record_id,
+       CAST(1 + 1023 // (70 + record_id % 30) AS BIGINT) AS n_beats
+FROM ids
+""")
+def signal_rpeak_detect_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pan–Tompkins detection chain (band-pass → derivative →
+    squaring → moving-window integration → adaptive SPKI/NPKI dual
+    threshold; operators/peaks.py:101) over the same stand-in signal.
+
+    Unlike the simple detector, PT's integration stage shifts peak
+    positions by up to ~10 samples (filter group delay), so the
+    oracle asserts the scale-invariant part — the detector finds
+    EXACTLY one beat per planted spike (count = 1 + 1023//period per
+    record) — while peak-position tolerance is pinned in pytest
+    (tests/test_hrv_known_answers.py)."""
+    ids = (load_table(spark, sf_dir, "events")
+           .select(F.col("user_id").alias("record_id")).distinct())
+    beats = peaks.detect_rpeaks_pt(peaks.synthetic_signal(ids))
+    return beats.groupBy("record_id").agg(
+        F.count("*").cast("long").alias("n_beats"))
+
+
 @query("hrv_freq_domain")  # rows-only: FFT kernel, not SQL-expressible
 def hrv_freq_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch PSD band powers per record via applyInPandas (Arrow batch

@@ -189,6 +189,34 @@ def test_rpeak_detection_finds_planted_beats(spark):
             assert r["rr_ms"] == pytest.approx(period * 1000.0 / peaks.FS_HZ)
 
 
+def test_pan_tompkins_finds_planted_beat_count_with_tolerance(spark):
+    """The PT chain must find exactly one beat per planted spike; peak
+    positions may shift by the integration filter's group delay (≤ ~12
+    samples) and RR intervals must stay within that jitter of the
+    planted period."""
+    from data_ingestor_and_features_creator_spark.operators import peaks
+
+    ids = spark.createDataFrame([(3,), (17,), (42,)], "record_id long")
+    out = (peaks.detect_rpeaks_pt(peaks.synthetic_signal(ids))
+           .orderBy("record_id", "peak_idx").collect())
+    by_rec: dict[int, list] = {}
+    for r in out:
+        by_rec.setdefault(r["record_id"], []).append(r)
+    assert set(by_rec) == {3, 17, 42}
+    for rid, rows in by_rec.items():
+        period = 70 + rid % 30
+        expect_n = 1 + (peaks.N_SAMPLES - 1) // period
+        assert len(rows) == expect_n
+        tol = 12
+        for i, r in enumerate(rows):
+            planted = min(range(0, peaks.N_SAMPLES, period),
+                          key=lambda p: abs(p - r["peak_idx"]))
+            assert abs(r["peak_idx"] - planted) <= tol
+        for r in rows[1:]:
+            assert abs(r["rr_ms"] - period * 1000.0 / peaks.FS_HZ) <= \
+                2 * tol * 1000.0 / peaks.FS_HZ
+
+
 def test_rpeak_kernel_refractory_suppresses_close_taller_candidate():
     """Two supra-threshold candidates inside one refractory window →
     one beat, the taller one."""
