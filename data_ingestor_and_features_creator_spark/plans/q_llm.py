@@ -971,3 +971,84 @@ def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tok_start") % _PACK_BUDGET).alias("offset_in_pack"),
         (end_pack > pack).alias("crosses_boundary"),
     )
+
+
+_GOPHER_STOP = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@query("text_gopher_quality", oracle=f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+tok AS (SELECT doc_id, unnest(s) AS tok FROM sp),
+st AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(tok)) AS BIGINT) AS sum_word_len,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alpha_words,
+         CAST(COUNT(DISTINCT CASE WHEN tok IN {_GOPHER_STOP} THEN tok END)
+              AS BIGINT) AS n_stop_distinct
+  FROM tok GROUP BY doc_id),
+bg AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS bigram
+       FROM (SELECT doc_id, s, unnest(generate_series(1, len(s) - 1)) AS i
+             FROM sp)),
+bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+bgs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_c,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM bgc GROUP BY doc_id)
+SELECT st.doc_id, n_words, sum_word_len, n_alpha_words, n_stop_distinct,
+       COALESCE(top_bigram_c, 0) AS top_bigram_c,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       (n_words BETWEEN 50 AND 100000
+        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        AND 5 * n_alpha_words > 4 * n_words
+        AND n_stop_distinct >= 2
+        AND 5 * COALESCE(top_bigram_c, 0) <= COALESCE(n_bigrams, 0)) AS passes
+FROM st LEFT JOIN bgs ON st.doc_id = bgs.doc_id
+""")
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality signals (Rae et al. 2021, public): word
+    count band, mean word length 3-10, alpha-word fraction > 0.8,
+    >= 2 distinct stopwords, top-bigram repetition <= 0.2 — the
+    standard pretraining-corpus filter family alongside the C4-style
+    text_quality_filter.
+
+    Every output is an exact integer (numerator/denominator pairs)
+    and the pass flag uses cross-multiplied integer comparisons, so
+    no float rounding can drift cross-engine. Bigrams come from
+    ``transform`` over the split array — per-row array math, NO window
+    shuffle; the only shuffles are the two doc_id hash aggregates and
+    a co-partitioned join AQE folds together. Line-based Gopher rules
+    (bullet/ellipsis lines) are N/A: fixture docs are single-line."""
+    d = load_table(spark, sf_dir, "documents")
+    sp = d.select("doc_id", F.split(F.col("text"), " ").alias("s"))
+    tok = sp.select("doc_id", F.explode("s").alias("tok"))
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("tok")).alias("sum_word_len"),
+        F.sum(F.when(F.col("tok").rlike("[A-Za-z]"), 1).otherwise(0))
+         .alias("n_alpha_words"),
+        F.countDistinct(
+            F.when(F.col("tok").isin(*_GOPHER_STOP), F.col("tok")))
+         .alias("n_stop_distinct"),
+    )
+    bigrams = F.expr(
+        "transform(slice(s, 1, size(s) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(s, i + 2)))")
+    bg = sp.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bgs = bgc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_c"), F.sum("c").alias("n_bigrams"))
+    j = st.join(bgs, "doc_id", "left")
+    top_c = F.coalesce(F.col("top_bigram_c"), F.lit(0))
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    n, sl = F.col("n_words"), F.col("sum_word_len")
+    return j.select(
+        "doc_id", "n_words", "sum_word_len", "n_alpha_words",
+        "n_stop_distinct",
+        top_c.alias("top_bigram_c"), n_bg.alias("n_bigrams"),
+        (n.between(50, 100000)
+         & (3 * n <= sl) & (sl <= 10 * n)
+         & (5 * F.col("n_alpha_words") > 4 * n)
+         & (F.col("n_stop_distinct") >= 2)
+         & (5 * top_c <= n_bg)).alias("passes"),
+    )
