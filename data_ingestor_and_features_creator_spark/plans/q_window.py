@@ -380,3 +380,49 @@ def win_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("n_beats") >= 3)
              .select("user_id", "start_us", "end_us", "n_beats")
              .orderBy("user_id", "start_us"))
+
+
+@query("scd2_history", oracle="""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+k AS (
+  SELECT user_id, event_id, us, event_type FROM c
+  WHERE prev_type IS NULL OR event_type <> prev_type)
+SELECT user_id, event_type, us AS valid_from_us,
+       lead(us) OVER w AS valid_to_us,
+       row_number() OVER w AS version,
+       (lead(us) OVER w IS NULL) AS is_current
+FROM k
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+""")
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION TYPE 2 build from a change feed: the
+    events stream is treated as an attribute change log (user_id ->
+    event_type); consecutive duplicate states collapse, and each kept
+    change becomes a versioned validity interval [valid_from,
+    valid_to) with an is_current flag — the standard warehouse
+    history-table shape.
+
+    Two window passes on ONE user_id partitioning (lag to collapse
+    runs, lead/row_number to close intervals) — Spark reuses the sort
+    across both, so the whole build is a single shuffle regardless of
+    history length. Timestamps emitted as epoch micros per the
+    cross-engine house rule."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select("user_id", "event_id", F.unix_micros("ts").alias("us"),
+                  "event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+    k = c.filter(F.col("prev_type").isNull()
+                 | (F.col("event_type") != F.col("prev_type")))
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id")
+    return k.select(
+        "user_id", "event_type",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("us").over(w2).isNull().alias("is_current"),
+    )
