@@ -165,3 +165,35 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
     just to attach df would be the 100 TB mistake."""
     plan = _physical(QUERIES["text_tfidf_topk"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_quality_no_window_shuffle(spark, sf_dir):
+    """Bigrams come from array `transform`, not a window lead — the
+    plan must contain NO Window node, stay JVM-side, and each of the
+    two explodes must feed a map-side partial aggregate BEFORE its
+    shuffle (partial_count under Generate), so token/bigram rows
+    never cross the wire raw."""
+    plan = _physical(QUERIES["text_gopher_quality"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Generate explode") == 2
+    # every exchange is fed by a HashAggregate (map-side combine)
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "HashAggregate" in seg.split("Generate")[0]
+
+
+def test_scd2_single_shuffle_reuses_sort(spark, sf_dir):
+    """Both window passes key on user_id — one hash-partition
+    exchange, and the second window must NOT re-sort from scratch
+    (same partitioning + compatible ordering)."""
+    plan = _physical(QUERIES["scd2_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_pan_tompkins_is_grouped_arrow_stage(spark, sf_dir):
+    """The PT detector must run as one Arrow grouped-map stage over
+    pruned (record_id, k, amp) input, count-aggregated without a
+    second shuffle beyond the groupBy."""
+    plan = _physical(QUERIES["signal_rpeak_detect_pt"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
