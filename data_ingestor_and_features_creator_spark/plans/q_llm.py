@@ -1052,3 +1052,91 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("n_stop_distinct") >= 2)
          & (5 * top_c <= n_bg)).alias("passes"),
     )
+
+
+_PR_SCALE = 1_000_000   # fixed-point micro-units
+_PR_D = 85              # damping 0.85 as a rational 85/100
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    base = f"(({100 - _PR_D}) * {_PR_SCALE} // 100)"
+    ctes = [f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (
+  SELECT c_custkey * 2 AS node_id FROM customer
+  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+           FROM edges GROUP BY src),
+r0 AS (SELECT node_id,
+              CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank_u
+       FROM nodes)"""]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+s{k} AS (
+  SELECT e.dst AS node_id, CAST(SUM(r.rank_u // o.od) AS BIGINT) AS cs
+  FROM edges e
+  JOIN r{k - 1} r ON e.src = r.node_id
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+r{k} AS (
+  SELECT nodes.node_id,
+         CAST({base} // (SELECT n FROM nn)
+              + ({_PR_D} * COALESCE(s{k}.cs, 0)) // 100 AS BIGINT) AS rank_u
+  FROM nodes LEFT JOIN s{k} ON nodes.node_id = s{k}.node_id)""")
+    return (",".join(ctes)
+            + f"\nSELECT node_id, rank_u FROM r{_PR_ITERS}")
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (damping
+    0.85, 3 fixed iterations) — the iterative-algorithm family beyond
+    connected components: per round one equi-join pushes rank/outdeg
+    contributions along edges, one hash aggregate gathers them, and a
+    left join re-attaches silent nodes.
+
+    Exactness strategy: ranks live as BIGINT micro-units and every
+    step is integer arithmetic (floor division both engines), so the
+    result is bit-identical cross-engine — float PageRank would drift
+    with summation order. Dangling mass (suppliers are sinks in the
+    bipartite graph) decays rather than redistributes; both engines
+    implement the same variant, and the fixed-point quantization is
+    the documented contract.
+
+    Scale shape: edges + out-degrees computed once and cached (the
+    per-iteration reuse diamond); each iteration is one shuffle on dst
+    — rank updates never leave the JVM, and at 1000 executors the edge
+    table partitioning is reused across all rounds. The single driver
+    scalar is N (node count), same convergence-check precedent as
+    dedup_cluster_cc (operators/graph.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .select((F.col("o_custkey") * 2).cast("long").alias("src"),
+                       (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"))
+               .distinct())
+    cust = (load_table(spark, sf_dir, "customer")
+            .select((F.col("c_custkey") * 2).cast("long").alias("node_id")))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select((F.col("s_suppkey") * 2 + 1).cast("long").alias("node_id")))
+    nodes = cust.unionAll(supp).cache()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ew = edges.join(outdeg, "src").cache()
+    init = _PR_SCALE // n
+    base = ((100 - _PR_D) * _PR_SCALE // 100) // n
+    ranks = nodes.select("node_id", F.lit(init).cast("long").alias("rank_u"))
+    for _ in range(_PR_ITERS):
+        contrib = (ew.join(ranks, ew.src == ranks.node_id)
+                     .select("dst", F.expr("rank_u div od").alias("c")))
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("cs"))
+        ranks = (nodes.join(s, nodes.node_id == s.dst, "left")
+                      .select("node_id",
+                              (F.lit(base)
+                               + F.expr(f"({_PR_D} * coalesce(cs, 0)) div 100"))
+                              .cast("long").alias("rank_u")))
+    return ranks
