@@ -478,3 +478,49 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.min("ts")).alias("ts_min_day"),
         F.to_date(F.max("ts")).alias("ts_max_day"),
     )
+
+
+@query("agg_incremental_state_merge", oracle=f"""
+SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+       CAST(COUNT(value) AS BIGINT) AS n_rows,
+       {r6_sql(dsum_sql('value'))} AS sum_value,
+       {r6_sql(f"({dsum_sql('value')} / COUNT(value))")} AS mean_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id, CAST(date_trunc('month', ts) AS DATE)
+""")
+def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATION via mergeable partial states — the
+    materialized-rollup maintenance pattern: per-(user, day) partial
+    states (count, DECIMAL-exact sum, min, max) are computed first,
+    then MERGED into the monthly rollup without touching raw rows
+    again. The oracle computes the monthly answer DIRECTLY from raw
+    events, so a hash match proves merge ≡ rebuild cross-engine — the
+    property that lets a 100 TB pipeline maintain daily states and
+    re-aggregate to any coarser grain (week/month/all-time) at state
+    cost, not scan cost. The sum state stays DECIMAL(38,12) through
+    BOTH levels (associative, order-free); only the published columns
+    round. Same precompute contract as agg_hll_sketch_merge, for the
+    plain-aggregate family."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+               .agg(F.count("value").alias("n"),
+                    F.sum(F.col("value").cast(DEC)).alias("s"),
+                    F.min("value").alias("mn"),
+                    F.max("value").alias("mx")))
+    monthly = (daily.groupBy("user_id",
+                             F.trunc("day", "month").alias("month"))
+                    .agg(F.sum("n").alias("n_rows"),
+                         F.sum("s").alias("s"),
+                         F.min("mn").alias("mn"),
+                         F.max("mx").alias("mx")))
+    s_dbl = F.col("s").cast("double")
+    return monthly.select(
+        "user_id", "month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        r6(s_dbl).alias("sum_value"),
+        r6(s_dbl / F.col("n_rows")).alias("mean_value"),
+        r6(F.col("mn")).alias("min_value"),
+        r6(F.col("mx")).alias("max_value"),
+    )
