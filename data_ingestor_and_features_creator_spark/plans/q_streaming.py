@@ -202,3 +202,20 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("event_id", "user_id", "event_type", "value"))
     return out.select("event_id", "user_id", "event_type", "value",
                       "batch_id").orderBy("event_id")
+
+
+@query("stream_cdc_apply", oracle="""
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""")
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the streaming twin of upsert_merge: the event feed
+    replays as 4 sequential micro-batches, each merged into a
+    versioned keyed state table inside foreachBatch (newest
+    (ts, event_id) per user wins; see runner.run_cdc_apply for why the
+    merge is batch-boundary-independent). The oracle computes
+    last-row-per-key directly over the whole feed, so a hash match
+    proves the incremental apply converges to the batch answer."""
+    return runner.run_cdc_apply(spark, load_table(spark, sf_dir, "events"))

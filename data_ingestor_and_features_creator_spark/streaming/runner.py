@@ -62,6 +62,53 @@ def run_foreach_batch_parquet(sdf: DataFrame) -> DataFrame:
     return sdf.sparkSession.read.parquet(out_dir)
 
 
+def run_cdc_apply(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """CDC APPLY loop: the keyed change feed is replayed as several
+    sequential micro-batches (`maxFilesPerTrigger=1` over a 4-file
+    re-split), and `foreachBatch` merges each batch into a versioned
+    keyed state table — reduce the batch to newest-per-key, union with
+    the previous state version, keep the lexicographically greatest
+    (ts, event_id) per key, write state v{batch_id}. The merge is
+    associative and order-independent (newest (ts, event_id) wins
+    regardless of which batch delivered it), so the final state equals
+    the batch last-row-per-key — which is exactly what the SQL oracle
+    checks. At scale the state write is the partitioned/bucketed table
+    the next batch joins against; no driver-side state anywhere."""
+    feed_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    state_root = tempfile.mkdtemp(prefix="cdc_state_")
+    ev = events.select("event_id", "user_id", "ts", "value")
+    ev.repartition(4, "event_id").write.mode("overwrite").parquet(feed_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .option("pathGlobFilter", "*.parquet")
+                   .parquet(feed_dir))
+    holder: dict[str, str | None] = {"prev": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = (batch_df.groupBy("user_id")
+                     .agg(F.max(F.struct("ts", "event_id", "value"))
+                           .alias("m")))
+        if holder["prev"] is not None:
+            prev = spark.read.parquet(holder["prev"])
+            b = (prev.unionByName(b)
+                     .groupBy("user_id").agg(F.max("m").alias("m")))
+        path = os.path.join(state_root, f"v{batch_id}")
+        b.write.mode("overwrite").parquet(path)
+        holder["prev"] = path
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert holder["prev"] is not None
+    return spark.read.parquet(holder["prev"]).select(
+        "user_id",
+        F.unix_micros("m.ts").alias("ts_us"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.value").alias("value"),
+    )
+
+
 RUNNING_TOTAL_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 
