@@ -44,7 +44,8 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "dedup_minhash_cluster", "hrv_freq_domain_sliding", "join_asof_forward", "join_asof_tolerance", "bitwise_edit_funcs", "feature_hashing", "vec_normalize", "sink_dynamic_overwrite",
                    "signal_rpeak_detect_pt", "text_gopher_quality",
                    "scd2_history", "graph_pagerank",
-                   "agg_incremental_state_merge", "stream_cdc_apply"]
+                   "agg_incremental_state_merge", "stream_cdc_apply",
+                   "dedup_semantic_cluster"]
 # The judge's round-2 "done" bar is explicit: a green CORRECTNESS row
 # for (at minimum) ALL §2.5 window / §2.8 scalar / §2.9 HRV SQL ids.
 # Those modules therefore outrank even the new-this-round queries in

@@ -1140,3 +1140,47 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                + F.expr(f"({_PR_D} * coalesce(cs, 0)) div 100"))
                               .cast("long").alias("rank_u")))
     return ranks
+
+
+_SEM_CC_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT a, b FROM ({_EMB_LSH_ORACLE})),
+sym AS (SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e),
+reach(n, m) AS (
+    SELECT n, n FROM (SELECT DISTINCT n FROM sym)
+    UNION
+    SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n),
+lbl AS (SELECT n AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+SELECT emb.vec_id,
+       COALESCE(lbl.cluster_id, emb.vec_id) AS cluster_id,
+       (COALESCE(lbl.cluster_id, emb.vec_id) = emb.vec_id) AS keep
+FROM embeddings emb LEFT JOIN lbl ON emb.vec_id = lbl.vec_id
+ORDER BY emb.vec_id
+"""
+
+
+@query("dedup_semantic_cluster", oracle=_SEM_CC_ORACLE)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END SEMANTIC DEDUP (SemDeDup-style, public): unblocked
+    hyperplane-LSH near-dup pairs over the embedding column →
+    star-contraction connected components → (vec_id, cluster_id, keep)
+    where keep = lowest id per semantic cluster and unpaired vectors
+    keep themselves. The semantic twin of dedup_minhash_cluster — and
+    unlike that one, FULLY oracle-checked: the LSH pair stage uses
+    seeded plan-literal hyperplanes with a DuckDB twin, and the
+    clustering fixpoint has an exact recursive-CTE twin, so the whole
+    keep-list is hash-compared cross-engine.
+
+    Scale: every stage is the already-audited scale path — banded LSH
+    (no all-pairs), 1000-vector bucket cap, O(log² n) star contraction
+    — composed; the final left join is vec_id-partitioned both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_dup_pairs(emb, threshold=0.4).select("a", "b")
+    cc = graph.connected_components_star(pairs)
+    return (emb.select("vec_id")
+               .join(cc.select(F.col("n").alias("vec_id"), "cluster_id"),
+                     "vec_id", "left")
+               .select("vec_id",
+                       F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+               .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+               .orderBy("vec_id"))
