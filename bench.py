@@ -34,6 +34,10 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "hrv_pipeline_full",
     "dedup_ngram_jaccard",
+    # vector workload: the LSH pair stage (stable single-pass plan;
+    # its CC composition dedup_semantic_cluster runs O(log n) driver-
+    # looped rounds whose scheduler overhead dominates at bench scale)
+    "dedup_embedding_lsh",
 ]
 
 
