@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
 from ..operators import graph, multimodal, similarity, textops
 from .registry import query
 
@@ -1184,3 +1185,40 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
                .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
                .orderBy("vec_id"))
+
+
+@query("vec_centroid_by_label", oracle=f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+m AS (
+  SELECT label, pos,
+         {dsum_sql('CAST(x AS DOUBLE)')} / COUNT(x) AS mu
+  FROM e GROUP BY label, pos)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS dim,
+       string_agg(CAST(CAST(mu AS DECIMAL(18,6)) AS VARCHAR),
+                  ',' ORDER BY pos) AS centroid_csv
+FROM m GROUP BY label
+""")
+def vec_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROID — the KMeans E-step / class-
+    prototype aggregate as one distributed plan: posexplode the vector
+    column, DECIMAL-exact mean per (label, dimension), gather back in
+    dimension order. Rendering rides the proven vec_normalize trick
+    (DECIMAL(18,6) fixed-point CSV — raw double→string and raw arrays
+    both break cross-engine hashing). Scale: the explode is bounded by
+    the embedding dim, the (label, pos) agg is perfectly uniform (no
+    skew by construction), and the gather state per label is one
+    dim-length array — this is how you compute 10k class prototypes
+    over 100 TB without a single driver-side vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    m = e.groupBy("label", "pos").agg(
+        (dsum(F.col("x").cast("double")) / F.count("x")).alias("mu"))
+    comp = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+        lambda s: s["mu"].cast("decimal(18,6)").cast("string"))
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.array_join(comp, ",").alias("centroid_csv"))

@@ -426,3 +426,46 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).alias("version"),
         F.lead("us").over(w2).isNull().alias("is_current"),
     )
+
+
+_EWMA_K = 16          # bounded lookback
+_EWMA_ALPHA = 0.5     # power-of-two weights: exactly representable
+
+
+def _ewma_weights() -> list[float]:
+    return [_EWMA_ALPHA ** (j + 1) for j in range(_EWMA_K)]
+
+
+@query("win_ewma", oracle=f"""
+SELECT event_id, user_id,
+       {' + '.join(
+           f"COALESCE(lag(value, {j}) OVER w * {w!r}, 0)"
+           for j, w in enumerate(_ewma_weights()))} AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted moving average (alpha = 1/2,
+    16-lag truncated kernel) — the streaming-friendly smoother for
+    sensor series. The recursive EWMA definition is not a window
+    aggregate; the truncated convolution IS: 16 lag() terms over ONE
+    window spec (one sort, one pass). Exactness: the weights are
+    powers of two (exact doubles), the 16-term sum is a FIXED
+    left-associated scalar expression tree — identical IEEE fold on
+    both engines, no aggregation order anywhere — and missing lags at
+    series start coalesce to 0 (truncated, not renormalized; both
+    engines agree by construction). EMITTED UNROUNDED: the power-of-
+    two weights make sums land EXACTLY on .xxxxxx5 boundaries where
+    half-up (Spark) and half-even (DuckDB) disagree — the raw doubles
+    are bit-identical, the 6-dp rounds are not (observed). At 100 TB
+    this is the same single user-partitioned shuffle every other
+    window op rides."""
+    ev, w = _w(spark, sf_dir)
+    terms = [
+        F.coalesce(F.lag("value", j).over(w) * F.lit(wt), F.lit(0.0))
+        for j, wt in enumerate(_ewma_weights())
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return ev.select("event_id", "user_id", acc.alias("ewma"))
