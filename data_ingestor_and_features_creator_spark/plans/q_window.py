@@ -469,3 +469,50 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in terms[1:]:
         acc = acc + t
     return ev.select("event_id", "user_id", acc.alias("ewma"))
+
+
+_Z_VAR = "((sxx - sx * sx / n) / (n - 1.0))"
+_Z_EXPR = f"(value - sx / n) / SQRT({_Z_VAR})"
+_Z_OK = f"n >= 8 AND {_Z_VAR} > 0"
+
+
+@query("win_anomaly_zscore", oracle=f"""
+WITH f AS (
+  SELECT event_id, user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
+         CAST(COUNT(value) OVER w AS DOUBLE) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       {r6_sql(f"CASE WHEN {_Z_OK} THEN {_Z_EXPR} END")} AS z,
+       CASE WHEN {_Z_OK} THEN ABS({_Z_EXPR}) > 3.0 END AS is_anomaly
+FROM f
+""")
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag — the online sensor-QC operator:
+    each reading standardized against the TRAILING 20 readings
+    EXCLUDING itself (a self-inclusive frame would let the outlier
+    drag its own baseline), flagged at |z| > 3 with an 8-reading
+    warm-up guard. One window frame carries exact DECIMAL(38,12)
+    sums of x and x² — mean and sample variance assemble from them
+    bit-identically cross-engine (the segment-tree vs running
+    accumulation difference that motivates the module's DECIMAL
+    rule), and sqrt is IEEE-correctly-rounded on both. Same single
+    user-partitioned shuffle as every window op; at 100 TB this
+    replaces a per-device self-join baseline pass."""
+    ev, w = _w(spark, sf_dir)
+    frame = w.rowsBetween(-20, -1)
+    sx = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+    sxx = (F.sum((F.col("value") * F.col("value")).cast(DEC))
+            .over(frame).cast("double"))
+    n = F.count("value").over(frame).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    ok = (n >= 8) & (var > 0)
+    z = (F.col("value") - sx / n) / F.sqrt(var)
+    return ev.select(
+        "event_id", "user_id",
+        r6(F.when(ok, z)).alias("z"),
+        F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
+    )
