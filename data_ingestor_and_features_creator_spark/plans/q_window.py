@@ -516,3 +516,57 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.when(ok, z)).alias("z"),
         F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+_TW_HOUR = 3_600_000_000
+
+
+@query("agg_time_weighted_avg", oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur
+  FROM events),
+w AS (
+  SELECT user_id, (us // {_TW_HOUR}) * {_TW_HOUR} AS ws_us,
+         CASE WHEN value IS NOT NULL THEN value * dur END AS vw,
+         CASE WHEN value IS NOT NULL THEN dur END AS dw
+  FROM e WHERE dur IS NOT NULL)
+SELECT user_id, ws_us,
+       {r6_sql(f"CASE WHEN {dsum_sql('dw')} > 0 THEN "
+               f"{dsum_sql('vw')} / {dsum_sql('dw')} END")} AS twap,
+       CAST(SUM(dw) AS BIGINT) AS covered_us
+FROM w GROUP BY user_id, ws_us
+""")
+def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average over the irregular sample series (the
+    TimescaleDB `time_weight` shape): each reading holds until the
+    next one (left-continuous step function), so its weight is the
+    µs gap to the successor; per (user, hour-bucket of the interval
+    START) the TWAP is Σ value·Δt / Σ Δt. The plain AVG over-weights
+    burst periods — TWAP is what monitoring actually wants on
+    event-driven sensors. Weights are exact integer µs, the weighted
+    sums go through DECIMAL(38,12), NULL readings drop from both
+    numerator and denominator, and each user's final open-ended
+    reading is excluded (no successor to bound it). One window lead +
+    one hash agg on the same user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    e = ev.select("user_id", us.alias("us"), "value",
+                  (F.lead(us).over(w) - us).alias("dur"))
+    e = e.filter(F.col("dur").isNotNull())
+    vw = F.when(F.col("value").isNotNull(), F.col("value") * F.col("dur"))
+    dw = F.when(F.col("value").isNotNull(), F.col("dur"))
+    g = (e.select("user_id",
+                  F.expr(f"(us div {_TW_HOUR}) * {_TW_HOUR}").alias("ws_us"),
+                  vw.alias("vw"), dw.alias("dw"))
+          .groupBy("user_id", "ws_us")
+          .agg(dsum("vw").alias("sv"), dsum("dw").alias("sd"),
+               F.sum("dw").alias("covered")))
+    return g.select(
+        "user_id", "ws_us",
+        r6(F.when(F.col("sd") > 0, F.col("sv") / F.col("sd"))).alias("twap"),
+        F.col("covered").cast("long").alias("covered_us"),
+    )
