@@ -197,3 +197,13 @@ def test_pan_tompkins_is_grouped_arrow_stage(spark, sf_dir):
     second shuffle beyond the groupBy."""
     plan = _physical(QUERIES["signal_rpeak_detect_pt"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_twap_reuses_user_partitioning(spark, sf_dir):
+    """The lead() window partitions by user_id and the (user_id,
+    ws_us) aggregation clusters on a superset key — Spark must
+    recognize the window's partitioning as satisfying the agg's
+    distribution: exactly ONE hash-partition exchange in the plan."""
+    plan = _physical(QUERIES["agg_time_weighted_avg"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
