@@ -487,7 +487,8 @@ WITH f AS (
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
 SELECT event_id, user_id,
        {r6_sql(f"CASE WHEN {_Z_OK} THEN {_Z_EXPR} END")} AS z,
-       CASE WHEN {_Z_OK} THEN ABS({_Z_EXPR}) > 3.0 END AS is_anomaly
+       COALESCE(CASE WHEN {_Z_OK} THEN ABS({_Z_EXPR}) > 3.0 END,
+                FALSE) AS is_anomaly
 FROM f
 """)
 def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +502,13 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation difference that motivates the module's DECIMAL
     rule), and sqrt is IEEE-correctly-rounded on both. Same single
     user-partitioned shuffle as every window op; at 100 TB this
-    replaces a per-device self-join baseline pass."""
+    replaces a per-device self-join baseline pass.
+
+    The flag is COALESCEd to false for warm-up/degenerate rows rather
+    than left NULL: a nullable BOOLEAN renders differently through the
+    two pandas canonicalization paths (Spark toPandas keeps None,
+    DuckDB .df() turns it into float NaN — observed mismatch), and
+    'not yet enough baseline' is honestly 'not an anomaly'."""
     ev, w = _w(spark, sf_dir)
     frame = w.rowsBetween(-20, -1)
     sx = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
@@ -514,7 +521,8 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id",
         r6(F.when(ok, z)).alias("z"),
-        F.when(ok, F.abs(z) > 3.0).alias("is_anomaly"),
+        F.coalesce(F.when(ok, F.abs(z) > 3.0), F.lit(False))
+         .alias("is_anomaly"),
     )
 
 

@@ -18,6 +18,14 @@ House rules for oracle hash-stability (SURVEY.md §5, §7 risk list):
   never raw (ns vs µs truncation drift).
 - Integer SUMs are CAST(... AS BIGINT) in DuckDB (its SUM(BIGINT) is
   HUGEINT, Spark's is LONG).
+- BOOLEAN output columns must be NON-NULLABLE (COALESCE the flag to
+  false): a boolean NULL survives Spark's pandas conversion as None
+  but DuckDB's .df() turns it into float NaN — the two canonicalize
+  differently (observed: win_anomaly_zscore). Nullable DOUBLEs are
+  fine (both paths collapse NULL→NaN).
+- Never ROUND a value that can land exactly on a .xxxxxx5 boundary
+  (power-of-two-weighted sums do): Spark rounds half-up, DuckDB
+  half-even. Emit unrounded when the fold order is fixed (win_ewma).
 """
 
 from __future__ import annotations
