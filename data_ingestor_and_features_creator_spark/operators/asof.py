@@ -107,3 +107,63 @@ def asof_join(
     else:
         probes = probes.drop("__ref_ts")
     return probes.withColumnRenamed("__ts", left_ts)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    suffix: str = "_near",
+) -> DataFrame:
+    """``direction="nearest"`` (pandas merge_asof parity): attach the
+    right row with the smallest |left_ts − right_ts| per key, ties
+    going to the earlier (backward) side.
+
+    ONE union + ONE sort computes BOTH candidates: the backward fill
+    (last ignorenulls, preceding frame) and the forward fill (first
+    ignorenulls, following frame) share the same partitioning and
+    ordering, so Spark plans two Window nodes over a single exchange —
+    nearest costs the same one shuffle as either direction alone. An
+    equal-timestamp reference sorts before the probe and is therefore
+    seen only by the backward frame at distance 0 — which the tie rule
+    picks anyway, matching the two-ASOF-joins oracle exactly."""
+    left_other = [c for c in left.columns if c not in on and c != left_ts]
+    lpart = left.select(
+        *on, F.col(left_ts).alias("__ts"), F.lit(1).alias("__src"),
+        *left_other,
+        *[F.lit(None).cast(right.schema[p].dataType).alias("__p_" + p)
+          for p in payload_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__ref_ts"),
+    )
+    rpart = right.select(
+        *on, F.col(right_ts).alias("__ts"), F.lit(0).alias("__src"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_other],
+        *[F.col(p).alias("__p_" + p) for p in payload_cols],
+        F.col(right_ts).alias("__ref_ts"),
+    )
+    w = W.partitionBy(*on).orderBy("__ts", "__src")
+    wb = w.rowsBetween(W.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, W.unboundedFollowing)
+    filled = lpart.unionByName(rpart).select(
+        *on, "__ts", "__src", *left_other,
+        *[F.last("__p_" + p, ignorenulls=True).over(wb).alias("__b_" + p)
+          for p in payload_cols],
+        F.last("__ref_ts", ignorenulls=True).over(wb).alias("__b_ts"),
+        *[F.first("__p_" + p, ignorenulls=True).over(wf).alias("__f_" + p)
+          for p in payload_cols],
+        F.first("__ref_ts", ignorenulls=True).over(wf).alias("__f_ts"),
+    )
+    probes = filled.filter(F.col("__src") == 1)
+    bd = F.unix_micros("__ts") - F.unix_micros("__b_ts")
+    fd = F.unix_micros("__f_ts") - F.unix_micros("__ts")
+    pick_b = F.col("__f_ts").isNull() | (F.col("__b_ts").isNotNull()
+                                         & (bd <= fd))
+    sel = [*on, F.col("__ts").alias(left_ts), *left_other]
+    for p in payload_cols:
+        sel.append(F.when(pick_b, F.col("__b_" + p))
+                    .otherwise(F.col("__f_" + p)).alias(p + suffix))
+    return probes.select(*sel)

@@ -47,7 +47,7 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "filter_ectopic_kamath",
                    "agg_incremental_state_merge", "stream_cdc_apply",
                    "dedup_semantic_cluster", "win_ewma",
                    "vec_centroid_by_label", "win_anomaly_zscore",
-                   "agg_time_weighted_avg"]
+                   "agg_time_weighted_avg", "join_asof_nearest"]
 # The judge's round-2 "done" bar is explicit: a green CORRECTNESS row
 # for (at minimum) ALL §2.5 window / §2.8 scalar / §2.9 HRV SQL ids.
 # Those modules therefore outrank even the new-this-round queries in

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dsum, dsum_sql
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_nearest
 from .registry import query
 
 
@@ -436,3 +436,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n_orders"),
                        dsum("o_totalprice").alias("total_price"))
                   .orderBy("c_mktsegment"))
+
+
+@query("join_asof_nearest", oracle="""
+WITH s AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'signup'),
+b AS (SELECT e.event_id, e.user_id, e.ts, s.event_id AS b_id, s.ts AS b_ts
+      FROM events e
+      ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts),
+f AS (SELECT e.event_id, s.event_id AS f_id, s.ts AS f_ts
+      FROM events e
+      ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts <= s.ts)
+SELECT b.event_id, b.user_id,
+       CASE WHEN f_id IS NULL THEN b_id
+            WHEN b_id IS NULL THEN f_id
+            WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                 <= epoch_us(f_ts) - epoch_us(b.ts)
+            THEN b_id ELSE f_id END AS nearest_signup_id
+FROM b JOIN f ON b.event_id = f.event_id
+""")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (merge_asof direction='nearest', completing the
+    backward/forward/tolerance/nearest family): each event gets the
+    same-user signup with the smallest |Δt|, ties to the earlier side.
+    One union + one sort yields BOTH directional candidates via two
+    frames over the same window ordering — nearest costs the same
+    single shuffle as either direction (operators/asof.py,
+    asof_join_nearest). The oracle composes DuckDB's two native ASOF
+    directions with the identical tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id"))
+    joined = asof_join_nearest(
+        ev.select("event_id", "user_id", "ts"), signups,
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["signup_id"])
+    return joined.select(
+        "event_id", "user_id",
+        F.col("signup_id_near").alias("nearest_signup_id"))
