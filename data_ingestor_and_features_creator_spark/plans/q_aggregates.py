@@ -524,3 +524,29 @@ def agg_incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("mn")).alias("min_value"),
         r6(F.col("mx")).alias("max_value"),
     )
+
+
+_HIST_W = 50  # bin width over `value`
+
+
+@query("agg_histogram_fixed_bins", oracle=f"""
+SELECT event_type,
+       CAST(FLOOR(value / {_HIST_W}) AS BIGINT) * {_HIST_W} AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type, CAST(FLOOR(value / {_HIST_W}) AS BIGINT) * {_HIST_W}
+""")
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event_type — the distribution-profile
+    primitive (and the binning step under the HRV triangular index):
+    FLOOR(value/width) is exact for doubles on both engines, NaNs are
+    excluded explicitly (FLOOR(NaN) casts differently per engine), and
+    the output is pure integers. One hash aggregate; at 100 TB the
+    per-(type, bin) cardinality is tiny regardless of input size —
+    histograms are the canonical map-side-combine win."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    bin_lo = (F.floor(F.col("value") / _HIST_W).cast("long") * _HIST_W)
+    return (ev.groupBy("event_type", bin_lo.alias("bin_lo"))
+              .agg(F.count(F.lit(1)).alias("cnt")))

@@ -474,3 +474,43 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id",
         F.col("signup_id_near").alias("nearest_signup_id"))
+
+
+@query("join_interval_overlap", oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE))
+SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
+       LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.day = b.day AND a.user_id < b.user_id
+ AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+""")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (Allen 'overlaps' family, beyond the
+    point-in-interval join_range_interval): per-(user, day) activity
+    intervals, emit every same-day pair whose intervals intersect with
+    the exact overlap length. The day block is the scale control: an
+    unblocked interval self-join is quadratic, while blocking by a
+    coarse time bucket bounds each join partition — the same strategy
+    Spark's own range-join hints implement with bin packing. Interval
+    ends are exact integer µs so LEAST/GREATEST arithmetic is
+    bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    iv = (ev.groupBy("user_id",
+                     F.to_date(F.date_trunc("day", "ts")).alias("day"))
+            .agg(F.min(us).alias("s_us"), F.max(us).alias("e_us")))
+    a = iv.select(F.col("user_id").alias("user_a"), "day",
+                  F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e"))
+    b = iv.select(F.col("user_id").alias("user_b"), F.col("day").alias("d2"),
+                  F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e"))
+    j = a.join(b, (F.col("day") == F.col("d2"))
+               & (F.col("user_a") < F.col("user_b"))
+               & (F.col("a_s") <= F.col("b_e"))
+               & (F.col("b_s") <= F.col("a_e")))
+    return j.select(
+        "day", "user_a", "user_b",
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+        .alias("overlap_us"))
