@@ -57,7 +57,8 @@ _NEW_THIS_ROUND = ["signal_rpeak_detect", "graph_pagerank",
                    "sink_dynamic_overwrite", "signal_rpeak_detect_pt",
                    "win_ewma", "vec_centroid_by_label",
                    "win_anomaly_zscore", "join_interval_overlap",
-                   "agg_histogram_fixed_bins"]
+                   "agg_histogram_fixed_bins", "stream_windowed_topk",
+                   "join_theta_band_bucketed"]
 # The judge's round-2 "done" bar is explicit: a green CORRECTNESS row
 # for (at minimum) ALL §2.5 window / §2.8 scalar / §2.9 HRV SQL ids.
 # Those modules therefore outrank even the new-this-round queries in

@@ -219,3 +219,35 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-row-per-key directly over the whole feed, so a hash match
     proves the incremental apply converges to the batch answer."""
     return runner.run_cdc_apply(spark, load_table(spark, sf_dir, "events"))
+
+
+@query("stream_windowed_topk", oracle=f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // {_HOUR}) * {_HOUR} AS ws_us, event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY ws_us, event_type)
+SELECT ws_us, event_type, cnt, rnk FROM (
+  SELECT ws_us, event_type, cnt,
+         row_number() OVER (PARTITION BY ws_us
+                            ORDER BY cnt DESC, event_type) AS rnk
+  FROM c)
+WHERE rnk <= 3
+""")
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour — the windowed-ranking
+    dashboard shape (trending items per window). Registered on the
+    batch path like the other window transforms; in streaming mode
+    this is the classic two-stage pattern: the windowed count is an
+    incremental streaming agg, the per-window ranking runs in the
+    foreachBatch sink (ranking needs the window CLOSED — a watermark
+    decides when). Count-then-rank means the rank stage sees one row
+    per (window, type), never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = F.expr(f"(unix_micros(ts) div {_HOUR}) * {_HOUR}")
+    c = (ev.groupBy(ws.alias("ws_us"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("ws_us").orderBy(F.desc("cnt"), "event_type")
+    return (c.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= 3)
+             .select("ws_us", "event_type", "cnt", "rnk"))
