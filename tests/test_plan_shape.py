@@ -207,3 +207,13 @@ def test_twap_reuses_user_partitioning(spark, sf_dir):
     plan = _physical(QUERIES["agg_time_weighted_avg"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_band_join_is_hash_join_not_bnlj(spark, sf_dir):
+    """The bucket blocking must give Catalyst an equi key: the plan
+    may contain NO BroadcastNestedLoopJoin (what the raw theta
+    predicate would produce) — a hash-based or sort-merge join on the
+    bucket id instead."""
+    plan = _physical(QUERIES["join_theta_band_bucketed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
