@@ -127,6 +127,71 @@ def sampen_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+TINN_SCHEMA = "record_id long, n_bins long, tinn double"
+
+_BIN_MS = 7.8125  # 128 Hz-heritage histogram bin width (Task Force)
+
+
+def tinn_fit(bins: np.ndarray, counts: np.ndarray) -> float | None:
+    """TINN: M − N (ms) of the least-squares triangular interpolation
+    of the NN histogram (Kubios / Task-Force definition; hrvanalysis
+    itself returns tinn=None, so this is the engine's own fit).
+
+    ``bins`` are integer bin indices (rri // 7.8125), ``counts`` their
+    occupancies. The triangle q is 0 at edges N and M and peaks at the
+    modal bin X with height D(X); the search scans every (N ≤ X, M ≥ X)
+    edge pair on the bin grid minimizing Σ_t (D(t) − q(t))² over the
+    FULL histogram support (mass outside [N, M] is penalized, matching
+    the published objective). O(B²·B) with a vectorized inner sum — B
+    is bounded by the physiologic RR range, not by beat count.
+    Tie-break: smallest error, then smallest width, then smallest N
+    (deterministic output for flat histograms)."""
+    if len(bins) == 0:
+        return None
+    lo, hi = int(bins.min()), int(bins.max())
+    nb = hi - lo + 1
+    if nb < 3:
+        return None
+    dens = np.zeros(nb, dtype=np.float64)
+    dens[bins - lo] = counts
+    x = int(np.argmax(dens))  # first modal bin on ties
+    centers = np.arange(nb, dtype=np.float64)
+    peak = dens[x]
+    best = None
+    for n_idx in range(0, x):
+        rise = np.zeros(nb)
+        seg = centers[n_idx:x + 1]
+        rise[n_idx:x + 1] = peak * (seg - n_idx) / (x - n_idx) \
+            if x > n_idx else peak
+        for m_idx in range(x + 1, nb):
+            q = rise.copy()
+            seg2 = centers[x:m_idx + 1]
+            q[x:m_idx + 1] = peak * (m_idx - seg2) / (m_idx - x)
+            q[x] = peak
+            err = float(np.sum((dens - q) ** 2))
+            key = (err, m_idx - n_idx, n_idx)
+            if best is None or key < best[0]:
+                best = (key, n_idx, m_idx)
+    if best is None:
+        return None
+    _, n_idx, m_idx = best
+    return float((m_idx - n_idx) * _BIN_MS)
+
+
+def tinn_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-record TINN over pre-aggregated (bin, count) rows — the
+    histogramming ran as a distributed groupBy upstream, so this kernel
+    is O(bins²) regardless of how many beats the record has."""
+    record_id = pdf["record_id"].iloc[0]
+    bins = pdf["bin"].to_numpy(dtype=np.int64)
+    counts = pdf["c"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "record_id": [record_id],
+        "n_bins": [len(bins)],
+        "tinn": [tinn_fit(bins, counts)],
+    })
+
+
 FREQ_SLIDING_SCHEMA = ("record_id long, ws_us long, n_beats long, "
                        "vlf double, lf double, hf double, "
                        "total_power double, lf_hf_ratio double, "

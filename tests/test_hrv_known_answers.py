@@ -248,3 +248,38 @@ def test_freq_domain_window_kernel_carries_key():
     assert out["record_id"] == 7 and out["ws_us"] == 123456
     assert out["n_beats"] == n
     assert out["lf"] is not None and out["lf"] > out["hf"]  # 0.1 Hz is LF
+
+
+def test_tinn_perfect_triangle_recovers_base_width():
+    """A histogram that IS a triangle must fit itself exactly: counts
+    rise 0→peak over bins 10..15 and fall back to 0 at bin 20, so the
+    optimal (N, M) = (10, 20) and tinn = 10 bins × 7.8125 ms."""
+    bins = np.arange(11, 20)  # interior bins with nonzero mass
+    peak = 8.0
+    counts = np.where(bins <= 15, (bins - 10) * peak / 5.0,
+                      (20 - bins) * peak / 5.0)
+    # pad explicit zero-mass edge bins so the grid spans 10..20
+    bins = np.concatenate(([10], bins, [20]))
+    counts = np.concatenate(([0.0], counts, [0.0]))
+    assert kernels.tinn_fit(bins, counts) == pytest.approx(10 * 7.8125)
+
+
+def test_tinn_penalizes_mass_outside_base():
+    """Mass far outside the candidate base must widen the fit: with an
+    outlier bin at 40 the narrow triangle pays its full squared count,
+    so the optimizer prefers a base reaching it when that mass is
+    large."""
+    bins = np.array([10, 11, 12, 13, 14])
+    counts = np.array([0.0, 5.0, 10.0, 5.0, 0.0])
+    narrow = kernels.tinn_fit(bins, counts)
+    assert narrow == pytest.approx(4 * 7.8125)
+    bins2 = np.concatenate((bins, [40]))
+    counts2 = np.concatenate((counts, [0.5]))  # small → ignored
+    assert kernels.tinn_fit(bins2, counts2) == pytest.approx(4 * 7.8125)
+
+
+def test_tinn_degenerate_histograms_return_none():
+    assert kernels.tinn_fit(np.array([]), np.array([])) is None
+    assert kernels.tinn_fit(np.array([3]), np.array([9.0])) is None  # 1 bin
+    # mode at the grid edge → no interior triangle
+    assert kernels.tinn_fit(np.array([0, 1]), np.array([5.0, 1.0])) is None
