@@ -201,6 +201,170 @@ def seq_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_cube", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every subtotal combination in one pass (completes the
+    grouping-set family next to ROLLUP/agg_grouping_sets). grouping_id
+    is emitted so consumers can tell a real NULL group key from a
+    subtotal row — both engines assign the first listed column the MSB,
+    which the oracle pins. Same Expand-then-aggregate physical shape as
+    ROLLUP: each row fans out once per grouping set, partials combine
+    map-side."""
+    from ..functions.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query("win_lead_nth", oracle="""
+SELECT event_id, user_id,
+       lead(value, 1) OVER w AS next_value,
+       lead(value, 2, -1.0) OVER w AS next2_value,
+       nth_value(value, 3) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def win_lead_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead (with and without default) + nth_value — the forward-looking
+    §2.5 companions to win_lag_diff. nth_value runs over an explicit
+    cumulative ROWS frame on both engines (their default frames differ:
+    Spark rows, DuckDB range). All three share one (user, ts) window →
+    a single partitioning exchange serves the whole select."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.lead("value", 2, -1.0).over(w).alias("next2_value"),
+        F.nth_value("value", 3).over(wc).alias("third_seen"),
+    )
+
+
+_BM25_TERMS = ["hash", "vector", "stream"]
+_K1, _B = 1.2, 0.75
+
+
+@query("text_bm25_topk", oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\r\n]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+  WHERE w IN ('hash', 'vector', 'stream') GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w
+), s AS (
+  SELECT tf.doc_id, tf.w,
+         ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({_K1} + 1.0)
+         / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl)) AS sc
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN stats
+), piv AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN w = 'hash' THEN sc END), 0.0)
+       + COALESCE(MAX(CASE WHEN w = 'vector' THEN sc END), 0.0)
+       + COALESCE(MAX(CASE WHEN w = 'stream' THEN sc END), 0.0) AS score
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, score FROM piv ORDER BY score DESC, doc_id LIMIT 10
+""")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed term set,
+    top-10 docs — the ranking half of an LLM data/RAG pipeline next to
+    text_tfidf_topk.
+
+    Cross-engine bit-exactness: the idf uses the RAW Robertson odds
+    ratio (N−df+0.5)/(df+0.5) instead of its log — libm ln() drifts by
+    1 ulp between engines (house rule), while +,*,/ are IEEE-exact, so
+    the whole score is bit-identical and emitted UNROUNDED; production
+    would wrap F.log around the ratio. The per-term sum folds in FIXED
+    column order (pivot-then-add, not a float SUM whose partial order
+    is nondeterministic). Scale shape: doc-length and term stats are
+    aggregates over the token table; df and the 1-row corpus stats
+    broadcast into the scoring join; top-k is a total-ordered LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    tf = (toks.filter(F.col("w").isin(_BM25_TERMS))
+              .groupBy("doc_id", "w")
+              .agg(F.count("*").cast("double").alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    s = (tf.join(dl, "doc_id")
+           .join(F.broadcast(dfreq), "w")
+           .crossJoin(F.broadcast(stats))
+           .withColumn("sc",
+                       ((F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5))
+                       * F.col("tf") * (_K1 + 1.0)
+                       / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl")
+                                               / F.col("avgdl")))))
+    term_cols = [
+        F.coalesce(F.max(F.when(F.col("w") == t, F.col("sc"))), F.lit(0.0))
+        for t in _BM25_TERMS]
+    score = term_cols[0] + term_cols[1] + term_cols[2]
+    piv = s.groupBy("doc_id").agg(score.alias("score"))
+    return piv.orderBy(F.col("score").desc(), "doc_id").limit(10)
+
+
+@query("dedup_exact_normalized", oracle="""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM n GROUP BY h
+""")
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (C4-style): lowercase, strip
+    non-alphanumerics, collapse whitespace, THEN hash — catches the
+    copies that raw-byte dedup_exact misses (case/punctuation
+    variants); every group is emitted with its survivor + copy count
+    (the fixture plants no normalized dups at sf0.01, and an empty
+    HAVING-filtered result would be a vacuous oracle row — emitting all
+    digests makes the check bite on every document). Shuffle key is the
+    128-bit digest, not the text: the
+    exchange moves 32-byte keys however large the documents are, and
+    the digest distribution is uniform so the agg cannot skew. DuckDB
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default (house rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    n = docs.select("doc_id", F.md5(norm).alias("h"))
+    return n.groupBy("h").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"))
+
+
 @query("hrv_tinn")  # rows-only: least-squares triangle fit, not SQL
 def hrv_tinn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TINN — baseline width of the least-squares triangular fit to the

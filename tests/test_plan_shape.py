@@ -217,3 +217,29 @@ def test_band_join_is_hash_join_not_bnlj(spark, sf_dir):
     plan = _physical(QUERIES["join_theta_band_bucketed"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_chunk_overlap_is_zero_shuffle(spark, sf_dir):
+    """Document chunking must stay a narrow map stage: tokenize, bounded
+    explode, slice — no Exchange anywhere (chunks inherit the scan's
+    partitioning; at 100 TB a shuffle here would move the whole corpus)."""
+    plan = _physical(QUERIES["text_chunk_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan  # the bounded stride-grid fan-out
+
+
+def test_sliding_distinct_single_exchange(spark, sf_dir):
+    """One hash-partitioning exchange on user_id feeds the window; the
+    bounded 10-row frame buffer must not introduce an aggregate or a
+    second shuffle."""
+    plan = _physical(QUERIES["win_distinct_sliding"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mode_windows_aggregated_table_only(spark, sf_dir):
+    """Count-then-rank: the row_number window must consume the
+    aggregate's output (group cardinality), never raw events — i.e. a
+    partial_count before the shuffle, and the window above the agg."""
+    plan = _physical(QUERIES["agg_mode"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # top-down print
