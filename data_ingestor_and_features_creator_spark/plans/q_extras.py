@@ -304,8 +304,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the token table; df and the 1-row corpus stats
     broadcast into the scoring join; top-k is a total-ordered LIMIT."""
     docs = load_table(spark, sf_dir, "documents")
+    # diamond top: dl and tf both consume the token table — cache it so
+    # the corpus is tokenized ONCE (same pattern as minhash shingling)
     toks = docs.select(
-        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")).cache()
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -243,3 +243,15 @@ def test_mode_windows_aggregated_table_only(spark, sf_dir):
     plan = _physical(QUERIES["agg_mode"](spark, sf_dir))
     assert "partial_count" in plan
     assert plan.index("Window") < plan.index("HashAggregate")  # top-down print
+
+
+def test_bm25_topk_plan_shape(spark, sf_dir):
+    """BM25: token diamond cached (tokenize once, not once per branch),
+    term/corpus stats broadcast into the scoring join, and the top-10 a
+    TakeOrderedAndProject (per-partition heap + merge), never a global
+    sort."""
+    plan = _physical(QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [score" not in plan
