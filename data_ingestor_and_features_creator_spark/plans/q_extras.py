@@ -367,6 +367,150 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"))
 
 
+@query("vec_pairwise_cosine", oracle="""
+WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+m AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+              / COUNT(x) AS DECIMAL(18,6)) AS mu
+  FROM e GROUP BY label, pos),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(a.mu * b.mu) AS dot,
+         SUM(a.mu * a.mu) AS na,
+         SUM(b.mu * b.mu) AS nb
+  FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT label_a, label_b,
+       CAST(dot AS DOUBLE)
+       / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cosine
+FROM p
+""")
+def vec_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    class-confusability / cluster-quality matrix downstream of
+    vec_centroid_by_label.
+
+    Exactness chain: centroid components quantize to DECIMAL(18,6)
+    fixed point, dot products and norms accumulate in DECIMAL (exact),
+    and only the final cosine divides as doubles — sqrt is IEEE
+    correctly-rounded on both engines, so the result is bit-identical
+    UNROUNDED. Scale: the (label, pos) centroid table is |labels|·dim
+    rows — tiny — so the pos-equi self-join (a.label < b.label kills
+    mirror pairs) broadcasts; the quadratic term is |labels|², never
+    |vectors|²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.exact import dsum
+
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    m = e.groupBy("label", "pos").agg(
+        (dsum(F.col("x").cast("double")) / F.count("x"))
+        .cast("decimal(18,6)").alias("mu"))
+    a, b = m.alias("a"), m.alias("b")
+    p = (a.join(b, (F.col("a.pos") == F.col("b.pos"))
+                & (F.col("a.label") < F.col("b.label")))
+          .groupBy(F.col("a.label").alias("label_a"),
+                   F.col("b.label").alias("label_b"))
+          .agg(F.sum(F.col("a.mu") * F.col("b.mu")).alias("dot"),
+               F.sum(F.col("a.mu") * F.col("a.mu")).alias("na"),
+               F.sum(F.col("b.mu") * F.col("b.mu")).alias("nb")))
+    return p.select(
+        "label_a", "label_b",
+        (F.col("dot").cast("double")
+         / (F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double")))).alias("cosine"))
+
+
+@query("data_sample_weighted", oracle="""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id % 1000003) * 2654435761) % 1000003 % 1000000 AS h,
+         LEAST(1000000, n_chars * 1500) AS w_ppm
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM s WHERE h < w_ppm GROUP BY lang ORDER BY lang
+""")
+def data_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED sampling: keep probability proportional to a
+    continuous per-document score (here n_chars as the quality
+    stand-in, capped at 1) — the importance-resampling step of modern
+    pretraining curation, vs data_sample_stratified's per-stratum
+    rates. Same portable Knuth hash (< 2^52 intermediates, so DuckDB's
+    overflow-faulting BIGINT evaluates identically): no RNG, no
+    shuffle, any engine recomputes the same keep set; the weight is a
+    row-local expression so the filter pushes to the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 1000003 % 1000000
+    w = F.least(F.lit(1000000), F.col("n_chars") * 1500)
+    return (d.filter(h < w)
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_kept"),
+                  F.sum("n_chars").alias("chars"),
+                  F.min("doc_id").alias("first_doc"))
+             .orderBy("lang"))
+
+
+@query("text_bigram_novelty", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\r\n]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks WHERE len(t) >= 2
+), top AS (
+  SELECT b FROM (
+    SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+    ORDER BY c DESC, b LIMIT 100)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST((CAST(SUM(CASE WHEN top.b IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS common_ppm
+FROM bg LEFT JOIN top ON bg.b = top.b
+GROUP BY doc_id
+""")
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-overlap novelty score: what fraction of each document's
+    word-bigram instances fall in the corpus's top-100 bigram table —
+    low overlap flags novel/outlier text, high overlap flags
+    boilerplate (the cheap n-gram-LM surrogate used for corpus QC
+    before training). The rate ships as floored integer PPM (exact
+    cross-engine; no float rounding). Scale: the top-k table is 100
+    rows → broadcast left join onto the bigram stream; the bigram
+    explode is bounded by token count; the only wide shuffles are the
+    two hash aggregates. Note Spark array subscripts are 0-based vs
+    DuckDB's 1-based — each side indexes its own convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens(F.lower(F.col("text"))).alias("t")) \
+            .filter(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t) - 2), "
+            "i -> concat(t[i], ' ', t[i + 1]))")).alias("b")).cache()
+    top = (bg.groupBy("b").agg(F.count("*").alias("c"))
+             .orderBy(F.col("c").desc(), "b").limit(100).select("b")
+             .withColumn("hit", F.lit(1)))
+    return (bg.join(F.broadcast(top), "b", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+                    .cast("long").alias("n_common"))
+              .select("doc_id", "n_bigrams",
+                      F.expr("CAST((n_common * 1000000) DIV n_bigrams "
+                             "AS BIGINT)").alias("common_ppm")))
+
+
 @query("hrv_tinn")  # rows-only: least-squares triangle fit, not SQL
 def hrv_tinn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TINN — baseline width of the least-squares triangular fit to the

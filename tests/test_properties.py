@@ -162,3 +162,37 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
         agg_percentile_approx)
     for r in agg_percentile_approx(spark, sf_dir).collect():
         assert r["p50_approx"] == pytest.approx(r["p50_exact"], rel=0.01)
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=1, max_size=90))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_overlap_reconstructs_document(spark, words):
+    """Chunking invariants for any token count: (1) dropping each
+    chunk's first `overlap` tokens (except chunk 0) and concatenating
+    reconstructs the document exactly; (2) every chunk except the last
+    has exactly CHUNK tokens or the doc is shorter than CHUNK."""
+    from data_ingestor_and_features_creator_spark.plans.q_extras import (
+        _CHUNK, _STRIDE, text_chunk_overlap)
+    from data_ingestor_and_features_creator_spark.plans import q_extras
+    import data_ingestor_and_features_creator_spark.catalog as catalog
+
+    text = " ".join(words)
+    doc = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    orig_load = q_extras.load_table
+    q_extras.load_table = lambda s, d, n: doc
+    try:
+        rows = (text_chunk_overlap(spark, "ignored")
+                .orderBy("chunk_idx").collect())
+    finally:
+        q_extras.load_table = orig_load
+    overlap = _CHUNK - _STRIDE
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tok"]
+        rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+    assert rebuilt == words
+    for r in rows[:-1]:
+        assert r["n_tok"] == _CHUNK or len(words) < _CHUNK
