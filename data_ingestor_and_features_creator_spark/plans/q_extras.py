@@ -511,6 +511,82 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "AS BIGINT)").alias("common_ppm")))
 
 
+_GAP_US = 1_800_000_000  # 30 min session timeout, integer µs
+
+
+@query("sessionize_timeout", oracle=f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, us, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_id
+""")
+def sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization by inactivity gap (30 min) — the canonical
+    lag→flag→cumsum pattern: a gap beyond the timeout starts a new
+    session, the running sum of start flags is the session id, one
+    aggregate emits per-session stats. The batch twin of
+    stream_session's native session window. All three stages share the
+    (user_id) partitioning → ONE exchange for the whole plan; time
+    arithmetic is integer µs end-to-end (no timestamp-difference float
+    drift). At 100 TB this is the shape that wins: no self-join, no
+    iterative merging — the cumulative sum linearizes session
+    assignment in a single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select("user_id", "ts", "event_id", us.alias("us")).withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.col("us") - F.lag("us").over(w)) > _GAP_US), 1)
+         .otherwise(0))
+    wc = (W.partitionBy("user_id").orderBy("us", "event_id")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = g.withColumn("session_id", F.sum("new_s").over(wc).cast("long"))
+    return (s.groupBy("user_id", "session_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("us").alias("start_us"),
+                  (F.max("us") - F.min("us")).alias("duration_us")))
+
+
+@query("win_cumulative_distinct", oracle="""
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_seen
+FROM events
+""")
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING distinct count ("how many distinct types has this user
+    seen so far") — the cumulative companion to win_distinct_sliding.
+    Spark form: size(collect_set() over cumulative frame); the state is
+    the distinct SET (bounded by |event_type|, not rows seen), so the
+    frame buffer stays small even over arbitrarily long histories —
+    the property that makes this safe at 100 TB where a collect_list
+    would grow linearly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.size(F.collect_set("event_type").over(w))
+         .cast("long").alias("types_seen"),
+    )
+
+
 @query("hrv_tinn")  # rows-only: least-squares triangle fit, not SQL
 def hrv_tinn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TINN — baseline width of the least-squares triangular fit to the

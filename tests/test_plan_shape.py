@@ -255,3 +255,12 @@ def test_bm25_topk_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort [score" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """lag→flag→cumsum→agg all key on user_id: the whole sessionization
+    plan must run off ONE hashpartitioning exchange (plus AQE reads) —
+    a second shuffle would mean a stage boundary the pattern exists to
+    avoid."""
+    plan = _physical(QUERIES["sessionize_timeout"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
