@@ -38,6 +38,10 @@ HEADLINE = [
     # its CC composition dedup_semantic_cluster runs O(log n) driver-
     # looped rounds whose scheduler overhead dominates at bench scale)
     "dedup_embedding_lsh",
+    # round-2 late additions: text-retrieval scoring and the
+    # single-exchange sessionization pattern
+    "text_bm25_topk",
+    "sessionize_timeout",
 ]
 
 

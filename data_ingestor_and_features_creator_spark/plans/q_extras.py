@@ -587,6 +587,44 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("data_decontaminate", oracle="""
+WITH n AS (
+  SELECT doc_id, lang, n_chars,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS h
+  FROM documents
+), eval AS (
+  SELECT DISTINCT h FROM n WHERE doc_id % 97 = 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM n ANTI JOIN eval USING (h)
+GROUP BY lang ORDER BY lang
+""")
+def data_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set DECONTAMINATION: drop every training document whose
+    normalized fingerprint appears in the held-out set (the doc_id%97
+    grid stands in for the eval corpus) — the step that keeps
+    benchmarks out of pretraining data. Shape: the eval fingerprint
+    table is tiny relative to the corpus → broadcast ANTI join, so the
+    100 TB side never shuffles; fingerprints reuse the
+    dedup_exact_normalized normalization so near-identical copies
+    (case/punctuation) are caught, not just byte-equal ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    n = docs.select("doc_id", "lang", "n_chars", F.md5(norm).alias("h"))
+    ev = n.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    return (n.join(F.broadcast(ev), "h", "left_anti")
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_kept"),
+                  F.sum("n_chars").alias("chars"))
+             .orderBy("lang"))
+
+
 @query("hrv_tinn")  # rows-only: least-squares triangle fit, not SQL
 def hrv_tinn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TINN — baseline width of the least-squares triangular fit to the

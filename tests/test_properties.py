@@ -196,3 +196,27 @@ def test_chunk_overlap_reconstructs_document(spark, words):
     assert rebuilt == words
     for r in rows[:-1]:
         assert r["n_tok"] == _CHUNK or len(words) < _CHUNK
+
+
+def test_sessionize_matches_native_session_window(spark, sf_dir):
+    """The manual lag→flag→cumsum sessionization must agree with
+    Spark's native session_window(ts, gap) on every (user, session
+    start, event count) — two independent implementations of the same
+    semantics, so a mismatch means one of them mis-handles a boundary
+    (the gap comparison is strict > in ours; session_window closes at
+    gap >= on merge — equal-gap events land in the same session under
+    both)."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_extras import (
+        sessionize_timeout)
+
+    manual = {(r["user_id"], r["start_us"]): r["n_events"]
+              for r in sessionize_timeout(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    native = (ev.groupBy("user_id",
+                         F.session_window("ts", "30 minutes").alias("w"))
+                .agg(F.count("*").alias("n_events"),
+                     F.min(F.unix_micros("ts")).alias("start_us")))
+    native_m = {(r["user_id"], r["start_us"]): r["n_events"]
+                for r in native.collect()}
+    assert manual == native_m
