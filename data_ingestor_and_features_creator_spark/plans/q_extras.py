@@ -625,6 +625,54 @@ def data_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("lang"))
 
 
+@query("source_custom_python", oracle="""
+SELECT g AS i, (g * g) % 97 AS v
+FROM unnest(generate_series(0, 999)) AS t(g)
+""")
+def source_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (PySpark 4 datasource API) — the
+    §2.1 extension point for feeds Spark cannot read natively. The
+    source declares 4 independent input partitions (one task each, like
+    parquet row-groups) and yields ONE Arrow RecordBatch per partition
+    (vectorized path, not per-row tuples). The grid is deterministic
+    integer arithmetic, so the oracle recomputes it exactly in SQL."""
+    from ..sources.pydatasource import SynthGridDataSource
+
+    spark.dataSource.register(SynthGridDataSource)
+    return (spark.read.format("synthgrid")
+            .option("rows", 1000).option("partitions", 4).load())
+
+
+def _arrow_group_stats(tbl):
+    """pyarrow grouped-map kernel: per-group count + exact int64 sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "user_id": pa.array([tbl.column("user_id")[0].as_py()], pa.int64()),
+        "n": pa.array([tbl.num_rows], pa.int64()),
+        "sum_event_id": pa.array([pc.sum(tbl.column("event_id")).as_py()],
+                                 pa.int64()),
+    })
+
+
+@query("udf_grouped_arrow", oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events GROUP BY user_id
+""")
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow grouped-map — the zero-copy sibling of
+    applyInPandas (§2.12): the kernel sees the raw Arrow table, no
+    pandas conversion on either side. Stats are integer count+sum, so
+    unlike the float-reduction kernels this one is fully
+    oracle-checkable (int64 addition is exact in any order). Pre-select
+    trims the Arrow payload to the 2 needed columns."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    return ev.groupBy("user_id").applyInArrow(
+        _arrow_group_stats, schema="user_id long, n long, sum_event_id long")
+
+
 @query("hrv_tinn")  # rows-only: least-squares triangle fit, not SQL
 def hrv_tinn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TINN — baseline width of the least-squares triangular fit to the
