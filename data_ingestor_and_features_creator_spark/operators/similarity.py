@@ -75,31 +75,45 @@ def lsh_buckets(df: DataFrame, tables: int = LSH_TABLES, bits: int = LSH_BITS,
     """(vec_id, table, bucket): sign-of-projection bits packed into an
     int bucket id per hash table.
 
-    The hyperplanes ride along as a BROADCAST (table, bit, plane)
-    DataFrame — 32 rows — rather than plan literals: an earlier
-    literal-unrolled form (tables × bits dot products, each an
-    `aggregate` over 64 `lit` floats) built a ~2048-literal expression
-    tree whose first-run analysis/codegen cost ~8 s PER PLAN — paid
-    again by every fresh query over the same data. With planes as
-    data, the expression is ONE small dot product; the fan-out is
-    |vecs| × tables·bits rows (cheap, Arrow-free, JVM-side) and the
-    bucket reassembles via an integer sum keyed on (vec_id, table).
-    Seeded generation keeps buckets deterministic across engines; the
-    fold math is unchanged, so oracle twins built from the same seed
-    still match bit-for-bit."""
+    Arrow `mapInPandas` kernel: each batch projects its embedding
+    matrix onto every hyperplane with a PER-DIMENSION left-to-right
+    accumulation (``acc = acc + E[:, j] * plane[j]``) — elementwise
+    float64 IEEE ops in the exact order the SQL oracle's
+    ``list_reduce`` fold uses, so the projection (hence the sign,
+    hence the bucket) is bit-identical to the DuckDB twin built from
+    the same seed. Two earlier forms were slower: plan-literal
+    unrolling (~2048 `lit`s → ~8 s analysis/codegen per fresh plan)
+    and a broadcast plane-table join (|vecs|×tables·bits row fan-out,
+    interpreted higher-order folds, plus a reassembly shuffle —
+    ~1.4 s for 2k×32 at sf0.1). The kernel is one narrow map stage:
+    no fan-out, no shuffle, numpy-vectorized across the batch."""
     planes = _hyperplanes(tables, bits, dim, seed)
-    spark = df.sparkSession
-    prows = [(t, j, [float(v) for v in planes[t, j]])
-             for t in range(tables) for j in range(bits)]
-    pdf = spark.createDataFrame(
-        prows, "table int, bit int, plane array<double>")
-    term = F.when(dot("embedding", "plane") > 0,
-                  F.expr("CAST(pow(2, bit) AS LONG)")).otherwise(F.lit(0))
+    flat = planes.reshape(tables * bits, -1).astype(np.float64)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            em = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = em.shape
+            sig = np.empty((n, tables * bits), dtype=np.int64)
+            for r in range(tables * bits):
+                acc = np.zeros(n)
+                for j in range(d):
+                    acc = acc + em[:, j] * flat[r, j]
+                sig[:, r] = acc > 0
+            buckets = sig.reshape(n, tables, bits) @ weights  # (n, tables)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                "table": np.tile(np.arange(tables, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1).astype(np.int32),
+            })
+
     return (df.select("vec_id", "embedding")
-              .join(F.broadcast(pdf))
-              .select("vec_id", "table", term.alias("term"))
-              .groupBy("vec_id", "table")
-              .agg(F.sum("term").cast("int").alias("bucket")))
+              .mapInPandas(kernel, "vec_id long, table int, bucket int"))
 
 
 # Near-dup self-join wants FINER buckets than query-style kNN: the
@@ -140,9 +154,14 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     cand = (left.join(right, ["table", "bucket"])
                 .filter(F.col("a") < F.col("b"))
                 .select("a", "b").distinct())
-    x = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    y = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    cos = dot("ea", "eb") / (l2_norm("ea") * l2_norm("eb"))
+    # Norms once per VECTOR, not per pair: sqrt(dot(x,x)) is the same
+    # double either way, so the oracle's per-pair form still matches
+    # bit-for-bit while the join evaluates one fold per pair, not 3.
+    x = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+                  l2_norm("embedding").alias("na"))
+    y = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+                  l2_norm("embedding").alias("nb"))
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (cand.join(x, "a").join(y, "b")
                 .withColumn("__cos", cos)
                 .filter(F.col("__cos") >= threshold)

@@ -341,12 +341,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs is the LSH path's job). Same bit-exact zip-fold math as
     the kNN oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per vector (same double as the oracle's per-pair
+    # sqrt(dot(x,x)) — see lsh_near_dup_pairs), one fold per pair
     x = emb.select(F.col("vec_id").alias("a"), "label",
-                   F.col("embedding").alias("ea"))
+                   F.col("embedding").alias("ea"),
+                   similarity.l2_norm("embedding").alias("na"))
     y = emb.select(F.col("vec_id").alias("b"), "label",
-                   F.col("embedding").alias("eb"))
-    cos = similarity.dot("ea", "eb") / (similarity.l2_norm("ea") *
-                                        similarity.l2_norm("eb"))
+                   F.col("embedding").alias("eb"),
+                   similarity.l2_norm("embedding").alias("nb"))
+    cos = similarity.dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (x.join(y, "label").filter(F.col("a") < F.col("b"))
              .withColumn("cosine", cos)
              .filter(F.col("cosine") >= 0.4)
