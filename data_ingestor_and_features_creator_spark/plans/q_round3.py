@@ -1,0 +1,399 @@
+"""Round-3 additions: exact-distinct bitmap sketches, approximate
+top-k, subword-vocabulary induction, BFS reachability levels, storage
+maintenance (compaction, Z-order clustering, dynamic partition
+pruning), and the Spark-4 transformWithState streaming surface.
+
+Registered AFTER q_extras (tail of the priority order in
+plans/__init__.py): the driver's per-round verification budget first
+re-reaches everything not yet checked, and these ids rotate into the
+prefix on the following round.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counting via mergeable BITMAPS (Spark 4 bitmap_* aggs)
+# ---------------------------------------------------------------------------
+
+@query("agg_bitmap_distinct", oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable roaring-style bitmaps
+    (Spark 4 `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`)
+    — the precompute-once/merge-anywhere contract of
+    agg_hll_sketch_merge but with zero approximation error, for key
+    domains dense enough to bitmap (user ids here).
+
+    Three levels prove merge ≡ rebuild: per-(type, day, bucket) bitmaps
+    are built first (the daily partial a 100 TB pipeline would
+    materialize), OR-merged up to (type, bucket), then bucket
+    cardinalities sum to the exact answer — `bitmap_bucket_number`
+    shards the key space into 32k-bit segments, so a sparse 8-byte key
+    domain never allocates a giant bitmap. The oracle recomputes
+    COUNT(DISTINCT) directly from raw rows: a hash match proves the
+    daily-partial route is lossless. All JVM-side aggregate
+    expressions; binary state never reaches Python."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+                 "event_type",
+                 F.to_date("ts").alias("day"),
+                 F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+               .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+                     .alias("bm")))
+    merged = (daily.groupBy("event_type", "bkt")
+                   .agg(F.expr("bitmap_or_agg(bm)").alias("bm")))
+    return (merged.groupBy("event_type")
+                  .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)")
+                        .alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# Approximate top-k (sketch-based heavy hitters)
+# ---------------------------------------------------------------------------
+
+@query("agg_approx_topk", oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, event_type) AS BIGINT)
+         AS rnk
+FROM events GROUP BY event_type
+QUALIFY rnk <= 3
+""")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: `approx_top_k` tracks frequent items
+    in bounded memory (one pass, mergeable partials) — the
+    streaming-friendly alternative to count-then-rank when the item
+    domain is huge. Here the tracked-item budget (default 10000) far
+    exceeds the event_type cardinality, so the sketch degenerates to
+    EXACT counts and the plain GROUP BY oracle is a legitimate twin —
+    the same query at 100 TB keeps this plan shape while count-then-rank
+    would shuffle the full (item, count) domain. Ties re-ranked
+    deterministically (count desc, item) on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+              .select(F.explode("tk").alias("e"))
+              .select(F.col("e.item").alias("item"),
+                      F.col("e.count").alias("cnt"))
+              .withColumn("rnk", F.row_number().over(
+                  W.orderBy(F.desc("cnt"), "item")).cast("long"))
+              .filter(F.col("rnk") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# Subword-vocabulary induction (char-trigram seed vocabulary)
+# ---------------------------------------------------------------------------
+
+_VOCAB_PREFIX = 512   # chars of each doc scanned (bounds cost per doc)
+_VOCAB_K = 32
+
+
+@query("vocab_topk_subwords", oracle=f"""
+WITH d AS (
+  SELECT substr(lower(text), 1, {_VOCAB_PREFIX}) AS t FROM documents
+), s AS (
+  SELECT t, unnest(generate_series(1, length(t) - 2)) AS pos
+  FROM d WHERE length(t) >= 3
+), g AS (
+  SELECT substr(t, pos, 3) AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY gram
+)
+SELECT gram, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rnk
+FROM g QUALIFY rnk <= {_VOCAB_K}
+""")
+def vocab_topk_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-vocabulary induction: the character-n-gram frequency
+    pass that seeds BPE/SentencePiece tokenizer training, as a pure
+    expression plan — lowercase, bound to a {_VOCAB_PREFIX}-char prefix
+    per doc (cost per row is O(prefix), independent of document
+    length), explode the trigram start grid, hash-aggregate counts,
+    keep the top {_VOCAB_K} with a deterministic (count, gram)
+    tiebreak. At 100 TB the (gram, count) domain after the partial agg
+    is tiny (≤ charset³), so the final rank stage is driver-scale
+    regardless of corpus size — the same reason agg_mode and
+    stream_windowed_topk count-then-rank. Both engines' `substr` are
+    character (not byte) indexed, so multibyte text agrees."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.substring(F.lower("text"), 1, _VOCAB_PREFIX)
+    d = docs.select(t.alias("t")).filter(F.length("t") >= 3)
+    grams = (d.select("t", F.explode(
+                  F.sequence(F.lit(1), F.length("t") - 2)).alias("pos"))
+               .select(F.expr("substr(t, pos, 3)").alias("gram"))
+               .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")))
+    return (grams.withColumn("rnk", F.row_number().over(
+                    W.orderBy(F.desc("cnt"), "gram")).cast("long"))
+                 .filter(F.col("rnk") <= _VOCAB_K)
+                 .select("gram", "cnt", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability levels (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_LEVEL = 3
+
+
+@query("graph_bfs_levels", oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT -l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), bfs AS (
+  SELECT c_custkey AS node, 0 AS level
+  FROM customer WHERE c_nationkey = 0
+  UNION
+  SELECT e.dst AS node, bfs.level + 1 AS level
+  FROM bfs JOIN e ON bfs.node = e.src
+  WHERE bfs.level < {_BFS_MAX_LEVEL}
+)
+SELECT node, CAST(MIN(level) AS BIGINT) AS level
+FROM bfs GROUP BY node
+""")
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop levels over the customer↔supplier purchase
+    graph (suppliers as negative node ids), seeded from nation-0
+    customers, capped at {_BFS_MAX_LEVEL} hops — the reachability /
+    shortest-hop family next to PageRank (fixed-point numeric) and
+    connected components (label propagation).
+
+    Iterative frontier expansion: visited is LEFT ANTI-joined out of
+    each next frontier, so a node's recorded level is its first (= min)
+    hop count; the edge set is computed once and cached; lineage is cut
+    per round with localCheckpoint (same discipline as
+    operators/graph.py). Each round is one equi-join + distinct — at
+    100 TB both shuffle on node id, and the frontier shrinks
+    geometrically after the first hops in power-law graphs. The oracle
+    is the textbook recursive-CTE BFS with UNION (not UNION ALL)
+    semantics, whose (node, level) dedup bounds path explosion; MIN per
+    node proves both sides agree on first-reach levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+                   .select(F.col("o_custkey").alias("c"),
+                           (-F.col("l_suppkey")).alias("s"))
+                   .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+                  .unionByName(
+                      pairs.select(F.col("s").alias("src"),
+                                   F.col("c").alias("dst")))
+                  .cache())
+    visited = (cust.filter(F.col("c_nationkey") == 0)
+                   .select(F.col("c_custkey").alias("node"))
+                   .withColumn("level", F.lit(0).cast("long")))
+    frontier = visited.select("node")
+    for lvl in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (frontier.join(edges, frontier.node == edges.src)
+                       .select(F.col("dst").alias("node")).distinct()
+                       .join(visited.select("node"), "node", "left_anti")
+                       .withColumn("level", F.lit(lvl).cast("long"))
+                       .localCheckpoint(eager=True))
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state streaming)
+# ---------------------------------------------------------------------------
+
+def _have_protobuf() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; the pure-Python `protobuf` package is NOT bundled
+    with PySpark and is absent from this container (no installs
+    allowed). Gate the registration so the operator exists wherever the
+    dependency does — a real cluster image — and is honestly absent
+    here instead of registering a guaranteed-fail."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's `transformWithStateInPandas` — the successor of
+    applyInPandasWithState (named state variables, timers, RocksDB
+    stores): per-user running (count, max) state updated across 4
+    replayed micro-batches, emitting the running aggregate each batch.
+    The registered result reduces each user to their LAST emission
+    (n_events is monotone, so max n_events = final state), which the
+    plain GROUP BY oracle must reproduce exactly — proving the
+    incremental state path converges to the batch answer, the same
+    merge ≡ rebuild contract as stream_cdc_apply. Runs on the RocksDB
+    state store (required by the API; also the 100 TB choice — state
+    off-heap per executor, not JVM heap)."""
+    from ..streaming import runner
+    ev = load_table(spark, sf_dir, "events")
+    out = runner.run_transform_with_state(spark, ev)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (out.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("user_id", "n_events", "max_value"))
+
+
+if _have_protobuf():  # see _have_protobuf docstring
+    stream_transform_with_state = query(
+        "stream_transform_with_state",
+        oracle=_TWS_ORACLE)(stream_transform_with_state)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (storage maintenance)
+# ---------------------------------------------------------------------------
+
+def _compaction_paths() -> tuple[str, str]:
+    base = tempfile.mkdtemp(prefix="compaction_")
+    return os.path.join(base, "raw"), os.path.join(base, "compacted")
+
+
+@query("sink_compaction", oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM events GROUP BY day
+""")
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the table-maintenance pass every
+    long-running ingest needs: a streaming/batched landing zone leaves
+    many small files per partition (here: 8-way repartition before a
+    day-partitioned write simulates 8 concurrent writers), then the
+    compactor rewrites each day to ONE right-sized file by
+    repartitioning ON the partition column so every day's rows land in
+    a single task before the partitioned write. Reading the compacted
+    table back and aggregating proves the rewrite is lossless (row
+    counts AND distinct ids per day — an accidental dedup or dropped
+    file fails the id count). At 100 TB the same plan compacts one
+    partition at a time with dynamic partition overwrite
+    (sink_dynamic_overwrite) instead of a full rewrite; target file
+    size is then rows-per-task via maxRecordsPerFile rather than one
+    task per day. File counts before/after are asserted in
+    tests/test_plan_shape.py."""
+    raw_dir, compacted_dir = _compaction_paths()
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value",
+                  F.to_date("ts").alias("day")))
+    ev.repartition(8).write.partitionBy("day").mode("overwrite").parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    (raw.repartition("day")
+        .write.partitionBy("day").mode("overwrite").parquet(compacted_dir))
+    back = spark.read.parquet(compacted_dir)
+    return (back.groupBy(F.col("day").cast("date").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.countDistinct("event_id").alias("n_ids")))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data layout)
+# ---------------------------------------------------------------------------
+
+def _zorder_sql(u: str, v: str, bits: int, dialect: str) -> str:
+    """Bit-interleave expression for a 2-D Z-address, generated for
+    both dialects from one definition: Spark spells shifts as
+    shiftleft/shiftright functions, DuckDB as << / >> operators."""
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({u}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({v}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({u} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({v} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZU = "(user_id & 65535)"
+_ZV = "(CAST(FLOOR(COALESCE(value, 0)) AS BIGINT) & 65535)"
+_ZK = 64
+
+
+@query("cluster_zorder", oracle=f"""
+WITH z AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(COALESCE(value, 0)) AS BIGINT) & 65535 AS vbkt,
+         {_zorder_sql(_ZU, _ZV, 16, 'duck')} AS zkey
+  FROM events
+)
+SELECT event_id, user_id, vbkt, CAST(zkey AS BIGINT) AS zkey
+FROM z ORDER BY zkey, event_id LIMIT {_ZK}
+""")
+def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering key — Delta/Iceberg OPTIMIZE ZORDER's core:
+    interleaving the bits of two dimensions (user_id, value bucket)
+    into one address so that range-partitioning + sorting by it
+    co-locates rows that are close in BOTH dimensions. Files written in
+    zkey ranges then carry narrow min/max stats on *each* dimension, so
+    a predicate on either column prunes most files at scan time — the
+    layout lever for 100 TB selective scans that single-column sort
+    cannot provide. The key is pure integer bit arithmetic (exact on
+    both engines, generated from one definition per dialect); the
+    registered result pins the key computation with a total order, and
+    the actual clustered write (repartitionByRange(zkey) →
+    sortWithinPartitions → per-file min/max narrowing vs a random
+    layout) is asserted in tests/test_plan_shape.py."""
+    ev = load_table(spark, sf_dir, "events")
+    z = ev.select(
+        "event_id", "user_id",
+        F.expr(_ZV).alias("vbkt"),
+        F.expr(_zorder_sql(_ZU, _ZV, 16, "spark")).cast("long").alias("zkey"))
+    return z.orderBy("zkey", "event_id").limit(_ZK)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning over a partitioned fact table
+# ---------------------------------------------------------------------------
+
+@query("join_dpp_partitioned", oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') <= '2024-03'
+GROUP BY month
+""")
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact table is laid out
+    partitioned-by-month on disk (the 100 TB landing layout), and a
+    filtered dimension join prunes fact *partitions at runtime* — the
+    dim side's month filter is turned into a subquery predicate on the
+    fact's partition column, so unneeded months are never read even
+    though the month list is only known after planning. The dim here is
+    the distinct-month table filtered to Q1; the plan-shape test
+    asserts `dynamicpruning` appears in the physical plan and the scan
+    reads ≤ the selected partitions. The oracle computes the same
+    monthly rollup straight from raw orders — a hash match proves
+    pruning dropped no qualifying rows. Partition values travel as
+    'yyyy-MM' strings (stable across engines and directory encoding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact_dir = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_month")
+    (orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+           .write.partitionBy("month").mode("overwrite").parquet(fact_dir))
+    fact = spark.read.parquet(fact_dir)
+    months = (fact.select("month").distinct()
+                  .filter(F.col("month") <= "2024-03"))
+    joined = fact.join(F.broadcast(months), "month")
+    return (joined.groupBy("month")
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+                        .cast("double").alias("revenue")))

@@ -141,3 +141,79 @@ def running_totals_stateful(events_stream: DataFrame) -> DataFrame:
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ----------------------
+
+TWS_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def _make_running_max_processor():
+    """Per-user running (count, max) as a Spark-4 StatefulProcessor.
+
+    transformWithStateInPandas is the successor of
+    applyInPandasWithState: named state variables on a typed handle,
+    timers, and RocksDB-backed stores. State here is one ValueState
+    tuple per user; each micro-batch emits the user's updated running
+    aggregate, so the LAST emission per user equals the batch answer —
+    the equivalence the SQL oracle checks."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None or m > mx else mx
+            self._state.update((n, mx))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return RunningMax()
+
+
+def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Replay events as 4 micro-batches through
+    transformWithStateInPandas (RocksDB state store — required by the
+    API and the production-scale choice: state lives off-heap/on-disk
+    per executor, not in JVM heap) and return every per-batch emission.
+    Callers reduce to the final emission per user (max n_events) for
+    the batch-equivalence check."""
+    feed_dir = tempfile.mkdtemp(prefix="tws_feed_")
+    ev = events.select("user_id", "value")
+    ev.repartition(4, "user_id").write.mode("overwrite").parquet(feed_dir)
+    stream = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .option("pathGlobFilter", "*.parquet")
+                   .parquet(feed_dir))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        out = (stream.groupBy("user_id")
+                     .transformWithStateInPandas(
+                         statefulProcessor=_make_running_max_processor(),
+                         outputStructType=TWS_SCHEMA,
+                         outputMode="Update",
+                         timeMode="None"))
+        return run_available_now(out, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

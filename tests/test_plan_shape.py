@@ -264,3 +264,71 @@ def test_sessionize_single_exchange(spark, sf_dir):
     avoid."""
     plan = _physical(QUERIES["sessionize_timeout"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_compaction_yields_one_file_per_day(spark, sf_dir):
+    """The landing write must leave multiple files per day partition and
+    the compacted rewrite exactly one — and no rows may be lost."""
+    import glob
+    import data_ingestor_and_features_creator_spark.plans.q_round3 as r3
+    paths = {}
+    orig = r3._compaction_paths
+
+    def capture():
+        paths["raw"], paths["compacted"] = orig()
+        return paths["raw"], paths["compacted"]
+
+    r3._compaction_paths = capture
+    try:
+        out = QUERIES["sink_compaction"](spark, sf_dir)
+        n_rows = out.agg(F.sum("n_rows")).collect()[0][0]
+    finally:
+        r3._compaction_paths = orig
+    assert n_rows == load_table(spark, sf_dir, "events").count()
+    raw_days = glob.glob(paths["raw"] + "/day=*")
+    comp_days = glob.glob(paths["compacted"] + "/day=*")
+    assert raw_days and len(comp_days) == len(raw_days)
+    assert any(len(glob.glob(d + "/*.parquet")) > 1 for d in raw_days)
+    assert all(len(glob.glob(d + "/*.parquet")) == 1 for d in comp_days)
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The month-dim filter must reach the partitioned fact scan as a
+    dynamic pruning subquery (DPP), not as a post-scan filter."""
+    plan = _physical(QUERIES["join_dpp_partitioned"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_zorder_layout_narrows_per_file_ranges(spark):
+    """The Z-curve property itself, on a deterministic 256×256 grid:
+    16 contiguous Z-address ranges must each cover a ~64×64 bounding
+    box — a small fraction of EACH dimension — where a single-column
+    sort leaves the other dimension spanning the full 0..255 range in
+    every file. This is what makes per-file min/max stats prunable for
+    predicates on either column after a Z-ordered write. (The fixture
+    tables skew dimension cardinality — 15 users at sf0.001 — so the
+    property is pinned on a grid where both dims are real.)"""
+    from pyspark.sql import functions as SF
+    from data_ingestor_and_features_creator_spark.plans.q_round3 import (
+        _zorder_sql)
+    grid = (spark.range(256 * 256)
+                 .select((SF.col("id") % 256).alias("u"),
+                         (SF.col("id") / 256).cast("long").alias("v")))
+    z = grid.withColumn(
+        "zkey", SF.expr(_zorder_sql("u", "v", 8, "spark")))
+    parts = (z.repartitionByRange(16, "zkey")
+              .select(SF.spark_partition_id().alias("pid"), "u", "v")
+              .groupBy("pid")
+              .agg((SF.max("u") - SF.min("u")).alias("uspan"),
+                   (SF.max("v") - SF.min("v")).alias("vspan"))
+              .collect())
+    assert len(parts) == 16
+    # Ideal Z-ranges on 16 aligned tiles are 64×64 boxes (span 63).
+    # Sampled range boundaries misalign, and a range that crosses a
+    # top-level quadrant boundary legitimately spans a full dimension —
+    # so the pruning claim is about the MEAN bounding box: far below
+    # the 255 that a single-column sort leaves on the other dimension
+    # in EVERY file (measured here: means ≈ 100 / 75).
+    mean_u = sum(p["uspan"] for p in parts) / len(parts)
+    mean_v = sum(p["vspan"] for p in parts) / len(parts)
+    assert mean_u <= 150 and mean_v <= 150

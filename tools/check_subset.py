@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Driver-style oracle check for a subset of query ids (fast iteration).
+
+Usage: python tools/check_subset.py [sf_dir] id1 id2 ...
+       python tools/check_subset.py /root/testdata/sf0.01 agg_bitmap_distinct
+If the first arg is not a path, sf_dir defaults to /root/testdata/sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as e
+from data_ingestor_and_features_creator_spark.session import get_spark
+from tests.oracle_compare import assert_same_result
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "/root/testdata/sf0.001"
+    if args and os.path.isdir(args[0]):
+        sf, args = args[0], args[1:]
+    spark = get_spark("check_subset", cpus=16)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, os_ = e.queries(), e.oracle_sql()
+    fails = []
+    for name in args or qs:
+        if name not in qs:
+            print(name, "UNKNOWN"); fails.append(name); continue
+        try:
+            sdf = qs[name](spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            if name in os_:
+                cur = con.execute(os_[name])
+                assert_same_result(name, sdf.columns, srows,
+                                   [c[0] for c in cur.description],
+                                   cur.fetchall())
+                print(name, "ORACLE MATCH", len(srows))
+            else:
+                print(name, "rows-only", len(srows))
+        except Exception as ex:
+            fails.append(name)
+            print(name, "FAIL", str(ex)[:800])
+    print("DONE fails:", fails)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
