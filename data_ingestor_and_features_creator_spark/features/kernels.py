@@ -209,3 +209,113 @@ def freq_domain_window_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     out = freq_domain_kernel(pdf.assign(record_id=record_id))
     out.insert(1, "ws_us", [ws_us])
     return out
+
+
+# --- Detrended fluctuation analysis (DFA alpha1) ---------------------------
+
+DFA_SCHEMA = "record_id long, n_beats long, dfa_alpha1 double"
+
+DFA_BOXES = tuple(range(4, 17))  # short-term scales n = 4..16 beats
+
+
+def dfa_alpha(x: np.ndarray, boxes=DFA_BOXES) -> float | None:
+    """DFA short-term scaling exponent α1 (Peng et al.; nolds-style):
+    integrate the mean-centered series, split into non-overlapping
+    boxes of n beats, least-squares detrend each box, F(n) = RMS
+    residual, α = slope of log F(n) vs log n. O(N·|boxes|) per series
+    — vectorized over boxes via reshape, no Python inner loop over
+    boxes' contents."""
+    x = np.asarray(x, dtype=np.float64)
+    n_total = len(x)
+    if n_total < 2 * max(boxes):
+        return None
+    y = np.cumsum(x - x.mean())
+    log_n, log_f = [], []
+    for n in boxes:
+        k = n_total // n
+        if k < 2:
+            continue
+        seg = y[: k * n].reshape(k, n)
+        t = np.arange(n, dtype=np.float64)
+        tm = t - t.mean()
+        denom = float((tm * tm).sum())
+        slope = (seg * tm).sum(axis=1) / denom
+        inter = seg.mean(axis=1)
+        resid = seg - (inter[:, None] + slope[:, None] * tm)
+        f = np.sqrt((resid ** 2).mean())
+        if f > 0:
+            log_n.append(np.log(n))
+            log_f.append(np.log(f))
+    if len(log_n) < 2:
+        return None
+    ln, lf = np.array(log_n), np.array(log_f)
+    a = ((ln - ln.mean()) * (lf - lf.mean())).sum() / ((ln - ln.mean()) ** 2).sum()
+    return float(a)
+
+
+def dfa_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    record_id = pdf["record_id"].iloc[0]
+    pdf = pdf.sort_values("beat_ts")
+    rri = pdf["rri"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({"record_id": [record_id], "n_beats": [len(rri)],
+                         "dfa_alpha1": [dfa_alpha(rri)]})
+
+
+# --- Lomb-Scargle periodogram band powers ----------------------------------
+
+LOMB_SCHEMA = ("record_id long, n_beats long, lf_lomb double, hf_lomb double, "
+               "lf_hf_lomb double")
+
+
+def lomb_power(t: np.ndarray, x: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Classical normalized Lomb-Scargle periodogram (Press & Rybicki
+    form), directly on the UNEVEN beat times — the physiologically
+    faithful PSD for RR series (no resampling step, unlike Welch).
+    Vectorized over the frequency grid: O(|freqs|·n) with numpy
+    broadcasting, no Python loop over frequencies."""
+    x = x - x.mean()
+    var = x.var()
+    if var == 0 or len(t) < 4:
+        return np.zeros_like(freqs)
+    w = 2.0 * np.pi * freqs[:, None]          # (F, 1)
+    wt = w * t[None, :]                        # (F, n)
+    tau = np.arctan2(np.sin(2 * wt).sum(axis=1),
+                     np.cos(2 * wt).sum(axis=1)) / 2.0
+    arg = wt - tau[:, None]
+    c, s = np.cos(arg), np.sin(arg)
+    xc = (x[None, :] * c).sum(axis=1)
+    xs = (x[None, :] * s).sum(axis=1)
+    cc = (c * c).sum(axis=1)
+    ss = (s * s).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = 0.5 * (np.where(cc > 0, xc * xc / cc, 0.0)
+                   + np.where(ss > 0, xs * xs / ss, 0.0)) / var
+    return p
+
+
+def lomb_band_powers(t_s: np.ndarray, rri: np.ndarray) -> tuple[float, float]:
+    """LF/HF band powers from the Lomb periodogram on beat times in
+    seconds; integrates normalized power over each band's grid."""
+    df = 0.002
+    freqs = np.arange(LF_BAND[0], HF_BAND[1], df)
+    p = lomb_power(t_s, rri, freqs)
+    lf_mask = (freqs >= LF_BAND[0]) & (freqs < LF_BAND[1])
+    hf_mask = (freqs >= HF_BAND[0]) & (freqs < HF_BAND[1])
+    lf = float(np.trapz(p[lf_mask], freqs[lf_mask]))
+    hf = float(np.trapz(p[hf_mask], freqs[hf_mask]))
+    return lf, hf
+
+
+def lomb_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    record_id = pdf["record_id"].iloc[0]
+    pdf = pdf.sort_values("beat_ts")
+    rri = pdf["rri"].to_numpy(dtype=np.float64)
+    out = {"record_id": [record_id], "n_beats": [len(rri)],
+           "lf_lomb": [None], "hf_lomb": [None], "lf_hf_lomb": [None]}
+    if len(rri) >= 16:
+        t = np.cumsum(rri) / 1000.0
+        t = t - t[0]
+        lf, hf = lomb_band_powers(t, rri)
+        out.update(lf_lomb=[lf], hf_lomb=[hf],
+                   lf_hf_lomb=[lf / hf if hf > 0 else None])
+    return pd.DataFrame(out)

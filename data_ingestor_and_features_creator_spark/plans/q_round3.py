@@ -397,3 +397,43 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n_orders"),
                        F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
                         .cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# HRV nonlinear kernels: DFA alpha1 and Lomb-Scargle band powers
+# ---------------------------------------------------------------------------
+
+@query("hrv_dfa")  # rows-only: log-log regression kernel, not SQL
+def hrv_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis α1 per record (Peng et al.; the
+    nonlinear HRV index nolds/Kubios report alongside SampEn) — box
+    sizes 4..16 beats, least-squares detrend per box, log-log slope.
+    Arrow `applyInPandas` per record with a 3-column pre-select (house
+    rule: UDF input pruned so the scan stays narrow); the kernel is
+    O(N·|boxes|) vectorized numpy. Known-answer physics pinned in
+    tests/test_hrv_known_answers.py: white noise → α≈0.5, integrated
+    (Brownian) noise → α≈1.5. At 100 TB run per (record, bounded
+    window) like the sliding HRV plans, never per unbounded record."""
+    from .q_hrv import rr_from_events
+    from ..features import kernels
+    rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
+    return rr.groupBy("record_id").applyInPandas(
+        kernels.dfa_kernel, schema=kernels.DFA_SCHEMA)
+
+
+@query("hrv_lomb_scargle")  # rows-only: periodogram kernel, not SQL
+def hrv_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb-Scargle LF/HF band powers per record — the PSD estimator
+    that works DIRECTLY on unevenly-sampled beat times (no 4 Hz
+    resampling step), which is the physiologically faithful
+    frequency-domain method for RR series; hrvanalysis exposes the same
+    choice via its `psd_method='lomb'` [PK:high]. Classical normalized
+    periodogram (Press-Rybicki τ form) vectorized over the frequency
+    grid. Known-answer: a planted sinusoid at an LF (resp. HF)
+    frequency on jittered sampling must put its power in that band
+    (tests/test_hrv_known_answers.py)."""
+    from .q_hrv import rr_from_events
+    from ..features import kernels
+    rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
+    return rr.groupBy("record_id").applyInPandas(
+        kernels.lomb_kernel, schema=kernels.LOMB_SCHEMA)

@@ -283,3 +283,53 @@ def test_tinn_degenerate_histograms_return_none():
     assert kernels.tinn_fit(np.array([3]), np.array([9.0])) is None  # 1 bin
     # mode at the grid edge → no interior triangle
     assert kernels.tinn_fit(np.array([0, 1]), np.array([5.0, 1.0])) is None
+
+
+def test_dfa_alpha_white_vs_brownian_noise():
+    """DFA physics: uncorrelated (white) noise scales with α ≈ 0.5;
+    its running sum (Brownian walk) with α ≈ 1.5 — the two canonical
+    anchors for a DFA implementation (Peng et al.)."""
+    import numpy as np
+    from data_ingestor_and_features_creator_spark.features.kernels import dfa_alpha
+    rng = np.random.default_rng(7)
+    white = rng.standard_normal(4096)
+    a_white = dfa_alpha(white)
+    a_brown = dfa_alpha(np.cumsum(white))
+    assert 0.35 < a_white < 0.65, a_white
+    assert 1.25 < a_brown < 1.75, a_brown
+    assert dfa_alpha(np.ones(16)) is None          # too short
+    assert dfa_alpha(np.zeros(4096)) is None       # zero variance
+
+
+def test_lomb_band_isolation_on_planted_sinusoid():
+    """A sinusoid at 0.1 Hz (LF band) sampled on JITTERED beat times
+    must put its Lomb power in LF; at 0.3 Hz (HF band) in HF. No
+    resampling step exists to blur the line between the bands."""
+    import numpy as np
+    from data_ingestor_and_features_creator_spark.features.kernels import (
+        lomb_band_powers)
+    rng = np.random.default_rng(11)
+    t = np.cumsum(0.8 + 0.1 * rng.random(512))  # uneven ~0.85 s beats
+    t = t - t[0]
+    for f0, dominant in [(0.10, "lf"), (0.30, "hf")]:
+        x = 50.0 * np.sin(2 * np.pi * f0 * t) + rng.standard_normal(512)
+        lf, hf = lomb_band_powers(t, x)
+        if dominant == "lf":
+            assert lf > 10 * hf, (f0, lf, hf)
+        else:
+            assert hf > 10 * lf, (f0, lf, hf)
+
+
+def test_dfa_and_lomb_spark_queries_run(spark, sf_dir):
+    """The registered Arrow kernels execute per record and emit the
+    declared schemas with non-null features for the fixture records."""
+    from data_ingestor_and_features_creator_spark import plans
+    plans.load_all()
+    from data_ingestor_and_features_creator_spark.plans.registry import QUERIES
+    dfa = {r["record_id"]: r["dfa_alpha1"]
+           for r in QUERIES["hrv_dfa"](spark, sf_dir).collect()}
+    lomb = {r["record_id"]: r["lf_hf_lomb"]
+            for r in QUERIES["hrv_lomb_scargle"](spark, sf_dir).collect()}
+    assert dfa and lomb
+    assert sum(v is not None for v in dfa.values()) >= len(dfa) * 0.9
+    assert sum(v is not None for v in lomb.values()) >= len(lomb) * 0.9
