@@ -437,3 +437,176 @@ def hrv_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
     return rr.groupBy("record_id").applyInPandas(
         kernels.lomb_kernel, schema=kernels.LOMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join (shuffle-side row-level runtime filtering)
+# ---------------------------------------------------------------------------
+
+@query("join_bloom_runtime_filter", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""")
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER join: when a selective filter sits on one
+    side of a shuffle join, Catalyst builds a bloom filter from that
+    side's join keys at runtime and pushes `might_contain` onto the
+    OTHER side's scan — rows that cannot match are dropped before the
+    shuffle, which is the difference between shuffling 100 TB of fact
+    rows and shuffling the ~selectivity fraction that survives. DPP's
+    row-level sibling: DPP prunes whole partitions via the partition
+    column; the bloom filter prunes rows on any join key. Local
+    thresholds are tuned inside the callable (the fixture tables are
+    below the 10 MB defaults) and broadcast is disabled so the shuffle
+    join actually exists; the filtered aggregate is materialized under
+    those confs via localCheckpoint, then every conf is restored.
+    Injection is asserted in tests/test_plan_shape.py; the oracle
+    proves the filter is semantically invisible (pure pruning)."""
+    restore = {}
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        try:
+            restore[k] = spark.conf.get(k)
+        except Exception:
+            restore[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = (load_table(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        out = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                 .groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("n_items"),
+                      F.sum(F.col("l_extendedprice").cast("decimal(38,12)"))
+                       .cast("double").alias("total")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# N-gram overlap decontamination (partial-overlap eval leakage)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # tokens per shingle: GPT-3 used 13 on web-scale text; the
+              # synthetic docs are short with a narrow vocabulary, and 4 is
+              # the largest n that yields real positives at sf0.01 (8 docs)
+              # so the oracle check bites instead of matching on all-false
+
+
+@query("text_contamination_ngram", oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(toks[i:i + {_DECON_N - 1}], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {_DECON_N - 1})) AS s(i)
+  WHERE len(toks) >= {_DECON_N}
+), eval_grams AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT g.doc_id FROM g SEMI JOIN eval_grams USING (gram)
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL THEN true ELSE false END AS contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 97 <> 0
+""")
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM OVERLAP decontamination — the GPT-3-style eval-leakage
+    check that `data_decontaminate`'s exact fingerprint cannot do: a
+    training doc is contaminated if it shares ANY {_DECON_N}-token
+    normalized shingle with the held-out set (doc_id % 97 = 0, same
+    convention as data_decontaminate), catching partial copies and
+    quotations, not just whole-document duplicates.
+
+    One tokenize pass (C4 normalization), bounded shingle explode, then
+    a SEMI join of training shingles against the DISTINCT eval-shingle
+    table — which is eval-set-sized (small by construction), so at
+    100 TB it broadcasts and the corpus side never shuffles; output is
+    a per-training-doc boolean (COALESCEd, per the registry boolean
+    house rule). Flagging (not dropping) keeps the decision auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
+    toks = docs.select(
+        "doc_id", F.filter(F.split(norm, " "), lambda x: x != "").alias("toks"))
+    grams = (toks.filter(F.size("toks") >= _DECON_N)
+                 .select("doc_id", F.explode(
+                     F.sequence(F.lit(0), F.size("toks") - _DECON_N))
+                     .alias("i"), "toks")
+                 .select("doc_id", F.array_join(
+                     F.slice("toks", F.col("i") + 1, _DECON_N), " ")
+                     .alias("gram")))
+    eval_grams = (grams.filter(F.col("doc_id") % 97 == 0)
+                       .select("gram").distinct())
+    contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
+                         .join(F.broadcast(eval_grams), "gram", "left_semi")
+                         .select("doc_id").distinct())
+    return (docs.filter(F.col("doc_id") % 97 != 0)
+                .join(contaminated.withColumn("c", F.lit(True)),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("c", F.lit(False)).alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-style V-shape detection)
+# ---------------------------------------------------------------------------
+
+@query("win_pattern_match", oracle="""
+WITH s AS (
+  SELECT user_id, event_id, value, ts,
+         lag(value, 2) OVER w AS v0,
+         lag(value, 1) OVER w AS v1,
+         lag(event_id, 2) OVER w AS e0
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, e0 AS start_event_id, event_id AS end_event_id,
+       v0, v1, value AS v2
+FROM s
+WHERE v0 > v1 AND v1 IS NOT NULL AND value >= 1.5 * v1 AND v0 IS NOT NULL
+""")
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential PATTERN MATCHING over ordered per-user event series —
+    the MATCH_RECOGNIZE / CEP shape (Flink's bread and butter) done as
+    window expressions: a V-shape episode is a drop (v0 > v1) followed
+    by a rebound to ≥ 1.5×the trough within the next event. Fixed-length
+    patterns compile to a bank of lag() columns over ONE window spec —
+    one shuffle on user_id, no self-joins, no state machine; at 100 TB
+    the pattern bank rides the same exchange as any other per-user
+    window op. (Variable-length patterns are the
+    sessionize/streaks-islands family — cumulative flags over the same
+    partitioning.) Comparisons and the 1.5× threshold are exact IEEE
+    arithmetic — no rounding needed."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_id", "value",
+        F.lag("value", 2).over(w).alias("v0"),
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("event_id", 2).over(w).alias("e0"))
+    return (s.filter((F.col("v0") > F.col("v1"))
+                     & (F.col("value") >= 1.5 * F.col("v1")))
+             .select("user_id", F.col("e0").alias("start_event_id"),
+                     F.col("event_id").alias("end_event_id"),
+                     "v0", "v1", F.col("value").alias("v2")))

@@ -332,3 +332,47 @@ def test_zorder_layout_narrows_per_file_ranges(spark):
     mean_u = sum(p["uspan"] for p in parts) / len(parts)
     mean_v = sum(p["vspan"] for p in parts) / len(parts)
     assert mean_u <= 150 and mean_v <= 150
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    """With the local thresholds tuned, the selective orders filter must
+    inject a bloom `might_contain` runtime filter onto the lineitem side
+    of the shuffle join — rows are pruned before the exchange."""
+    from pyspark.sql import functions as SF
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    restore = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = (load_table(spark, sf_dir, "orders")
+                  .filter(SF.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_orderpriority").agg(SF.count(SF.lit(1)).alias("n")))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The eval-shingle table (held-out-set-sized) must broadcast into
+    the semi join; the training-corpus side must not shuffle for it."""
+    plan = _physical(QUERIES["text_contamination_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pattern_match_single_window_exchange(spark, sf_dir):
+    """The lag bank compiles to ONE window over one user_id exchange —
+    no self-joins for a fixed-length pattern."""
+    plan = _physical(QUERIES["win_pattern_match"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
