@@ -610,3 +610,69 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("user_id", F.col("e0").alias("start_event_id"),
                      F.col("event_id").alias("end_event_id"),
                      "v0", "v1", F.col("value").alias("v2")))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: tokenizer with character spans (real @udtf table function)
+# ---------------------------------------------------------------------------
+
+@query("udtf_python_spans", oracle="""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 20 = 0
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS token,
+         generate_subscripts(string_split(t, ' '), 1) - 1 AS tok_idx
+  FROM n WHERE t <> ''
+)
+SELECT doc_id, CAST(tok_idx AS INT) AS tok_idx, token,
+       CAST(SUM(length(token) + 1) OVER (
+              PARTITION BY doc_id ORDER BY tok_idx
+              ROWS UNBOUNDED PRECEDING) - length(token) - 1 AS INT)
+         AS start_char
+FROM toks
+""")
+def udtf_python_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (`@udtf`, PySpark ≥ 3.5) — the table-function
+    surface beyond `udtf_expand`'s explode(sequence) rewrite: one input
+    row yields N output rows computed imperatively. The function
+    tokenizes C4-normalized text and emits each token WITH its
+    character offset (the tokenizer-with-spans shape NER/labeling
+    pipelines need, where offsets must refer back into the source
+    string — awkward as pure SQL, natural as a generator). Offsets over
+    single-space-normalized text are prefix sums of token lengths, so
+    the DuckDB twin reproduces them exactly with a window; a hash match
+    pins the UDTF's row expansion AND its arithmetic. Subset to every
+    20th doc: per-row Python generators are the slowest UDF class —
+    the op demonstrates the surface; wide fan-out belongs to
+    explode/mapInPandas (see multimodal_frame_sample)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("doc_id bigint, tok_idx int, token string, "
+                      "start_char int"))
+    class TokenizeWithSpans:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            t = _re.sub(r" +", " ",
+                        _re.sub(r"[^a-z0-9 ]", "", (text or "").lower())).strip()
+            if not t:
+                return
+            pos = 0
+            for i, tok in enumerate(t.split(" ")):
+                yield doc_id, i, tok, pos
+                pos += len(tok) + 1
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0).select("doc_id", "text"))
+    view = f"__udtf_docs_{abs(hash(sf_dir)) % 10**8}"
+    docs.createOrReplaceTempView(view)
+    spark.udtf.register("tokenize_with_spans", TokenizeWithSpans)
+    return spark.sql(f"""
+        SELECT t.doc_id, t.tok_idx, t.token, t.start_char
+        FROM {view} d, LATERAL tokenize_with_spans(d.doc_id, d.text) t
+    """)
