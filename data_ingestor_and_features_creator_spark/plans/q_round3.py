@@ -676,3 +676,44 @@ def udtf_python_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.doc_id, t.tok_idx, t.token, t.start_char
         FROM {view} d, LATERAL tokenize_with_spans(d.doc_id, d.text) t
     """)
+
+
+# ---------------------------------------------------------------------------
+# XML sink/scan round trip (Spark 4 built-in XML source)
+# ---------------------------------------------------------------------------
+
+@query("sink_xml", oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_value
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+""")
+def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/scan round trip — the XML source became a BUILT-IN
+    format in Spark 4 (StAX reader, rowTag streaming, schema-explicit
+    like every other source here). Write events as <row> elements, read
+    back with the declared schema, aggregate; equality with the
+    parquet-sourced oracle proves the round trip is lossless and
+    type-faithful. NULL values are filtered first: an XML element with
+    a null field round-trips as an ABSENT element, which is fine for
+    the type system but makes null-vs-empty distinctions
+    format-dependent — the filter keeps the contract crisp. At 100 TB
+    XML is an ingest-edge format (feeds land in it), never a working
+    format — one pass in, columnar out; this op is that pass."""
+    from pyspark.sql import types as T
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_xml_"), "events")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value"))
+    (ev.write.mode("overwrite").format("xml")
+       .option("rootTag", "events").option("rowTag", "row").save(out))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    back = (spark.read.format("xml").schema(schema)
+                 .option("rowTag", "row").load(out))
+    return (back.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(38,12)"))
+                      .cast("double").alias("total_value")))

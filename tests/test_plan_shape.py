@@ -376,3 +376,43 @@ def test_pattern_match_single_window_exchange(spark, sf_dir):
     plan = _physical(QUERIES["win_pattern_match"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_declared_schemas_match_parquet_footers(sf_dir):
+    """Fixture-drift tripwire (the round-3 lesson: the driver switched
+    events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between
+    rounds, silently collapsing every timestamp to ~1970 under the old
+    raw-int64 read). Every declared column must exist in the footer
+    with a compatible physical type, so a regenerated fixture that
+    drifts fails HERE with a named column instead of as value garbage
+    three layers up."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from data_ingestor_and_features_creator_spark.schemas import SCHEMAS
+    compat = {
+        T.LongType(): {"int64"},
+        T.IntegerType(): {"int32"},
+        T.DoubleType(): {"double"},
+        T.StringType(): {"string", "large_string"},
+        T.TimestampType(): {"timestamp[us]", "timestamp[ns]", "timestamp[ms]"},
+    }
+    for name, schema in SCHEMAS.items():
+        foot = pq.read_schema(f"{sf_dir}/{name}.parquet")
+        for field in schema.fields:
+            assert field.name in foot.names, (name, field.name, foot.names)
+            arrow_t = str(foot.field(field.name).type)
+            allowed = compat.get(field.dataType)
+            if allowed is None:  # nested types (arrays): compare loosely
+                assert arrow_t.startswith(("list", "struct")), (name, field.name)
+            else:
+                assert arrow_t in allowed, (name, field.name, arrow_t)
+
+
+def test_events_reader_yields_sane_timestamps(spark, sf_dir):
+    """Whatever the on-disk ts unit, the catalog reader must produce
+    timestamps in the fixture's actual era — a unit mix-up lands in
+    1970 (ns read as µs) or year ~56k (µs read as ns) and fails here."""
+    row = load_table(spark, sf_dir, "events").select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert 2000 <= row["lo"].year <= 2100, row
+    assert 2000 <= row["hi"].year <= 2100, row
