@@ -57,11 +57,12 @@ def main() -> None:
             continue
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, page cache)
-        # best-of-2 timed runs: machine contention spikes inflate a
-        # single sample by 2-3x run-to-run (observed); min is the
-        # stable estimator of the plan's actual cost
+        # best-of-3 timed runs: machine contention and JVM GC spikes
+        # inflate single samples 2-5x run-to-run (observed: the sliding
+        # HRV plan swings 1.1-5.7 s on consecutive quiet-machine runs);
+        # min is the stable estimator of the plan's actual cost
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
