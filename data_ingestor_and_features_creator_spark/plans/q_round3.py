@@ -717,3 +717,71 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.col("value").cast("decimal(38,12)"))
                       .cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Baevsky stress index (closed-form histogram-mode feature)
+# ---------------------------------------------------------------------------
+
+@query("hrv_stress_index", oracle="""
+WITH rr AS (
+  SELECT user_id AS record_id, value AS rri,
+         CAST(FLOOR(value / 50.0) AS BIGINT) AS bin
+  FROM events WHERE value > 0
+), h AS (
+  SELECT record_id, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rr GROUP BY record_id, bin
+), m AS (
+  SELECT record_id, bin, cnt,
+         row_number() OVER (PARTITION BY record_id
+                            ORDER BY cnt DESC, bin) AS rnk
+  FROM h
+), s AS (
+  SELECT record_id, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(rri) AS mx, MIN(rri) AS mn
+  FROM rr GROUP BY record_id
+)
+SELECT s.record_id, s.n,
+       (m.bin * 0.05 + 0.025) AS mo_s,
+       (100.0 * m.cnt / s.n) AS amo_pct,
+       ((s.mx - s.mn) / 1000.0) AS mxdmn_s,
+       CASE WHEN (m.bin * 0.05 + 0.025) * ((s.mx - s.mn) / 1000.0) > 0
+            THEN (100.0 * m.cnt / s.n)
+                 / (2.0 * (m.bin * 0.05 + 0.025) * ((s.mx - s.mn) / 1000.0))
+       END AS stress_index
+FROM s JOIN m ON s.record_id = m.record_id AND m.rnk = 1
+""")
+def hrv_stress_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baevsky STRESS INDEX (Kubios's SI): SI = AMo / (2·Mo·MxDMn) with
+    the RR histogram binned at 50 ms — Mo the modal bin midpoint (s),
+    AMo the modal bin's share of beats (%), MxDMn the RR range (s).
+    Completes the geometrical-feature family (triangular index + TINN
+    use the 7.8125 ms histogram; SI the 50 ms one). The mode is
+    count-then-rank with a deterministic (count desc, bin) tiebreak —
+    the agg_mode pattern: the rank stage sees one row per (record,
+    bin), never raw beats — and everything else is one aggregate over
+    the same (record) partitioning. All derivations are IEEE arithmetic
+    on identical operands (FLOOR bins exact on doubles), so the result
+    ships UNROUNDED; degenerate records (constant RR → MxDMn = 0) yield
+    NULL via the guard instead of faulting ANSI division."""
+    ev = (load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+          .select(F.col("user_id").alias("record_id"),
+                  F.col("value").alias("rri"),
+                  F.floor(F.col("value") / 50.0).cast("long").alias("bin")))
+    h = ev.groupBy("record_id", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("record_id").orderBy(F.desc("cnt"), "bin")
+    m = (h.withColumn("rnk", F.row_number().over(w))
+          .filter(F.col("rnk") == 1).select("record_id", "bin", "cnt"))
+    s = ev.groupBy("record_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rri").alias("mx"), F.min("rri").alias("mn"))
+    mo_s = F.col("bin") * 0.05 + 0.025
+    amo = 100.0 * F.col("cnt") / F.col("n")
+    mxdmn = (F.col("mx") - F.col("mn")) / 1000.0
+    return (s.join(m, "record_id")
+             .select("record_id", "n",
+                     mo_s.alias("mo_s"), amo.alias("amo_pct"),
+                     mxdmn.alias("mxdmn_s"),
+                     F.when(mo_s * mxdmn > 0,
+                            amo / (2.0 * mo_s * mxdmn))
+                      .alias("stress_index")))
