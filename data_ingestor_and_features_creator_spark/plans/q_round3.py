@@ -785,3 +785,56 @@ def hrv_stress_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.when(mo_s * mxdmn > 0,
                             amo / (2.0 * mo_s * mxdmn))
                       .alias("stress_index")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (sqrt temperature sampling, T=2)
+# ---------------------------------------------------------------------------
+
+_MIX_HASH = "((doc_id % 1000003) * 2654435761) % 1000003 % 1000000"
+
+
+@query("data_mix_temperature", oracle=f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total, MAX(SQRT(CAST(n AS DOUBLE))) AS mx
+  FROM s
+), r AS (
+  SELECT source, n,
+         CAST(FLOOR(1000000.0 * SQRT(CAST(n AS DOUBLE)) / mx) AS BIGINT)
+           AS rate_ppm
+  FROM s, tot
+)
+SELECT d.source, r.n AS n_docs, r.rate_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM documents d JOIN r ON d.source = r.source
+WHERE {_MIX_HASH} < r.rate_ppm
+GROUP BY d.source, r.n, r.rate_ppm
+""")
+def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED source mixing at T = 2 (the mT5 "square-root
+    sampling" setting): each source's keep-rate ∝ √(its share), scaled
+    so the largest source keeps everything — the standard pretraining
+    rebalance that up-weights small/rare sources without discarding the
+    head entirely. T = 2 is chosen deliberately: rates derive through
+    SQRT and division (IEEE-exact cross-engine) where a general
+    share^(1/T) needs pow() whose 1-ulp libm drift could flip a
+    hash-gate comparison. Gating reuses the portable Knuth hash of
+    data_split_hash — RNG-free, partitioning-independent, reproducible
+    — quantized to integer PPM via FLOOR so the gate compares integers.
+    Two tiny aggregates (per-source counts) broadcast back onto the
+    corpus scan; the corpus itself never shuffles, and the gate pushes
+    to the scan as an expression filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.max(F.sqrt(F.col("n").cast("double"))).alias("mx"))
+    r = (s.crossJoin(F.broadcast(tot))
+          .select("source", "n",
+                  F.floor(1_000_000.0 * F.sqrt(F.col("n").cast("double"))
+                          / F.col("mx")).cast("long").alias("rate_ppm")))
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 1000003 % 1000000
+    return (docs.join(F.broadcast(r), "source")
+                .filter(h < F.col("rate_ppm"))
+                .groupBy("source", F.col("n").alias("n_docs"), "rate_ppm")
+                .agg(F.count(F.lit(1)).alias("n_sampled")))

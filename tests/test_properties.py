@@ -220,3 +220,58 @@ def test_sessionize_matches_native_session_window(spark, sf_dir):
     native_m = {(r["user_id"], r["start_us"]): r["n_events"]
                 for r in native.collect()}
     assert manual == native_m
+
+
+def test_zorder_address_is_bijective(spark):
+    """The bit-interleave must be a bijection on the dims it packs:
+    4096 distinct (u, v) pairs on a 64x64 grid map to 4096 distinct
+    Z-addresses covering exactly 0..4095."""
+    from pyspark.sql import functions as SF
+    from data_ingestor_and_features_creator_spark.plans.q_round3 import (
+        _zorder_sql)
+    grid = (spark.range(64 * 64)
+                 .select((SF.col("id") % 64).alias("u"),
+                         (SF.col("id") / 64).cast("long").alias("v")))
+    z = grid.select(SF.expr(_zorder_sql("u", "v", 6, "spark")).alias("zkey"))
+    row = z.agg(SF.countDistinct("zkey").alias("d"),
+                SF.min("zkey").alias("lo"), SF.max("zkey").alias("hi")
+                ).collect()[0]
+    assert (row["d"], row["lo"], row["hi"]) == (4096, 0, 4095)
+
+
+def test_bfs_levels_are_valid(spark, sf_dir):
+    """Levels live in [0, 3]; level 0 is exactly the seed set; each
+    node appears once (first reach wins)."""
+    from pyspark.sql import functions as SF
+    from data_ingestor_and_features_creator_spark import plans
+    plans.load_all()
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    out = plans.QUERIES["graph_bfs_levels"](spark, sf_dir)
+    rows = out.collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))
+    assert all(0 <= r["level"] <= 3 for r in rows)
+    seeds = {r["c_custkey"] for r in
+             load_table(spark, sf_dir, "customer")
+             .filter(SF.col("c_nationkey") == 0).collect()}
+    assert {r["node"] for r in rows if r["level"] == 0} == seeds
+
+
+def test_temperature_mixing_keeps_head_and_upweights_tail(spark, sf_dir):
+    """The largest source's rate is exactly 1e6 PPM (kept whole); every
+    source's realized keep fraction tracks its sqrt-share rate; smaller
+    sources keep a LARGER fraction than their share ratio (the point of
+    temperature sampling)."""
+    from data_ingestor_and_features_creator_spark import plans
+    plans.load_all()
+    rows = plans.QUERIES["data_mix_temperature"](spark, sf_dir).collect()
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    assert by_n[-1]["rate_ppm"] == 1_000_000
+    assert by_n[-1]["n_sampled"] == by_n[-1]["n_docs"]
+    for r in rows:
+        frac = r["n_sampled"] / r["n_docs"]
+        # realized fraction within a loose band of the target rate
+        # (hash gate over small per-source counts is noisy)
+        assert abs(frac - r["rate_ppm"] / 1e6) < 0.25, r
+    small, big = by_n[0], by_n[-1]
+    assert small["rate_ppm"] / 1e6 >= (small["n_docs"] / big["n_docs"]) ** 0.5 - 1e-9
