@@ -204,6 +204,10 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .localCheckpoint(eager=True))
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
+    # Every frontier was materialized eagerly through the cached edge
+    # table (localCheckpoint above), so the cache can be released now —
+    # the returned plan reads only checkpoints and the seed scan.
+    edges.unpersist()
     return visited
 
 
