@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import DEC, dsum
 from .registry import query
 
 
@@ -842,3 +843,86 @@ def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(h < F.col("rate_ppm"))
                 .groupBy("source", F.col("n").alias("n_docs"), "rate_ppm")
                 .agg(F.count(F.lit(1)).alias("n_sampled")))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (trend / seasonal / residual on an hourly grid)
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_TREND_HALF = 12  # centered ±12 h moving-average trend window
+
+
+@query("ts_seasonal_decompose", oracle=f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS hour_us, value
+  FROM events WHERE value IS NOT NULL
+), a AS (
+  SELECT event_type, hour_us,
+         {{dsum}} / CAST(COUNT(value) AS DOUBLE) AS v
+  FROM b GROUP BY event_type, hour_us
+), g AS (
+  SELECT event_type, unnest(generate_series(mn, mx, {_HOUR_US})) AS hour_us
+  FROM (SELECT event_type, MIN(hour_us) AS mn, MAX(hour_us) AS mx
+        FROM a GROUP BY event_type)
+), j AS (
+  SELECT g.event_type, g.hour_us, a.v
+  FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.hour_us = a.hour_us
+), t AS (
+  SELECT event_type, hour_us, v,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) OVER w AS DOUBLE)
+           / CAST(COUNT(v) OVER w AS DOUBLE) AS trend
+  FROM j
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN {_TREND_HALF} PRECEDING AND {_TREND_HALF} FOLLOWING)
+)
+SELECT event_type,
+       CAST((hour_us // {_HOUR_US}) % 24 AS BIGINT) AS hod,
+       CAST(COUNT(v - trend) AS BIGINT) AS n_hours,
+       ROUND(CAST(SUM(CAST(v - trend AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(v - trend) AS DOUBLE), 6) AS seasonal
+FROM t GROUP BY event_type, hod
+""".format(dsum="CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)"))
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONAL DECOMPOSITION (the moving-average half of
+    STL): hourly averages per event_type on a GAP-FILLED grid (the
+    time_bucket_gapfill idiom — bounded explode of the observed span),
+    trend = centered ±{_TREND_HALF} h moving average, seasonal index =
+    mean detrended residual per hour-of-day. Three stages share the
+    event_type partitioning: bucket-agg, one window pass, one final
+    agg — two shuffles total, no UDF, and the only fan-out is the
+    bounded grid.
+
+    Exactness discipline: bucket averages and the trend window carry
+    DECIMAL(38,12) sums (frame content is deterministic but engines'
+    in-frame summation order is not guaranteed — decimal sums are
+    order-free); trend and residual assemble in IEEE doubles from
+    identical operands; the published seasonal index rounds at 6 dp.
+    Missing grid hours contribute NULL — excluded from both the trend
+    average (COUNT(v) OVER) and the seasonal mean on both engines."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    hour = F.expr(f"(unix_micros(ts) div {_HOUR_US}) * {_HOUR_US}")
+    a = (ev.select("event_type", hour.alias("hour_us"), "value")
+           .groupBy("event_type", "hour_us")
+           .agg((dsum("value") / F.count("value").cast("double")).alias("v")))
+    rng = a.groupBy("event_type").agg(F.min("hour_us").alias("mn"),
+                                      F.max("hour_us").alias("mx"))
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.lit(_HOUR_US))).alias("hour_us"))
+    j = grid.join(a, ["event_type", "hour_us"], "left")
+    w = (W.partitionBy("event_type").orderBy("hour_us")
+          .rowsBetween(-_TREND_HALF, _TREND_HALF))
+    t = j.select(
+        "event_type", "hour_us", "v",
+        (F.sum(F.col("v").cast(DEC)).over(w).cast("double")
+         / F.count("v").over(w).cast("double")).alias("trend"))
+    resid = F.col("v") - F.col("trend")
+    return (t.groupBy(
+                "event_type",
+                ((F.col("hour_us") / _HOUR_US).cast("long") % 24).alias("hod"))
+             .agg(F.count(resid).alias("n_hours"),
+                  F.round(F.sum(resid.cast(DEC)).cast("double")
+                          / F.count(resid).cast("double"), 6)
+                   .alias("seasonal")))
