@@ -926,3 +926,127 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum(resid.cast(DEC)).cast("double")
                           / F.count(resid).cast("double"), 6)
                    .alias("seasonal")))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM data-prep pipeline (the LLM sibling of hrv_pipeline_full)
+# ---------------------------------------------------------------------------
+
+_PREP_MIN_TOK, _PREP_MAX_TOK = 10, 5000
+_PREP_PACK = 512  # token budget per pack
+
+
+@query("llm_prep_pipeline_full", oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, norm,
+         list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+  FROM base
+), quality AS (
+  SELECT doc_id, source, norm, toks, len(toks) AS n_tok
+  FROM tok
+  WHERE len(toks) BETWEEN {_PREP_MIN_TOK} AND {_PREP_MAX_TOK}
+), dedup AS (
+  SELECT * FROM quality
+  QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+), grams AS (
+  SELECT doc_id, array_to_string(toks[i:i + 3], ' ') AS gram
+  FROM dedup, unnest(generate_series(1, len(toks) - 3)) AS s(i)
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), clean AS (
+  SELECT d.* FROM dedup d
+  WHERE d.doc_id % 97 <> 0
+    AND NOT EXISTS (SELECT 1 FROM grams g SEMI JOIN eval_grams e
+                    USING (gram) WHERE g.doc_id = d.doc_id)
+), shares AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM clean GROUP BY source
+), rates AS (
+  SELECT source, n,
+         CAST(FLOOR(1000000.0 * SQRT(CAST(n AS DOUBLE))
+                    / (SELECT MAX(SQRT(CAST(n AS DOUBLE))) FROM shares))
+              AS BIGINT) AS rate_ppm
+  FROM shares
+), mixed AS (
+  SELECT c.doc_id, c.source, c.n_tok
+  FROM clean c JOIN rates r ON c.source = r.source
+  WHERE ((c.doc_id % 1000003) * 2654435761) % 1000003 % 1000000 < r.rate_ppm
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(SUM(n_tok) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_PREP_PACK} AS BIGINT) AS pack_id,
+       CAST(COALESCE(SUM(n_tok) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            % {_PREP_PACK} AS BIGINT) AS pack_offset
+FROM mixed
+""")
+def llm_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END LLM data-prep chain as ONE composed plan — the
+    LLM-pipeline sibling of hrv_pipeline_full, proving the stages a
+    pretraining corpus actually flows through compose inside a single
+    Catalyst query: (1) C4-normalize + tokenize ONCE (the token array
+    is carried as a projected column through every stage — no second
+    tokenize anywhere), (2) token-count quality gate
+    [{_PREP_MIN_TOK}, {_PREP_MAX_TOK}], (3) normalization-aware exact
+    dedup (md5 digest, keep lowest doc_id), (4) n-gram-overlap eval
+    decontamination (4-token shingles vs the doc_id %% 97 held-out
+    set; eval docs themselves dropped), (5) sqrt-temperature source
+    mixing with rates computed ON THE SURVIVING corpus (the real
+    pipeline ordering — rates after cleaning, not before), (6)
+    fixed-budget sequence packing ({_PREP_PACK} tokens) per source.
+
+    Scale shape: one corpus scan; the dedup window shuffles on the
+    32-byte digest (uniform), the shingle explode is bounded by token
+    count, the eval-gram and rate tables are tiny and broadcast, and
+    packing reuses a per-source window. The full-chain oracle makes
+    stage-boundary regressions (filter before vs after dedup, rates
+    before vs after cleaning) hash-visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
+    tok = docs.select(
+        "doc_id", "source", norm.alias("norm"),
+        F.filter(F.split(norm, " "), lambda x: x != "").alias("toks"))
+    quality = (tok.withColumn("n_tok", F.size("toks"))
+                  .filter(F.col("n_tok").between(_PREP_MIN_TOK, _PREP_MAX_TOK)))
+    wdig = W.partitionBy(F.md5("norm")).orderBy("doc_id")
+    dedup = (quality.withColumn("rn", F.row_number().over(wdig))
+                    .filter(F.col("rn") == 1).drop("rn")).cache()
+    grams = (dedup.select("doc_id", F.explode(
+                 F.sequence(F.lit(0), F.size("toks") - 4)).alias("i"), "toks")
+                  .select("doc_id", F.array_join(
+                      F.slice("toks", F.col("i") + 1, 4), " ").alias("gram")))
+    eval_grams = (grams.filter(F.col("doc_id") % 97 == 0)
+                       .select("gram").distinct())
+    contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
+                         .join(F.broadcast(eval_grams), "gram", "left_semi")
+                         .select("doc_id").distinct())
+    clean = (dedup.filter(F.col("doc_id") % 97 != 0)
+                  .join(contaminated, "doc_id", "left_anti"))
+    shares = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mx = shares.agg(F.max(F.sqrt(F.col("n").cast("double"))).alias("mx"))
+    rates = (shares.crossJoin(F.broadcast(mx))
+                   .select("source",
+                           F.floor(1_000_000.0
+                                   * F.sqrt(F.col("n").cast("double"))
+                                   / F.col("mx")).cast("long")
+                            .alias("rate_ppm")))
+    gate = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 1000003 % 1000000
+    mixed = (clean.join(F.broadcast(rates), "source")
+                  .filter(gate < F.col("rate_ppm"))
+                  .select("doc_id", "source", "n_tok"))
+    wpack = (W.partitionBy("source").orderBy("doc_id")
+              .rowsBetween(W.unboundedPreceding, -1))
+    before = F.coalesce(F.sum("n_tok").over(wpack), F.lit(0))
+    return mixed.select(
+        "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
+        (before / _PREP_PACK).cast("long").alias("pack_id"),
+        (before % _PREP_PACK).cast("long").alias("pack_offset"))
