@@ -42,6 +42,9 @@ HEADLINE = [
     # single-exchange sessionization pattern
     "text_bm25_topk",
     "sessionize_timeout",
+    # round-3: the end-to-end LLM data-prep composite (quality gate →
+    # dedup → decontamination → temperature mix → packing in one plan)
+    "llm_prep_pipeline_full",
 ]
 
 

@@ -1,7 +1,12 @@
 """Round-3 additions: exact-distinct bitmap sketches, approximate
 top-k, subword-vocabulary induction, BFS reachability levels, storage
 maintenance (compaction, Z-order clustering, dynamic partition
-pruning), and the Spark-4 transformWithState streaming surface.
+pruning, runtime bloom-filter joins), the Spark-4 transformWithState
+streaming surface (protobuf-gated), a real @udtf table function, XML
+round trip, n-gram eval decontamination, CEP pattern matching, DFA α1
+and Lomb-Scargle HRV kernels, the Baevsky stress index,
+sqrt-temperature source mixing, seasonal decomposition, and the
+end-to-end LLM data-prep composite.
 
 Registered AFTER q_extras (tail of the priority order in
 plans/__init__.py): the driver's per-round verification budget first

@@ -416,3 +416,14 @@ def test_events_reader_yields_sane_timestamps(spark, sf_dir):
         F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     assert 2000 <= row["lo"].year <= 2100, row
     assert 2000 <= row["hi"].year <= 2100, row
+
+
+def test_llm_prep_pipeline_tokenizes_once(spark, sf_dir):
+    """The composed prep chain must stay JVM-side and reuse the cached
+    post-dedup table across its three consumers (gram explode, eval
+    grams, survivor filter) instead of re-running
+    normalize+tokenize+dedup per branch."""
+    plan = _physical(QUERIES["llm_prep_pipeline_full"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in plan  # eval grams + rates ride broadcasts
