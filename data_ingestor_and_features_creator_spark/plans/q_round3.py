@@ -1055,3 +1055,50 @@ def llm_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"),
         (before / _PREP_PACK).cast("long").alias("pack_id"),
         (before % _PREP_PACK).cast("long").alias("pack_offset"))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution scan (mergeSchema over heterogeneous parquet batches)
+# ---------------------------------------------------------------------------
+
+@query("scan_schema_evolution", oracle="""
+WITH old_batch AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+), new_batch AS (
+  SELECT event_id, user_id, value, event_type FROM events
+  WHERE event_id % 2 = 1
+), unioned AS (
+  SELECT event_id, user_id, value, NULL AS event_type FROM old_batch
+  UNION ALL
+  SELECT event_id, user_id, value, event_type FROM new_batch
+)
+SELECT COALESCE(event_type, '<pre-evolution>') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_value
+FROM unioned GROUP BY 1
+""")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read: a long-lived landing table whose early
+    batches predate a column (here: even-id events written WITHOUT
+    event_type, odd-id events written WITH it) must still scan as one
+    table — `mergeSchema` unions the footer schemas and back-fills the
+    missing column with NULL for old files. The aggregate proves no
+    rows or values are lost across the boundary and that the evolved
+    column is NULL exactly for pre-evolution files. At 100 TB: merge
+    footers once at planning (or pin the unified schema explicitly,
+    as the catalog does for stable tables — this op is the migration
+    path), never rewrite old data for an additive column."""
+    base = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "t")
+    ev = load_table(spark, sf_dir, "events")
+    (ev.filter(F.col("event_id") % 2 == 0)
+       .select("event_id", "user_id", "value")
+       .write.mode("overwrite").parquet(base))
+    (ev.filter(F.col("event_id") % 2 == 1)
+       .select("event_id", "user_id", "value", "event_type")
+       .write.mode("append").parquet(base))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (merged.groupBy(F.coalesce("event_type", F.lit("<pre-evolution>"))
+                            .alias("event_type"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.col("value").cast("decimal(38,12)"))
+                        .cast("double").alias("total_value")))
