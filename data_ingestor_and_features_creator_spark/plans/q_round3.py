@@ -1102,3 +1102,46 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.sum(F.col("value").cast("decimal(38,12)"))
                         .cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+@query("join_null_safe_eq", oracle="""
+WITH k AS (
+  SELECT event_id,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS vk
+  FROM events
+), d AS (
+  SELECT DISTINCT vk FROM k
+)
+SELECT COALESCE(CAST(d.vk AS VARCHAR), '<NULL>') AS bucket,
+       CAST(COUNT(k.event_id) AS BIGINT) AS n
+FROM k JOIN d ON k.vk IS NOT DISTINCT FROM d.vk
+GROUP BY 1
+""")
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join: `<=>` treats NULL as a joinable value
+    (NULL <=> NULL is true) where plain `=` silently drops every
+    NULL-keyed row — the semantics corner behind real bugs in
+    enrichment joins on nullable keys (an unknown-bucket dim row should
+    match unknown-bucket facts). Spark's eqNullSafe ≡ DuckDB's
+    IS NOT DISTINCT FROM; both plan it as a hash join on a
+    null-coalesced key, NOT a nested loop — same shuffle shape as `=`.
+    The per-bucket counts prove NULL-keyed events joined through
+    instead of vanishing (the '<NULL>' group must be present and
+    non-zero for this fixture)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        F.when(F.col("value").isNotNull(),
+               F.floor(F.col("value") / 100.0).cast("long")).alias("vk")
+    ).alias("k")
+    d = k.select(F.col("vk").alias("dk")).distinct().alias("d")
+    joined = k.join(d, F.col("k.vk").eqNullSafe(F.col("d.dk")))
+    return (joined.groupBy(
+                F.coalesce(F.col("d.dk").cast("string"), F.lit("<NULL>"))
+                 .alias("bucket"))
+                  .agg(F.count("event_id").alias("n")))
