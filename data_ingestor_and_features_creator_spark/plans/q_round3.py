@@ -1145,3 +1145,90 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("d.dk").cast("string"), F.lit("<NULL>"))
                  .alias("bucket"))
                   .agg(F.count("event_id").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period change (the BI MoM/YoY primitive)
+# ---------------------------------------------------------------------------
+
+@query("win_period_over_period", oracle="""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, n_orders, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY month) <> 0
+            THEN (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month)
+       END AS mom_change
+FROM m
+""")
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD change — the BI dashboard primitive (MoM /
+    YoY deltas): aggregate to the period grain FIRST (exact decimal
+    revenue sums), then lag over the tiny period series. The window
+    runs on ~months-count rows regardless of fact size — the
+    aggregate-then-window ordering is the 100 TB point (a lag over raw
+    orders would sort the fact table for nothing). Division of
+    bit-identical doubles is IEEE-exact, so the change ratio ships
+    unrounded; a zero previous period yields NULL rather than an ANSI
+    fault."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast(DEC))
+                     .cast("double").alias("revenue")))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "n_orders", "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev != 0, (F.col("revenue") - prev) / prev)
+         .alias("mom_change"))
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation (robust statistics family)
+# ---------------------------------------------------------------------------
+
+@query("agg_mad_robust", oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  WHERE e.value IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(med) AS median_value,
+       quantile_cont(adev, 0.5) AS mad
+FROM dev GROUP BY event_type
+""")
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION per group — the robust dispersion
+    statistic outlier pipelines prefer over stddev (a single wild
+    sensor reading moves stddev arbitrarily, MAD not at all; the
+    rolling-median artifact filter win_sliding_median is this family's
+    windowed cousin). Two-pass shape: exact interpolated median per
+    group, broadcast back onto the rows (the medians table is
+    group-cardinality-sized), then the median of absolute deviations.
+    |x − med| is IEEE-exact on identical operands and both engines'
+    exact percentile interpolates identically, so results ship
+    unrounded. At 100 TB swap both exact percentiles for
+    percentile_approx (agg_percentile_approx's t-digest path) — the
+    plan shape is unchanged."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+             .select("event_type", "med",
+                     F.abs(F.col("value") - F.col("med")).alias("adev")))
+    return (dev.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.max("med").alias("median_value"),
+                    F.expr("percentile(adev, 0.5)").alias("mad")))

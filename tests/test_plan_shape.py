@@ -427,3 +427,40 @@ def test_llm_prep_pipeline_tokenizes_once(spark, sf_dir):
     assert "EvalPython" not in plan
     assert plan.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in plan  # eval grams + rates ride broadcasts
+
+
+def test_bitmap_distinct_single_scan_three_levels(spark, sf_dir):
+    """The three bitmap levels (construct → or-merge → count) must stack
+    on ONE events scan — no joins, no extra reads."""
+    plan = _physical(QUERIES["agg_bitmap_distinct"](spark, sf_dir))
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+    assert "bitmap_construct_agg" in plan and "bitmap_or_agg" in plan
+
+
+def test_vocab_rank_runs_on_aggregated_grams(spark, sf_dir):
+    """Count-then-rank: the top-k window must consume the gram
+    aggregate's output (≤ charset³ rows), never the exploded stream —
+    partial counts before the shuffle, window above the aggregate."""
+    plan = _physical(QUERIES["vocab_topk_subwords"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_seasonal_decompose_two_shuffles(spark, sf_dir):
+    """Bucket-agg, trend window, and the seasonal agg share the
+    event_type partitioning: two hash exchanges total (bucket keys →
+    type), with the bounded grid Generate in between."""
+    plan = _physical(QUERIES["ts_seasonal_decompose"](spark, sf_dir))
+    assert "Generate explode" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "EvalPython" not in plan
+
+
+def test_period_over_period_windows_period_series(spark, sf_dir):
+    """Aggregate-then-window: the lag must run over the tiny month
+    series (a single-partition window AFTER the month aggregate), never
+    sort the fact table."""
+    plan = _physical(QUERIES["win_period_over_period"](spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.index("Window") < plan.index("HashAggregate")
