@@ -1232,3 +1232,106 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n"),
                     F.max("med").alias("median_value"),
                     F.expr("percentile(adev, 0.5)").alias("mad")))
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point (E2): TPC-H Q1 / Q3 via spark.sql over registered views
+# ---------------------------------------------------------------------------
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    from ..catalog import Tables
+    Tables(spark, sf_dir).register_views()
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(38,12))) AS DOUBLE) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-01' AS DATE)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_tpch_q1", oracle=_Q1_SQL)
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the SQL ENTRY POINT (§3.2
+    E2): the literally identical ANSI text runs on both engines —
+    `spark.sql` over the catalog's registered views here, DuckDB over
+    its parquet views as the oracle — so the op pins dialect
+    compatibility of the whole statement, not just expression
+    semantics. Exact decimal sums keep the four price aggregates
+    bit-identical; the scan-heavy single-agg shape is the canonical
+    map-side-combine benchmark query."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12)))
+            AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < CAST('1998-03-15' AS DATE)
+  AND l_shipdate > CAST('1998-03-15' AS DATE)
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_tpch_q3", oracle=_Q3_SQL)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the same SQL entry point —
+    a selective 3-table join + aggregate + top-k in one identical ANSI
+    text on both engines. Catalyst gets the whole statement: filter
+    pushdown on all three scans, join reordering, TakeOrderedAndProject
+    for the LIMIT (asserted shape in the bench family); the unique
+    o_orderkey tiebreak makes the top-10 deterministic."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+# ---------------------------------------------------------------------------
+# try_* error-tolerant scalar family (dirty-data survival)
+# ---------------------------------------------------------------------------
+
+@query("scalar_try_funcs", oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS BIGINT) AS lang_as_int,
+       TRY_CAST(substr(text, 1, 4) AS BIGINT) AS head_as_int,
+       CASE WHEN (doc_id % 7) <> 0 THEN CAST(n_chars AS DOUBLE) / (doc_id % 7)
+       END AS safe_ratio,
+       CASE WHEN n_chars >= 0 THEN CAST(SQRT(CAST(n_chars AS DOUBLE))
+                                        AS DOUBLE) END AS safe_root
+FROM documents
+""")
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRY_* error-tolerant scalar family — how a 100 TB job
+    survives dirty data under ANSI mode: try_cast returns NULL where
+    CAST would fault the task (a single malformed cell killing a
+    thousand-executor job is the alternative), try_divide NULLs the
+    /0 rows. Spark's try_divide ≡ the oracle's CASE guard (DuckDB has
+    TRY_CAST but no try_divide); both cast attempts here exercise the
+    real failure modes: non-numeric strings ('en') and text heads.
+    NULL-on-error semantics compose with the registry's NULL-feature
+    policy (safe_div/safe_sqrt) — errors become missing data, never
+    lost partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("try_cast(lang AS BIGINT)").alias("lang_as_int"),
+        F.expr("try_cast(substr(text, 1, 4) AS BIGINT)").alias("head_as_int"),
+        F.expr("try_divide(CAST(n_chars AS DOUBLE), doc_id % 7)")
+         .alias("safe_ratio"),
+        F.when(F.col("n_chars") >= 0,
+               F.sqrt(F.col("n_chars").cast("double"))).alias("safe_root"))
