@@ -464,3 +464,14 @@ def test_period_over_period_windows_period_series(spark, sf_dir):
     plan = _physical(QUERIES["win_period_over_period"](spark, sf_dir))
     assert "partial_count" in plan  # map-side combine before the shuffle
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_sql_q3_pushdown_and_topk(spark, sf_dir):
+    """The SQL entry point must get full Catalyst treatment: the
+    segment filter reaches the customer scan as a pushed filter, and
+    the LIMIT plans as TakeOrderedAndProject (per-partition heap),
+    never a global sort."""
+    df = QUERIES["sql_tpch_q3"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BUILDING" in plan  # predicate reached a scan filter
+    assert "TakeOrderedAndProject" in _physical(df)
