@@ -1335,3 +1335,127 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("safe_ratio"),
         F.when(F.col("n_chars") >= 0,
                F.sqrt(F.col("n_chars").cast("double"))).alias("safe_root"))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join against the SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+_SCD2_CTE = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+k AS (
+  SELECT user_id, event_id, us, event_type FROM c
+  WHERE prev_type IS NULL OR event_type <> prev_type),
+scd AS (
+  SELECT user_id, event_type AS state, us AS valid_from_us,
+         lead(us) OVER w AS valid_to_us,
+         row_number() OVER w AS version
+  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+"""
+
+
+@query("join_scd2_pointintime", oracle=_SCD2_CTE + """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       s.state, CAST(s.version AS BIGINT) AS version
+FROM events p JOIN scd s
+  ON p.user_id = s.user_id
+ AND epoch_us(p.ts) >= s.valid_from_us
+ AND (s.valid_to_us IS NULL OR epoch_us(p.ts) < s.valid_to_us)
+WHERE p.event_type = 'purchase'
+""")
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 history — the query the
+    history table exists FOR: each purchase event picks up the
+    dimension state that was valid AT ITS TIMESTAMP, never today's
+    state (the classic time-travel-correctness bug in fact-dim joins).
+    Composes scd2_history's versioned intervals with an equi+range
+    join: user_id is the equi key (one shuffle each side), the
+    interval predicate filters within the key group — validity
+    intervals partition each user's timeline, so exactly one version
+    matches per fact row. At 100 TB both sides shuffle once on
+    user_id; the interval filter rides the sort-merge join, no
+    explode, no as-of approximation."""
+    from .q_window import scd2_history
+    scd = (scd2_history(spark, sf_dir)
+           .select("user_id", F.col("event_type").alias("state"),
+                   "valid_from_us", "valid_to_us",
+                   F.col("version").cast("long").alias("version")))
+    p = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us")))
+    cond = ((p.user_id == scd.user_id)
+            & (p.ts_us >= scd.valid_from_us)
+            & (scd.valid_to_us.isNull() | (p.ts_us < scd.valid_to_us)))
+    return (p.join(scd, cond)
+             .select("event_id", p.user_id.alias("user_id"), "ts_us",
+                     "state", "version"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression trend (closed-form exact sums)
+# ---------------------------------------------------------------------------
+
+@query("agg_regression_trend", oracle="""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+  WHERE value IS NOT NULL
+), r AS (
+  SELECT user_id, value AS y,
+         CAST(us - MIN(us) OVER (PARTITION BY user_id) AS DOUBLE)
+           / 1000000.0 AS x
+  FROM b
+), s AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM r GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 86400.0
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+       END AS intercept
+FROM s
+""")
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS TREND (slope/intercept) from closed-form exact
+    sums — the drift detector for sensor fleets (is this device's
+    reading creeping?). x is rebased to per-user elapsed SECONDS
+    before squaring (raw epoch-µs x² sums overflow even
+    DECIMAL(38,12); rebasing also kills the catastrophic cancellation
+    that makes naive n·Σx²−(Σx)² explode); all four sums ride
+    DECIMAL(38,12) (order-free), the slope assembles in IEEE doubles
+    from identical operands and publishes in value-per-DAY units.
+    Degenerate groups (single point, constant x) yield NULL through
+    the determinant guard. Built-in regr_slope would be shorter but
+    its float accumulation order is engine- and partition-dependent —
+    the closed form is the cross-engine-exact route, same plan shape
+    (one window min + one aggregate on one partitioning)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    wmin = W.partitionBy("user_id")
+    r = ev.select(
+        "user_id", F.col("value").alias("y"),
+        ((F.unix_micros("ts")
+          - F.min(F.unix_micros("ts")).over(wmin)).cast("double")
+         / 1e6).alias("x"))
+    s = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"))
+    det = s.n * s.sxx - s.sx * s.sx
+    slope = (s.n * s.sxy - s.sx * s.sy) / det
+    return s.select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        F.when(det != 0, slope * 86400.0).alias("slope_per_day"),
+        F.when(det != 0, (s.sy - slope * s.sx) / s.n).alias("intercept"))
