@@ -157,3 +157,48 @@ def audio_features(frame_samples: int = 256, sample_rate: int = 8000):
                 out["zcr"].extend(np.round(zcr, 6))
             yield pd.DataFrame(out)
     return extract
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def average_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Perceptual AVERAGE-HASH over the stub-decoded thumbnail (see
+    STUB NOTICE): content → 8×8 block-averaged grayscale (the
+    fake_resize kernel's interpretation) → 64 bits, bit i set iff
+    block i is brighter than the thumbnail mean. A real deployment
+    swaps the stub for Pillow decode + the identical bit rule (aHash);
+    the Spark-side shape — Arrow batches in, one int64 signature per
+    asset out — is the production contract. Packing uses Python ints
+    (arbitrary precision) and wraps to signed int64 at the end, so
+    bit 63 never overflows."""
+    import numpy as np
+
+    def one(b: bytes) -> int:
+        side = int(len(b) ** 0.5)
+        if side == 0:
+            return 0
+        img = np.frombuffer(bytes(b)[: side * side],
+                            dtype=np.uint8).reshape(side, side)
+        ys = np.linspace(0, side, 9).astype(int)
+        xs = np.linspace(0, side, 9).astype(int)
+        blocks = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            for j in range(8):
+                blk = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                          xs[j]:max(xs[j + 1], xs[j] + 1)]
+                blocks[i, j] = blk.mean()
+        bits = (blocks > blocks.mean()).reshape(-1)
+        h = 0
+        for k in range(64):
+            if bits[k]:
+                h |= 1 << k
+        if h >= 1 << 63:
+            h -= 1 << 64
+        return h
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "phash": pdf["content"].map(one).astype("int64"),
+        })

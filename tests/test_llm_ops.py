@@ -240,3 +240,26 @@ def test_star_cc_equals_label_propagation(spark):
     star = _cc_map(graph.connected_components_star(edges))
     assert lp == star
     assert star[19] == 0 and star[104] == 100  # chain and clique roots
+
+
+def test_phash_finds_planted_duplicate(spark):
+    """Two byte-identical assets must pair at hamming 0 through the
+    full phash pipeline (decode → aHash → band join → verify); a
+    clearly different asset must not pair with them at ≤ 3."""
+    from pyspark.sql import functions as F
+    from data_ingestor_and_features_creator_spark.operators import (
+        multimodal as mm)
+    from data_ingestor_and_features_creator_spark.operators.textops import (
+        simhash_pairs)
+    blob_a = bytes(range(256)) * 16          # structured 'image'
+    blob_c = bytes([255, 0] * 2048)          # very different texture
+    df = spark.createDataFrame(
+        [(1, bytearray(blob_a)), (2, bytearray(blob_a)),
+         (3, bytearray(blob_c))],
+        "doc_id long, content binary")
+    sig = (df.mapInPandas(mm.average_hash, schema=mm.PHASH_SCHEMA)
+             .select("doc_id", F.col("phash").alias("simhash")))
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs(sig, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
