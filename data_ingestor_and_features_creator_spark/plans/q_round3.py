@@ -1525,3 +1525,61 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (assets.mapInPandas(mm.average_hash, schema=mm.PHASH_SCHEMA)
                  .select("doc_id", F.col("phash").alias("simhash")))
     return simhash_pairs(sig, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# OHLC bar aggregation (open/high/low/close downsampling)
+# ---------------------------------------------------------------------------
+
+_BAR_US = 900_000_000  # 15-minute bars
+
+
+@query("agg_ohlc_bars", oracle=f"""
+WITH b AS (
+  SELECT user_id, (epoch_us(ts) // {_BAR_US}) * {_BAR_US} AS bar_us,
+         value, epoch_us(ts) AS us, event_id,
+         row_number() OVER (PARTITION BY user_id,
+                                         (epoch_us(ts) // {_BAR_US}) * {_BAR_US}
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id,
+                                         (epoch_us(ts) // {_BAR_US}) * {_BAR_US}
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, bar_us,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM b GROUP BY user_id, bar_us
+""")
+def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC BAR aggregation — the canonical time-series downsample
+    (finance candles; sensor dashboards): per (user, 15 min bucket),
+    open = first reading, close = last, high/low = extremes. First/
+    last are resolved by row_number with the (ts, event_id) total
+    order (the registry tiebreak rule) — `first()`-in-groupBy is
+    nondeterministic and min_by/arg_min tie rules differ per engine,
+    so count-the-rows is the portable route. Both window passes and
+    the final aggregate share ONE (user, bar) partitioning — the
+    sort is reused, single shuffle (plan-asserted). Values pass
+    through untouched (no arithmetic): exact on both engines."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    bar = F.expr(f"(unix_micros(ts) div {_BAR_US}) * {_BAR_US}")
+    b = ev.select("user_id", bar.alias("bar_us"), "value", "ts", "event_id")
+    wa = W.partitionBy("user_id", "bar_us").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id", "bar_us").orderBy(F.desc("ts"),
+                                                   F.desc("event_id"))
+    r = b.select("user_id", "bar_us", "value",
+                 F.row_number().over(wa).alias("rn_a"),
+                 F.row_number().over(wd).alias("rn_d"))
+    return (r.groupBy("user_id", "bar_us")
+             .agg(F.count(F.lit(1)).alias("n_ticks"),
+                  F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                   .alias("open"),
+                  F.max("value").alias("high"),
+                  F.min("value").alias("low"),
+                  F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                   .alias("close")))

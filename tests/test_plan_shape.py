@@ -475,3 +475,10 @@ def test_sql_q3_pushdown_and_topk(spark, sf_dir):
     plan = _formatted(df)
     assert "BUILDING" in plan  # predicate reached a scan filter
     assert "TakeOrderedAndProject" in _physical(df)
+
+
+def test_ohlc_single_partitioning(spark, sf_dir):
+    """Both row_number passes and the bar aggregate key on (user, bar):
+    one hash exchange serves the whole plan."""
+    plan = _physical(QUERIES["agg_ohlc_bars"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
