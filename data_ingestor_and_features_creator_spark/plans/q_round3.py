@@ -1583,3 +1583,43 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.min("value").alias("low"),
                   F.max(F.when(F.col("rn_d") == 1, F.col("value")))
                    .alias("close")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch reshuffle (reproducible training-data order)
+# ---------------------------------------------------------------------------
+
+@query("data_epoch_shuffle", oracle="""
+WITH e AS (
+  SELECT doc_id, g.epoch,
+         ((doc_id + 1000003 * g.epoch) % 1000003) * 2654435761 % 1000003
+           AS shuffle_key
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch) g
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch
+                               ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS position
+FROM e
+""")
+def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH RESHUFFLE — the dataloader contract for
+    multi-epoch training: each epoch visits every document exactly
+    once in an order that (a) differs between epochs, (b) is fully
+    reproducible from (doc_id, epoch) alone — no RNG state, no
+    partition-order dependence, any worker can compute any position.
+    The epoch-salted Knuth hash gives the order; row_number over
+    (key, id) makes ties impossible. At 100 TB the sort is per-epoch
+    range-partitioned like any global sort, or skipped entirely by
+    bucketing on shuffle_key ranges — the KEY, not the sort, is the
+    contract. Integer arithmetic is overflow-safe BIGINT on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    e = docs.select("doc_id").crossJoin(F.broadcast(epochs))
+    key = (((F.col("doc_id") + 1000003 * F.col("epoch")) % 1000003)
+           * F.lit(2654435761) % 1000003)
+    w = W.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (e.withColumn("shuffle_key", key)
+             .select("epoch", "doc_id",
+                     F.row_number().over(w).cast("long").alias("position")))
