@@ -1623,3 +1623,159 @@ def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.withColumn("shuffle_key", key)
              .select("epoch", "doc_id",
                      F.row_number().over(w).cast("long").alias("position")))
+
+
+# ---------------------------------------------------------------------------
+# Merge overlapping intervals (coverage islands via cumulative max)
+# ---------------------------------------------------------------------------
+
+_IVL_US = 1_800_000_000  # each event opens a 30-min activity interval
+
+
+@query("interval_merge_overlaps", oracle=f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_IVL_US} AS e,
+         event_id
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+), f AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+           AS new_island
+  FROM m
+), g AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM f
+)
+SELECT user_id, island,
+       MIN(s) AS cover_start_us, MAX(e) AS cover_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM g GROUP BY user_id, island
+""")
+def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE OVERLAPPING INTERVALS — the coverage/union-of-ranges
+    primitive (uptime stitching, sensor coverage, calendar busy
+    blocks): each event opens a 30-min interval; a new island starts
+    where an interval's start clears the running MAX of all previous
+    ends (cummax, NOT lag(e) — an earlier long interval can swallow
+    several later ones); cumulative island ids then one aggregate.
+    The classic gaps-and-islands generalization to intervals, all on
+    ONE user partitioning (two window passes + agg share the sort —
+    single shuffle). Integer-µs arithmetic end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select("user_id", "event_id",
+                   F.unix_micros("ts").alias("s"),
+                   (F.unix_micros("ts") + _IVL_US).alias("e"))
+    wp = (W.partitionBy("user_id").orderBy("s", "event_id")
+           .rowsBetween(W.unboundedPreceding, -1))
+    m = iv.select("user_id", "s", "e",
+                  F.max("e").over(wp).alias("prev_max_e"))
+    new_island = F.when(F.col("prev_max_e").isNull()
+                        | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0)
+    wg = (W.partitionBy("user_id").orderBy("s", "e")
+           .rowsBetween(W.unboundedPreceding, 0))
+    g = (m.withColumn("ni", new_island)
+          .withColumn("island", F.sum("ni").over(wg)))
+    return (g.groupBy("user_id", "island")
+             .agg(F.min("s").alias("cover_start_us"),
+                  F.max("e").alias("cover_end_us"),
+                  F.count(F.lit(1)).alias("n_intervals")))
+
+
+# ---------------------------------------------------------------------------
+# Frequency-weighted statistics (weights from the JSON props column)
+# ---------------------------------------------------------------------------
+
+@query("agg_weighted_stats", oracle="""
+WITH w AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
+  FROM events
+  WHERE value IS NOT NULL AND props IS NOT NULL
+    AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+)
+SELECT event_type,
+       CAST(SUM(wt) AS BIGINT) AS total_weight,
+       ROUND(CAST(SUM(CAST(value * wt AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(SUM(wt) AS DOUBLE), 6) AS wmean,
+       ROUND((CAST(SUM(CAST(value * value * wt AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(value * wt AS DECIMAL(38,12))) AS DOUBLE)
+                * CAST(SUM(CAST(value * wt AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(wt) AS DOUBLE))
+             / CAST(SUM(wt) AS DOUBLE), 6) AS wvar_pop
+FROM w GROUP BY event_type
+""")
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-WEIGHTED mean and population variance — the
+    pre-aggregated-data statistic (each row carries a count/weight, as
+    every rollup and importance-sampled dataset does): wmean =
+    Σwx / Σw, wvar = Σwx² / Σw − wmean², with the weight pulled from
+    the JSON props column (integer, exact). All three weighted sums
+    ride DECIMAL(38,12) (order-free), assembly is IEEE on identical
+    operands, published at 6 dp. One hash aggregate, map-side
+    partials — the same one-pass shape as agg_basic regardless of
+    weight distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = F.get_json_object("props", "$.k").cast("long")
+    w = (ev.filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+           .select("event_type", "value", wt.alias("wt"))
+           .filter(F.col("wt") > 0))
+    swx = F.sum((F.col("value") * F.col("wt")).cast(DEC)).cast("double")
+    swxx = F.sum((F.col("value") * F.col("value") * F.col("wt")).cast(DEC)) \
+            .cast("double")
+    sw = F.sum("wt").cast("double")
+    return (w.groupBy("event_type")
+             .agg(F.sum("wt").alias("total_weight"),
+                  F.round(swx / sw, 6).alias("wmean"),
+                  F.round((swxx - swx * swx / sw) / sw, 6).alias("wvar_pop")))
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (clamp to per-group percentile fences)
+# ---------------------------------------------------------------------------
+
+@query("win_winsorize", oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < q.p05 THEN q.p05
+            WHEN e.value > q.p95 THEN q.p95
+            ELSE e.value END AS value_winsorized,
+       (e.value < q.p05 OR e.value > q.p95) AS clamped
+FROM events e JOIN q ON e.event_type = q.event_type
+WHERE e.value IS NOT NULL
+""")
+def win_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION — clamp each reading to its group's [p05, p95]
+    fences instead of dropping it (the robust-stats alternative to
+    outlier deletion when row counts must be preserved; pairs with
+    agg_mad_robust). Exact interpolated percentiles per group,
+    broadcast back (group-cardinality-sized table), per-row CASE
+    clamp — values pass through or copy a fence bit-for-bit, no
+    arithmetic to drift. The clamped flag is a non-nullable boolean
+    per the registry house rule. At 100 TB both percentiles swap to
+    t-digest; the broadcast-clamp shape is unchanged."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"))
+    j = ev.join(F.broadcast(q), "event_type")
+    clamped = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return j.select(
+        "event_id", "event_type", "value",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+         .when(F.col("value") > F.col("p95"), F.col("p95"))
+         .otherwise(F.col("value")).alias("value_winsorized"),
+        clamped.alias("clamped"))
