@@ -1650,8 +1650,9 @@ WITH iv AS (
   FROM m
 ), g AS (
   SELECT user_id, s, e,
-         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
-                               ROWS UNBOUNDED PRECEDING) AS island
+         CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS island
   FROM f
 )
 SELECT user_id, island,
@@ -1682,7 +1683,7 @@ def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     wg = (W.partitionBy("user_id").orderBy("s", "e")
            .rowsBetween(W.unboundedPreceding, 0))
     g = (m.withColumn("ni", new_island)
-          .withColumn("island", F.sum("ni").over(wg)))
+          .withColumn("island", F.sum("ni").over(wg).cast("long")))
     return (g.groupBy("user_id", "island")
              .agg(F.min("s").alias("cover_start_us"),
                   F.max("e").alias("cover_end_us"),

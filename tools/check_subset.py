@@ -37,12 +37,18 @@ def main() -> int:
             print(name, "UNKNOWN"); fails.append(name); continue
         try:
             sdf = qs[name](spark, sf)
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = list(spdf.itertuples(index=False, name=None))
             if name in os_:
-                cur = con.execute(os_[name])
-                assert_same_result(name, sdf.columns, srows,
-                                   [c[0] for c in cur.description],
-                                   cur.fetchall())
+                # .df() (pandas), NOT fetchall(): the driver canonicalizes
+                # through pandas, where DuckDB HUGEINT becomes float64 —
+                # fetchall masks that drift (bitten twice: round-1 SUM(CASE),
+                # round-3 windowed SUM island ids).
+                dpdf = con.execute(os_[name]).df()
+                assert_same_result(name, list(spdf.columns), srows,
+                                   list(dpdf.columns),
+                                   list(dpdf.itertuples(index=False,
+                                                        name=None)))
                 print(name, "ORACLE MATCH", len(srows))
             else:
                 print(name, "rows-only", len(srows))
