@@ -1780,3 +1780,80 @@ def win_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("value") > F.col("p95"), F.col("p95"))
          .otherwise(F.col("value")).alias("value_winsorized"),
         clamped.alias("clamped"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-quantile in one pass (the describe() quartet)
+# ---------------------------------------------------------------------------
+
+@query("agg_quantile_multi", oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       quantile_cont(value, 0.90) AS p90,
+       ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+         AS iqr
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+""")
+def agg_quantile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-QUANTILE in one aggregation — the describe()/boxplot
+    quartet (p25/p50/p75/p90 + IQR) computed from a SINGLE per-group
+    sort: Spark's `percentile(col, array(...))` evaluates every
+    requested quantile against one ordered buffer instead of one
+    aggregate (and one buffer) per quantile. Exact interpolation
+    matches DuckDB's quantile_cont bit-for-bit on identical inputs;
+    the IQR difference of two exact quantiles rounds at 6 dp only as
+    boundary insurance. At 100 TB this swaps to ONE
+    percentile_approx(col, array(...)) t-digest — same single-pass
+    shape, mergeable partials."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    qs = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.9))")
+    a = ev.groupBy("event_type").agg(qs.alias("q"))
+    return a.select(
+        "event_type",
+        F.col("q")[0].alias("p25"), F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"), F.col("q")[3].alias("p90"),
+        F.round(F.col("q")[2] - F.col("q")[0], 6).alias("iqr"))
+
+
+# ---------------------------------------------------------------------------
+# Map-typed aggregation, canonicalized for cross-engine hashing
+# ---------------------------------------------------------------------------
+
+@query("agg_map_counts", oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || n, ',' ORDER BY event_type)
+         AS type_counts
+FROM c GROUP BY user_id
+""")
+def agg_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed aggregation — per user a {event_type: count} map
+    (`map_from_entries` over collected pairs), the natural shape for
+    feature stores that keep per-entity categorical histograms in one
+    column. Maps hash unorderedly and engines disagree on entry order,
+    so the REGISTERED result canonicalizes the map to a key-sorted
+    'k:v' CSV (the agg_collect array lesson applied to maps) — the map
+    column itself stays in the plan as the realistic intermediate.
+    Count-then-gather: the per-(user, type) aggregate shrinks the data
+    before any collection, so the gathered state is bounded by the
+    type cardinality, never the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    m = (c.groupBy("user_id")
+          .agg(F.map_from_entries(
+              F.sort_array(F.collect_list(F.struct("event_type", "n"))))
+              .alias("type_map")))
+    entry = lambda k, v: F.concat(k, F.lit(":"), v.cast("string"))  # noqa: E731
+    return m.select(
+        "user_id",
+        F.array_join(F.transform(
+            F.map_entries("type_map"),
+            lambda e: entry(e["key"], e["value"])), ",")
+         .alias("type_counts"))
