@@ -1857,3 +1857,33 @@ def agg_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_entries("type_map"),
             lambda e: entry(e["key"], e["value"])), ",")
          .alias("type_counts"))
+
+
+# ---------------------------------------------------------------------------
+# Storage-aligned aggregation over a bucketed table (no shuffle)
+# ---------------------------------------------------------------------------
+
+@query("agg_bucketed_no_shuffle", oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS total
+FROM orders GROUP BY o_custkey
+""")
+def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-aligned AGGREGATION — the bucketing payoff beyond joins:
+    grouping BY THE BUCKETING KEY over a bucketed table needs NO
+    exchange at all (the scan already delivers rows clustered by
+    o_custkey, so the hash aggregate runs in place; asserted in
+    tests/test_plan_shape.py). At 100 TB this is the difference
+    between re-shuffling the fact table for every per-customer rollup
+    and reading a layout that amortized that shuffle at write time —
+    the same economics as the co-located join, applied to the
+    aggregation family. Results are layout-independent (the oracle
+    reads the plain parquet), proving bucketing is purely physical."""
+    from .q_joins import _bucketed_tables
+    to_name, _ = _bucketed_tables(spark, sf_dir)
+    o = spark.table(to_name)
+    return (o.groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast(DEC))
+                   .cast("double").alias("total")))

@@ -482,3 +482,10 @@ def test_ohlc_single_partitioning(spark, sf_dir):
     one hash exchange serves the whole plan."""
     plan = _physical(QUERIES["agg_ohlc_bars"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_aggregate_has_no_exchange(spark, sf_dir):
+    """Grouping by the bucketing key over the bucketed table must run
+    the hash aggregate directly on the scan — zero exchanges."""
+    plan = _physical(QUERIES["agg_bucketed_no_shuffle"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
