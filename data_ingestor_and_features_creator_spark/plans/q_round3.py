@@ -1887,3 +1887,30 @@ def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_orders"),
                   F.sum(F.col("o_totalprice").cast(DEC))
                    .cast("double").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join (watermark decides no-match)
+# ---------------------------------------------------------------------------
+
+@query("stream_stream_left_outer", oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+""")
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the outer variant is
+    where watermarks earn their keep: an unmatched purchase may only
+    emit once the watermark passes its interval bound, proving no
+    matching click can still arrive (eviction IS the no-match
+    decision). Registered on the batch path of the shared transform
+    (plain left outer range join ≡ the oracle); the interval bound
+    keeps both sides' streaming state evictable exactly as in the
+    inner-join twin stream_stream_join."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming import transforms
+    return transforms.stream_stream_purchase_click_outer(ev)

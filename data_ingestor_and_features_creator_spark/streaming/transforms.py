@@ -146,3 +146,37 @@ def hrv_windowed_features(events: DataFrame) -> DataFrame:
         r6(safe_sqrt(var)).alias("sdnn"),
         r6(F.col("shr") / F.col("n")).alias("mean_hr"),
     )
+
+
+def stream_stream_purchase_click_outer(events: DataFrame,
+                                       events_b: DataFrame | None = None
+                                       ) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    with its matching prior-30-min clicks when they exist, or once with
+    NULL click columns when none do. In streaming mode the outer side
+    is the semantically hard part: an unmatched purchase can only be
+    emitted once the watermark proves no matching click can still
+    arrive (state eviction doubles as the no-match decision); in batch
+    the identical condition is a plain left outer range join, which is
+    what the oracle checks."""
+    right = events_b if events_b is not None else events
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id"),
+                 F.col("ts").alias("p_ts")))
+    c = (right.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (c.c_ts < p.p_ts),
+        "left_outer",
+    )
+    return joined.select(
+        "purchase_id", "user_id", "click_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
