@@ -116,3 +116,25 @@ def test_hrv_features_batch_equals_stream(spark, sf_dir, ev_batch, ev_stream):
     stream = _rows(runner.run_available_now(
         transforms.hrv_windowed_features(ev_stream), output_mode="complete"))
     assert batch == stream
+
+
+def test_stream_stream_left_outer_stream_subset_of_batch(spark, sf_dir,
+                                                         ev_batch):
+    """LEFT OUTER stream-stream join under availableNow: every matched
+    pair must equal the batch join, and every unmatched emission must
+    be a genuine batch-side no-match. The streamed result may lack the
+    LAST unmatched purchases (the final watermark never advances past
+    them to prove no click can come), so the assertion is
+    matched-exact + unmatched-subset — exactly the semantics the
+    watermark contract promises on a finite replay."""
+    left = runner.read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    right = runner.read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    stream = _rows(runner.run_available_now(
+        transforms.stream_stream_purchase_click_outer(left, right)))
+    batch = _rows(transforms.stream_stream_purchase_click_outer(ev_batch))
+    s_matched = {r for r in stream if r[2] is not None}
+    b_matched = {r for r in batch if r[2] is not None}
+    assert s_matched == b_matched
+    b_unmatched = {r for r in batch if r[2] is None}
+    s_unmatched = {r for r in stream if r[2] is None}
+    assert s_unmatched <= b_unmatched
