@@ -1914,3 +1914,124 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from ..streaming import transforms
     return transforms.stream_stream_purchase_click_outer(ev)
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric near-superset detection)
+# ---------------------------------------------------------------------------
+
+_CONT_MAX_DF = 100   # stop-shingle cap (same rationale as ngram jaccard)
+_CONT_THRESH = 0.5   # smaller doc at least half-contained in the larger
+
+
+@query("dedup_containment", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, greatest(1, len(ts) - 2)),
+                i -> array_to_string(ts[i:i+2], ' '))) AS s
+  FROM tok),
+sh AS (
+  SELECT doc_id, source, s FROM sh0
+  QUALIFY COUNT(*) OVER (PARTITION BY source, s) <= {_CONT_MAX_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shj AS (
+  SELECT doc_id, source, s FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY source, s) >= 2),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM shj x JOIN shj y ON x.source = y.source AND x.s = y.s
+  WHERE x.doc_id < y.doc_id GROUP BY a, b)
+SELECT a, b, CAST(i AS BIGINT) AS n_shared,
+       ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= {_CONT_THRESH}
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup (Broder's asymmetric resemblance): score =
+    |A∩B| / min(|A|, |B|) — how much of the SMALLER document lives
+    inside the larger. Symmetric Jaccard misses exactly this case: a
+    paragraph quoted whole inside a long article scores near-zero
+    Jaccard (union dominated by the article) but containment ≈ 1 —
+    the excerpt/quotation duplicates a pretraining corpus actually
+    has. Same scalable skeleton as dedup_ngram_jaccard (distinct
+    3-gram shingles, source blocking, stop-shingle cap, df≥2
+    self-join pruning); only the denominator changes — which is the
+    point: the blocking infrastructure amortizes across every
+    resemblance measure built on it."""
+    from ..operators import textops
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            textops.shingles(textops.tokens("text"), 3))).alias("s"),
+    ).cache()
+    dfreq = sh.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") > _CONT_MAX_DF).select("source", "s")
+    sh = sh.join(F.broadcast(hot), ["source", "s"], "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = (dfreq.filter((F.col("df") >= 2)
+                             & (F.col("df") <= _CONT_MAX_DF))
+                     .select("source", "s"))
+    shj = sh.join(joinable, ["source", "s"], "left_semi")
+    x = shj.select(F.col("doc_id").alias("a"), "source", "s")
+    y = shj.select(F.col("doc_id").alias("b"), "source", "s")
+    inter = (x.join(y, ["source", "s"]).filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    cont = F.col("i").cast("double") / F.least("na", "nb")
+    return (inter.join(sa, "a").join(sb, "b")
+                 .filter(cont >= _CONT_THRESH)
+                 .select("a", "b", F.col("i").cast("long").alias("n_shared"),
+                         F.round(cont, 6).alias("containment")))
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration per group (inequality of the value distribution)
+# ---------------------------------------------------------------------------
+
+@query("agg_gini_concentration", oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk
+  FROM events WHERE value IS NOT NULL AND value >= 0
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * rk AS DECIMAL(38,12))) AS DOUBLE) AS sxr
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN sx > 0
+            THEN ROUND((2.0 * sxr / (n * sx)) - (n + 1.0) / n, 6)
+       END AS gini
+FROM s
+""")
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT per group — the concentration diagnostic for
+    data curation (is one user/source/type contributing most of the
+    mass?): G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over ascending-sorted
+    values. The rank comes from a window with the (value, event_id)
+    total order — ties broken identically on both engines, which
+    matters because rank·x is rank-sensitive for equal values only in
+    ORDER, not in sum... and the tiebreak pins that order anyway. Both
+    sums ride DECIMAL(38,12); assembly is IEEE on identical operands,
+    published at 6 dp. One window + one aggregate on the same
+    event_type partitioning."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & (F.col("value") >= 0)))
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select("event_type", "value",
+                  F.row_number().over(w).alias("rk"))
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("rk")).cast(DEC)).cast("double")
+         .alias("sxr"))
+    gini = (2.0 * s.sxr / (s.n * s.sx)) - (s.n + 1.0) / s.n
+    return s.select("event_type", F.col("n").cast("long").alias("n"),
+                    F.when(s.sx > 0, F.round(gini, 6)).alias("gini"))
