@@ -2035,3 +2035,86 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = (2.0 * s.sxr / (s.n * s.sx)) - (s.n + 1.0) / s.n
     return s.select("event_type", F.col("n").cast("long").alias("n"),
                     F.when(s.sx > 0, F.round(gini, 6)).alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# Gini-Simpson diversity (log-free distribution diagnostic)
+# ---------------------------------------------------------------------------
+
+@query("agg_simpson_diversity", oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_types, total,
+       ROUND(1.0 - CAST(sum_sq AS DOUBLE)
+                   / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+         AS simpson_diversity
+FROM t
+""")
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI-SIMPSON DIVERSITY per user (1 − Σpᵢ²) — the behavioral/
+    data-mix evenness diagnostic that needs NO logarithms: Shannon
+    entropy's per-term ln(p) drifts 1 ulp across libm implementations,
+    while Simpson is integer counts, one integer square sum, and one
+    IEEE division — bit-exact cross-engine by construction (the same
+    reasoning that picked odds-ratio idf for BM25 and T=2 for
+    temperature mixing). Two stacked aggregates, both keyed on
+    user_id — the second runs on the tiny (user, type) table."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_types"))
+    div = 1.0 - (F.col("sum_sq").cast("double")
+                 / (F.col("total").cast("double")
+                    * F.col("total").cast("double")))
+    return t.select("user_id", "n_types", "total",
+                    F.round(div, 6).alias("simpson_diversity"))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast range-lookup join (tier tables)
+# ---------------------------------------------------------------------------
+
+@query("join_range_lookup", oracle="""
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+         ('high', 150.0, 1e9)
+)
+SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS total_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+WHERE e.value IS NOT NULL AND e.value >= 0
+GROUP BY t.tier
+""")
+def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast RANGE-LOOKUP join — the tier/banding table every
+    pricing, scoring, and bucketing pipeline has: each reading matched
+    to the [lo, hi) band that contains it. With a handful of
+    non-overlapping bands the right plan IS the broadcast nested-loop
+    join (tiny build side × cheap predicate beats materializing a
+    bucketed blocking key); contrast join_theta_band_bucketed, where
+    BOTH sides are large and bucket-blocking is what rescues the
+    quadratic — together they bracket the two regimes of non-equi
+    joins at scale. Non-overlap makes each row match exactly one band,
+    so counts partition the input; DECIMAL-exact value sums."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & (F.col("value") >= 0)))
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "tier string, lo double, hi double")
+    j = ev.join(F.broadcast(tiers),
+                (ev.value >= tiers.lo) & (ev.value < tiers.hi))
+    return (j.groupBy("tier")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6)
+                   .alias("total_value")))
