@@ -2118,3 +2118,75 @@ def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n"),
                   F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6)
                    .alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (share of group total per row)
+# ---------------------------------------------------------------------------
+
+@query("win_ratio_to_report", oracle="""
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS day_value
+  FROM events WHERE value IS NOT NULL GROUP BY user_id, day
+)
+SELECT user_id, day, ROUND(day_value, 6) AS day_value,
+       ROUND(day_value /
+             CAST(SUM(CAST(day_value AS DECIMAL(38,12))) OVER
+                  (PARTITION BY user_id) AS DOUBLE), 6) AS share_of_user
+FROM d
+""")
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-REPORT — each row's share of its group total (the BI
+    windowed-total idiom: daily value as a fraction of the user's
+    all-time value). Aggregate to the (user, day) grain FIRST, then
+    the unbounded window total runs over the small daily series, not
+    raw events — the same aggregate-then-window economics as
+    win_period_over_period, and both stages key on user_id so the
+    window reuses the aggregate's partitioning. The window SUM rides
+    DECIMAL (in-frame order is unspecified), the share divides
+    bit-identical doubles, both published at 6 dp."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    d = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+           .agg(F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("day_value")))
+    w = W.partitionBy("user_id")
+    total = F.sum(F.col("day_value").cast(DEC)).over(w).cast("double")
+    return d.select("user_id", "day",
+                    F.round("day_value", 6).alias("day_value"),
+                    F.round(F.col("day_value") / total, 6)
+                     .alias("share_of_user"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic arg-max via struct ordering
+# ---------------------------------------------------------------------------
+
+@query("agg_argmax_reading", oracle="""
+SELECT user_id, value AS peak_value, epoch_us(ts) AS peak_ts_us, event_id
+FROM events
+WHERE value IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, ts DESC, event_id DESC) = 1
+""")
+def agg_argmax_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ARG-MAX — the peak reading WITH its context
+    (timestamp, id) per user: `max(struct(value, ts, event_id))` uses
+    struct lexicographic ordering, so the (ts, event_id) tail is a
+    built-in tiebreak and the result is total-order deterministic —
+    where bare max_by/arg_max leaves ties unspecified on BOTH engines
+    (the agg_mode lesson for extremes). One hash aggregate with
+    map-side partials — no window over raw events needed on the Spark
+    side; the oracle's row_number formulation pins identical
+    semantics."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    peak = F.max(F.struct("value",
+                          F.unix_micros("ts").alias("ts_us"),
+                          "event_id")).alias("p")
+    return (ev.groupBy("user_id").agg(peak)
+              .select("user_id",
+                      F.col("p.value").alias("peak_value"),
+                      F.col("p.ts_us").alias("peak_ts_us"),
+                      F.col("p.event_id").alias("event_id")))
