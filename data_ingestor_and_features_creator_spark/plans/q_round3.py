@@ -2190,3 +2190,119 @@ def agg_argmax_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("p.value").alias("peak_value"),
                       F.col("p.ts_us").alias("peak_ts_us"),
                       F.col("p.event_id").alias("event_id")))
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedup keep policy: keep the LONGEST representative
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact_keep_longest", oracle="""
+WITH n AS (
+  SELECT doc_id, n_chars, source,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM n
+QUALIFY row_number() OVER (PARTITION BY h
+                           ORDER BY n_chars DESC, doc_id) = 1
+""")
+def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup KEEP POLICY variant: within each normalized-digest
+    group keep the LONGEST document (ties to the lowest id) — the
+    curation choice when near-identical pages differ by truncation and
+    the fuller copy is the better training example, vs
+    dedup_exact_normalized's keep-lowest-id (stable/reproducible) and
+    dedup_minhash_cluster's keep-lowest-per-cluster. The policy is ONE
+    ORDER BY in the ranking window — the digest-keyed shuffle, the
+    scale shape, and everything upstream are unchanged, which is the
+    point: keep policies are orthogonal to the dedup plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
+    w = W.partitionBy(F.md5(norm)).orderBy(F.desc("n_chars"), "doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "source",
+                        F.col("n_chars").cast("long").alias("n_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Segment-level boilerplate removal (C4's duplicated-line filter analog)
+# ---------------------------------------------------------------------------
+
+_SEG_TOK = 12   # tokens per segment (sentence stand-in)
+_SEG_MAX_DF = 3  # segments in more distinct docs than this are boilerplate
+
+
+@query("text_boilerplate_segments", oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(i // {_SEG_TOK} AS BIGINT) AS seg_idx,
+         array_to_string(toks[i + 1:i + {_SEG_TOK}], ' ') AS segment
+  FROM t, unnest(generate_series(0, len(toks) - 1, {_SEG_TOK})) AS s(i)
+  WHERE len(toks) > 0
+), df AS (
+  SELECT segment, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM seg GROUP BY segment
+)
+SELECT seg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN df.df <= {_SEG_MAX_DF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(
+           CASE WHEN df.df <= {_SEG_MAX_DF} THEN seg.segment END,
+           ' ' ORDER BY seg.seg_idx), '')) AS kept_digest
+FROM seg JOIN df ON seg.segment = df.segment
+GROUP BY seg.doc_id
+""")
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-LEVEL BOILERPLATE REMOVAL — the C4 duplicated-line
+    filter reshaped for the fixture (no newlines, so fixed
+    {_SEG_TOK}-token segments stand in for lines/sentences): any
+    segment appearing in more than {_SEG_MAX_DF} DISTINCT documents is
+    corpus boilerplate (headers, disclaimers, navigation) and is cut
+    from every document that carries it — a WITHIN-document edit
+    driven by CROSS-corpus statistics, which is what separates this
+    from document-level dedup. The segment-df table is tiny after its
+    aggregate and broadcasts back; the reconstructed document digest
+    (order-preserving join of kept segments) proves both engines
+    delete exactly the same spans. At 100 TB this is one tokenize
+    pass, one bounded segment explode, one broadcast join — the
+    text_contamination_ngram economics applied to intra-doc cleaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
+    toks = docs.select(
+        "doc_id", F.filter(F.split(norm, " "), lambda x: x != "").alias("toks"))
+    seg = (toks.filter(F.size("toks") > 0)
+               .select("doc_id", F.explode(
+                   F.sequence(F.lit(0), F.size("toks") - 1,
+                              F.lit(_SEG_TOK))).alias("i"), "toks")
+               .select("doc_id",
+                       (F.col("i") / _SEG_TOK).cast("long").alias("seg_idx"),
+                       F.array_join(F.slice("toks", F.col("i") + 1, _SEG_TOK),
+                                    " ").alias("segment")))
+    df = seg.groupBy("segment").agg(
+        F.countDistinct("doc_id").alias("df"))
+    j = seg.join(F.broadcast(df), "segment")
+    kept = F.when(F.col("df") <= _SEG_MAX_DF, F.col("segment"))
+    return (j.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_segments"),
+                  F.sum(F.when(F.col("df") <= _SEG_MAX_DF, 1).otherwise(0))
+                   .cast("long").alias("n_kept"),
+                  F.md5(F.coalesce(F.array_join(
+                      F.transform(
+                          F.filter(F.sort_array(F.collect_list(
+                              F.struct("seg_idx", kept.alias("seg")))),
+                              lambda e: e["seg"].isNotNull()),
+                          lambda e: e["seg"]),
+                      " ", None), F.lit(""))).alias("kept_digest")))
