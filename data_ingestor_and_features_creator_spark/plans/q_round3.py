@@ -2306,3 +2306,29 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lambda e: e["seg"].isNotNull()),
                           lambda e: e["seg"]),
                       " ", None), F.lit(""))).alias("kept_digest")))
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics INTERSECT ALL (completes the set-op family)
+# ---------------------------------------------------------------------------
+
+@query("set_intersect_all", oracle="""
+SELECT user_id, event_type FROM (
+  SELECT user_id, event_type FROM events WHERE value > 50
+  INTERSECT ALL
+  SELECT user_id, event_type FROM events WHERE value < 150
+) t
+""")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each (user, type) row survives
+    min(count_left, count_right) times, where plain INTERSECT
+    (set_intersect) collapses to distinct. The multiplicity
+    distinction matters whenever rows are observations, not identities
+    (overlap SIZE between two cohort extracts). Spark's intersectAll
+    plans it as a counted hash aggregate on each side + min — one
+    shuffle per side, no join explosion; DuckDB's INTERSECT ALL is the
+    identical ANSI construct."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 50).select("user_id", "event_type")
+    b = ev.filter(F.col("value") < 150).select("user_id", "event_type")
+    return a.intersectAll(b)
