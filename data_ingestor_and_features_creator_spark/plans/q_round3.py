@@ -2332,3 +2332,90 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("value") > 50).select("user_id", "event_type")
     b = ev.filter(F.col("value") < 150).select("user_id", "event_type")
     return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Harmonic mean (rate averaging done right)
+# ---------------------------------------------------------------------------
+
+@query("agg_harmonic_mean", oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(CAST(1.0 / value AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS harmonic_mean,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS arithmetic_mean
+FROM events WHERE value > 0 GROUP BY event_type
+""")
+def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC MEAN per group — the correct average for RATES, and the
+    exact statistic behind the engine's own mean-HR distinction: the
+    average heart rate is NOT 60000/mean(RR) but the harmonic story in
+    reverse (hrv_time_domain computes mean_hr = mean(60000/rri), i.e.
+    the arithmetic mean of a reciprocal — harmonic machinery either
+    way). n / Σ(1/x): the reciprocals are IEEE-exact per row, their
+    sum rides DECIMAL(38,12), assembly is one division of identical
+    doubles — emitted beside the arithmetic mean so the Jensen gap
+    (harmonic ≤ arithmetic) is visible in the result. One hash
+    aggregate, map-side partials."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    n = F.count(F.lit(1))
+    sr = F.sum((F.lit(1.0) / F.col("value")).cast(DEC)).cast("double")
+    sx = F.sum(F.col("value").cast(DEC)).cast("double")
+    return (ev.groupBy("event_type")
+              .agg(n.alias("n"),
+                   F.round(n.cast("double") / sr, 6).alias("harmonic_mean"),
+                   F.round(sx / n.cast("double"), 6)
+                    .alias("arithmetic_mean")))
+
+
+# ---------------------------------------------------------------------------
+# Calendar date spine (warehouse date dimension generation)
+# ---------------------------------------------------------------------------
+
+@query("date_spine_calendar", oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT day,
+       CAST(EXTRACT(year FROM day) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM day) AS BIGINT) AS month,
+       CAST(EXTRACT(day FROM day) AS BIGINT) AS dom,
+       CAST(EXTRACT(isodow FROM day) AS BIGINT) AS iso_dow,
+       (EXTRACT(isodow FROM day) >= 6) AS is_weekend,
+       CAST(date_trunc('month', day) AS DATE) AS month_start,
+       CAST(last_day(day) AS DATE) AS month_end
+FROM spine
+""")
+def date_spine_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE SPINE / calendar dimension generation — the warehouse
+    staple every gap-sensitive report joins against (a day with no
+    orders still needs a row): one contiguous day-per-row table
+    spanning the data's own [min, max] date range, with the standard
+    derived attributes (ISO weekday, weekend flag, month boundaries).
+    Generated by a bounded explode(sequence) over DATE — the
+    time_bucket_gapfill grid idiom promoted to a reusable dimension;
+    at 100 TB this table is ~decades × 365 rows, always a broadcast.
+    All attributes are integer calendar arithmetic — no timezone or
+    epoch math to drift (dates stay DATE end to end)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"),
+                        F.max(F.to_date("o_orderdate")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    # dayofweek: Sunday=1..Saturday=7; ISO wants Monday=1..Sunday=7
+    iso = F.when(F.dayofweek("day") == 1, 7).otherwise(F.dayofweek("day") - 1)
+    return spine.select(
+        "day",
+        F.year("day").cast("long").alias("year"),
+        F.month("day").cast("long").alias("month"),
+        F.dayofmonth("day").cast("long").alias("dom"),
+        iso.cast("long").alias("iso_dow"),
+        (iso >= 6).alias("is_weekend"),
+        F.trunc("day", "month").alias("month_start"),
+        F.last_day("day").alias("month_end"))
