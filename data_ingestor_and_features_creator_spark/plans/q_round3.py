@@ -2419,3 +2419,99 @@ def date_spine_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iso >= 6).alias("is_weekend"),
         F.trunc("day", "month").alias("month_start"),
         F.last_day("day").alias("month_end"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-horizon lag features (forecasting feature bank)
+# ---------------------------------------------------------------------------
+
+@query("win_lag_multi_horizon", oracle="""
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY user_id, day
+)
+SELECT user_id, day, ROUND(v, 6) AS v,
+       ROUND(lag(v, 1) OVER w, 6) AS v_lag1,
+       ROUND(lag(v, 7) OVER w, 6) AS v_lag7,
+       ROUND(lag(v, 14) OVER w, 6) AS v_lag14,
+       ROUND(v - lag(v, 7) OVER w, 6) AS wow_diff
+FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+""")
+def win_lag_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-HORIZON LAG feature bank — the forecasting prep staple:
+    yesterday / last week / two weeks ago plus the week-over-week
+    delta, per (user, day). All horizons compile onto ONE window spec
+    over the DAILY aggregate (aggregate-then-window again: the lag
+    bank sorts the per-user day series, never raw events), so adding a
+    horizon costs one expression, not one shuffle. Positional lags
+    over the observed day series — for calendar-exact lags on sparse
+    series, left-join `date_spine_calendar` first (the two ops
+    compose); the fixture's days are dense so both definitions
+    coincide. DECIMAL daily sums; lags copy those doubles untouched."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    d = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+           .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v")))
+    w = W.partitionBy("user_id").orderBy("day")
+    return d.select(
+        "user_id", "day", F.round("v", 6).alias("v"),
+        F.round(F.lag("v", 1).over(w), 6).alias("v_lag1"),
+        F.round(F.lag("v", 7).over(w), 6).alias("v_lag7"),
+        F.round(F.lag("v", 14).over(w), 6).alias("v_lag14"),
+        F.round(F.col("v") - F.lag("v", 7).over(w), 6).alias("wow_diff"))
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (orphan foreign keys, both directions)
+# ---------------------------------------------------------------------------
+
+@query("audit_fk_integrity", oracle="""
+SELECT 'events_orphan_users' AS check_name,
+       CAST((SELECT COUNT(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id)) AS BIGINT) AS n
+UNION ALL
+SELECT 'customers_without_events' AS check_name,
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM events e
+                               WHERE e.user_id = c.c_custkey)) AS BIGINT) AS n
+UNION ALL
+SELECT 'lineitem_orphan_orders' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n
+""")
+def audit_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT — the ingest gate that catches
+    broken joins before they silently drop rows downstream: orphan
+    foreign keys counted by ANTI join in both directions (facts
+    pointing at missing dims AND dims never referenced). Each check is
+    one anti join whose small side broadcasts (dim keys) or shuffles
+    once (fact-fact); the three counts union into one audit report
+    row-set — the profile_table pattern for cross-table invariants.
+    Zero counts here are the assertion PASSING on this fixture, not a
+    vacuous check: any future fixture drift that breaks a key
+    relationship flips a count and fails the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("check_name"), "n")
+
+    c1 = one("events_orphan_users",
+             ev.join(F.broadcast(cust.select(F.col("c_custkey")
+                                             .alias("user_id"))),
+                     "user_id", "left_anti"))
+    c2 = one("customers_without_events",
+             cust.join(ev.select(F.col("user_id").alias("c_custkey"))
+                         .distinct(),
+                       "c_custkey", "left_anti"))
+    c3 = one("lineitem_orphan_orders",
+             li.join(orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                     "l_orderkey", "left_anti"))
+    return c1.unionByName(c2).unionByName(c3)
