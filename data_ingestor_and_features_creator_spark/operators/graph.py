@@ -52,6 +52,7 @@ def connected_components_star(edges: DataFrame, a_col: str = "a",
                       F.least(a_col, b_col).alias("v"))
               .filter(F.col("u") != F.col("v"))
               .distinct().localCheckpoint())
+    n_prev = e.count()
     for _ in range(max_iter):
         # --- large-star over the symmetric neighborhood
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -71,9 +72,20 @@ def connected_components_star(edges: DataFrame, a_col: str = "a",
                .filter(F.col("u") != F.col("v"))
                .union(m2.select("u", F.col("mn").alias("v")))
                .distinct().localCheckpoint())
-        changed = (e2.exceptAll(e).limit(1).count()
-                   + e.exceptAll(e2).limit(1).count())
-        e = e2
+        # Fixpoint probe WITHOUT the 2× exceptAll shuffle of the whole
+        # edge set: both sides are checkpointed + distinct, so set
+        # equality ⇔ equal counts AND empty one-sided difference. The
+        # count is a map-side-partial aggregate over checkpointed
+        # blocks (no wide shuffle); the anti-join probe only runs in
+        # the round where the counts first agree — at 100 TB that is
+        # one short-circuit probe total, not two full-set shuffles per
+        # round.
+        n_new = e2.count()
+        changed = 1
+        if n_new == n_prev:
+            changed = (e2.join(e, ["u", "v"], "left_anti")
+                         .limit(1).count())
+        e, n_prev = e2, n_new
         if changed == 0:
             break
     return (e.select(F.col("u").alias("n"), F.col("v").alias("cluster_id"))
@@ -96,6 +108,14 @@ def connected_components(edges: DataFrame, a_col: str = "a",
                                     F.col(a_col).alias("m")))
            ).distinct().localCheckpoint()
     labels = sym.select("n").distinct().withColumn("lbl", F.col("n"))
+
+    def _lbl_sum(df: DataFrame) -> object:
+        # decimal(38,0): exact at any node count (a raw BIGINT sum of
+        # 64-bit ids overflows on billion-node graphs)
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))
+                       .alias("s")).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels.select(F.col("n").alias("m"),
                                                F.col("lbl").alias("mlbl")),
@@ -106,10 +126,15 @@ def connected_components(edges: DataFrame, a_col: str = "a",
                                 "lbl", F.coalesce("nlbl", "lbl"))
                                 .alias("lbl"))
                             .localCheckpoint())
-        changed = (new_labels.alias("x")
-                   .join(labels.alias("y"), "n")
-                   .filter(F.col("x.lbl") != F.col("y.lbl")).count())
+        # Fixpoint probe with ZERO extra joins: each node's label is
+        # monotonically non-increasing (least of old label and
+        # neighbor min), so the label vector changed iff its total sum
+        # strictly decreased. One map-side-partial aggregate over the
+        # freshly checkpointed labels — vs the old self-join + filter
+        # + count that reshuffled the full label set every round.
+        new_sum = _lbl_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("n"), F.col("lbl").alias("cluster_id"))

@@ -224,16 +224,21 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-ulp libm drift on the 6-dp rounding boundary; ranks are immune
     either way (equal (tf, df) ⇒ equal score ⇒ alphabetical
     tiebreak). At 100 TB the df table is ~vocabulary-sized — broadcast
-    when it fits, else it's one more equi-join on term."""
+    when it fits, else it's one more equi-join on term. The corpus
+    size N enters as a broadcast 1-row aggregate (same pattern as the
+    BM25 corpus stats, q_extras.py) — NOT a driver-side d.count(),
+    which would cost a second full corpus scan before the plan even
+    runs."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # plan constant (one tiny job), not a crossJoin
-    tfidf = F.round(F.col("tf").cast("double") * F.lit(float(n_docs) + 1.0)
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf = F.round(F.col("tf").cast("double") * (F.col("n_docs") + 1.0)
                     / (F.col("df").cast("double") + 1.0), 6)
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
     return (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(n))
               .withColumn("tfidf", tfidf)
               .withColumn("rnk", F.row_number().over(w))
               .filter(F.col("rnk") <= 5)

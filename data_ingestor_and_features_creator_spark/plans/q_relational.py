@@ -10,7 +10,6 @@ Column expressions so Catalyst pushes them into the parquet scan
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -19,7 +18,7 @@ from .. import schemas
 from ..catalog import load_table
 from ..functions.exact import dsum, dsum_sql, r6, r6_sql
 from ..operators.interpolate import interpolate_nan_values
-from .registry import query
+from .registry import query, scratch_dir
 
 _DERIVED = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -102,7 +101,7 @@ FROM events GROUP BY event_type
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned columnar write + read-back: per-partition-value counts
     must equal the source, proving the round trip is lossless."""
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_parquet_"), "events")
+    out = os.path.join(scratch_dir("sink_parquet"), "events")
     load_table(spark, sf_dir, "events").write.mode("overwrite") \
         .partitionBy("event_type").parquet(out)
     return (
@@ -124,7 +123,7 @@ def sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the union doubles n and total; halved again below)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
                                                     "value")
-    base = tempfile.mkdtemp(prefix="sink_text_")
+    base = scratch_dir("sink_text")
     csv_out, json_out = os.path.join(base, "csv"), os.path.join(base, "json")
     ev.write.mode("overwrite").option("header", True).csv(csv_out)
     ev.write.mode("overwrite").json(json_out)
@@ -152,7 +151,7 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (which would truncate every other partition) fails the
     row counts immediately. At 100 TB this is how daily reruns land:
     recompute one partition, swap it atomically, leave the rest."""
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_dynover_"), "events")
+    out = os.path.join(scratch_dir("sink_dynover"), "events")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
                                                     "value")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -178,7 +177,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy/bucketBy surface as parquet). Equality with the
     parquet-sourced oracle proves the round trip is lossless and
     type-faithful."""
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "events")
+    out = os.path.join(scratch_dir("sink_orc"), "events")
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type",
                                                     "value")
     ev.write.mode("overwrite").orc(out)

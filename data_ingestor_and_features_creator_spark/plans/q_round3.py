@@ -18,14 +18,13 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import DEC, dsum
-from .registry import query
+from .registry import query, scratch_dir
 
 
 # ---------------------------------------------------------------------------
@@ -85,10 +84,13 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the event_type cardinality, so the sketch degenerates to
     EXACT counts and the plain GROUP BY oracle is a legitimate twin —
     the same query at 100 TB keeps this plan shape while count-then-rank
-    would shuffle the full (item, count) domain. Ties re-ranked
-    deterministically (count desc, item) on both engines."""
+    would shuffle the full (item, count) domain. The sketch is asked
+    for 10 items (slack beyond the 3 reported) so a count tie at the
+    rank-3 boundary cannot hide the item the deterministic
+    (count desc, item) re-rank would pick — the filter rnk <= 3 then
+    applies the same total order the oracle uses."""
     ev = load_table(spark, sf_dir, "events")
-    return (ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (ev.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
               .select(F.explode("tk").alias("e"))
               .select(F.col("e.item").alias("item"),
                       F.col("e.count").alias("cnt"))
@@ -274,7 +276,7 @@ if _have_protobuf():  # see _have_protobuf docstring
 # ---------------------------------------------------------------------------
 
 def _compaction_paths() -> tuple[str, str]:
-    base = tempfile.mkdtemp(prefix="compaction_")
+    base = scratch_dir("compaction")
     return os.path.join(base, "raw"), os.path.join(base, "compacted")
 
 
@@ -396,7 +398,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning dropped no qualifying rows. Partition values travel as
     'yyyy-MM' strings (stable across engines and directory encoding)."""
     orders = load_table(spark, sf_dir, "orders")
-    fact_dir = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_by_month")
+    fact_dir = os.path.join(scratch_dir("dpp"), "orders_by_month")
     (orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
            .write.partitionBy("month").mode("overwrite").parquet(fact_dir))
     fact = spark.read.parquet(fact_dir)
@@ -710,7 +712,7 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     XML is an ingest-edge format (feeds land in it), never a working
     format — one pass in, columnar out; this op is that pass."""
     from pyspark.sql import types as T
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_xml_"), "events")
+    out = os.path.join(scratch_dir("sink_xml"), "events")
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
           .select("event_id", "event_type", "value"))
@@ -1088,7 +1090,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers once at planning (or pin the unified schema explicitly,
     as the catalog does for stable tables — this op is the migration
     path), never rewrite old data for an additive column."""
-    base = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "t")
+    base = os.path.join(scratch_dir("schema_evo"), "t")
     ev = load_table(spark, sf_dir, "events")
     (ev.filter(F.col("event_id") % 2 == 0)
        .select("event_id", "user_id", "value")
@@ -1592,7 +1594,7 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("data_epoch_shuffle", oracle="""
 WITH e AS (
   SELECT doc_id, g.epoch,
-         ((doc_id + 1000003 * g.epoch) % 1000003) * 2654435761 % 1000003
+         ((doc_id + 7919 * g.epoch) % 1000003) * 2654435761 % 1000003
            AS shuffle_key
   FROM documents, (SELECT unnest(generate_series(0, 2)) AS epoch) g
 )
@@ -1609,7 +1611,11 @@ def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible from (doc_id, epoch) alone — no RNG state, no
     partition-order dependence, any worker can compute any position.
     The epoch-salted Knuth hash gives the order; row_number over
-    (key, id) makes ties impossible. At 100 TB the sort is per-epoch
+    (key, id) makes ties impossible. The epoch multiplier 7919 is
+    coprime to (and not a multiple of) the modulus 1000003, so the
+    epoch term survives the mod and each epoch really is a different
+    permutation (tests/test_llm_ops.py asserts positions differ
+    across epochs). At 100 TB the sort is per-epoch
     range-partitioned like any global sort, or skipped entirely by
     bucketing on shuffle_key ranges — the KEY, not the sort, is the
     contract. Integer arithmetic is overflow-safe BIGINT on both
@@ -1617,7 +1623,7 @@ def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
     e = docs.select("doc_id").crossJoin(F.broadcast(epochs))
-    key = (((F.col("doc_id") + 1000003 * F.col("epoch")) % 1000003)
+    key = (((F.col("doc_id") + 7919 * F.col("epoch")) % 1000003)
            * F.lit(2654435761) % 1000003)
     w = W.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
     return (e.withColumn("shuffle_key", key)
@@ -1638,19 +1644,20 @@ WITH iv AS (
          event_id
   FROM events
 ), m AS (
-  SELECT user_id, s, e,
+  SELECT user_id, s, e, event_id,
          MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS prev_max_e
   FROM iv
 ), f AS (
-  SELECT user_id, s, e,
+  SELECT user_id, s, e, event_id,
          CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
            AS new_island
   FROM m
 ), g AS (
   SELECT user_id, s, e,
-         CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+         CAST(SUM(new_island) OVER (PARTITION BY user_id
+                                    ORDER BY s, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS island
   FROM f
@@ -1669,18 +1676,21 @@ def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     several later ones); cumulative island ids then one aggregate.
     The classic gaps-and-islands generalization to intervals, all on
     ONE user partitioning (two window passes + agg share the sort —
-    single shuffle). Integer-µs arithmetic end to end."""
+    single shuffle). Both windows order by (s, event_id) — a TOTAL
+    order — so duplicate (user_id, ts) events cannot make the
+    cumulative-sum frame order engine-dependent. Integer-µs
+    arithmetic end to end."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select("user_id", "event_id",
                    F.unix_micros("ts").alias("s"),
                    (F.unix_micros("ts") + _IVL_US).alias("e"))
     wp = (W.partitionBy("user_id").orderBy("s", "event_id")
            .rowsBetween(W.unboundedPreceding, -1))
-    m = iv.select("user_id", "s", "e",
+    m = iv.select("user_id", "s", "e", "event_id",
                   F.max("e").over(wp).alias("prev_max_e"))
     new_island = F.when(F.col("prev_max_e").isNull()
                         | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0)
-    wg = (W.partitionBy("user_id").orderBy("s", "e")
+    wg = (W.partitionBy("user_id").orderBy("s", "event_id")
            .rowsBetween(W.unboundedPreceding, 0))
     g = (m.withColumn("ni", new_island)
           .withColumn("island", F.sum("ni").over(wg).cast("long")))

@@ -171,6 +171,37 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIAN_EXACT_MAX_FRAME = 512
+"""Frames wider than this switch `sliding_median` to percentile_approx."""
+
+
+def sliding_median(ev: DataFrame, half_width: int,
+                   accuracy: int = 10000) -> DataFrame:
+    """Rolling median of `value` over a centered ±half_width row frame.
+
+    Two regimes, chosen by frame width:
+    - frame ≤ MEDIAN_EXACT_MAX_FRAME: exact `percentile` — O(frame)
+      recompute per row, fine for physiologic window sizes (~10²
+      beats) and bit-identical to DuckDB's `quantile_cont`.
+    - wider frames: `percentile_approx` (KLL-style sketch, ±ε rank
+      error bounded by `accuracy`) — the per-row cost stops scaling
+      with the frame, which is what survives a 100× frame widening.
+    Both regimes keep the same output schema so callers switch by
+    width alone."""
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-half_width, half_width))
+    frame = 2 * half_width + 1
+    if frame <= MEDIAN_EXACT_MAX_FRAME:
+        med = F.expr("percentile(value, 0.5)").over(w)
+    else:
+        med = F.expr(f"percentile_approx(value, 0.5, {accuracy})").over(w)
+    return ev.select(
+        "event_id", "user_id",
+        r6(med).alias("med101"),
+        (F.abs(F.col("value") - med) > 0.2 * med).alias("is_artifact"),
+    )
+
+
 @query("win_sliding_median", oracle=f"""
 SELECT event_id, user_id,
        {r6_sql('quantile_cont(value, 0.5) OVER w')} AS med101,
@@ -187,20 +218,12 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules break on the very artifacts being hunted. Spark's exact
     `percentile` and DuckDB's `quantile_cont` both linearly
     interpolate, so the 101-row frame medians match bit-for-bit.
-    Scale note: an exact sliding median recomputes its frame per row —
-    O(frame) each; this is fine for physiologic window sizes (~10²
-    beats). For wide frames switch to a two-heap/indexable-skiplist
-    kernel via applyInPandas, or percentile_approx when ±ε is
-    acceptable."""
+    The 101-row frame stays on the exact path of `sliding_median`;
+    frames wider than MEDIAN_EXACT_MAX_FRAME automatically take the
+    percentile_approx sketch path (tested in tests/test_properties.py)
+    so nobody widens the frame into an O(frame)-per-row trap."""
     ev = load_table(spark, sf_dir, "events")
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-          .rowsBetween(-50, 50))
-    med = F.expr("percentile(value, 0.5)").over(w)
-    return ev.select(
-        "event_id", "user_id",
-        r6(med).alias("med101"),
-        (F.abs(F.col("value") - med) > 0.2 * med).alias("is_artifact"),
-    )
+    return sliding_median(ev, 50)
 
 
 _Q15_US = 900_000_000

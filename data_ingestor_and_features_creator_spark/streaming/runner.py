@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -21,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..sources import events_stream
 
 _run_counter = itertools.count()
@@ -49,7 +49,7 @@ def run_foreach_batch_parquet(sdf: DataFrame) -> DataFrame:
     sink_parquet path reused per micro-batch); returns the files read
     back. Idempotence at scale comes from partition-overwrite by
     batch_id — here one availableNow batch appends once."""
-    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    out_dir = scratch_dir("stream_sink")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.withColumn("batch_id", F.lit(batch_id))
@@ -74,8 +74,8 @@ def run_cdc_apply(spark: SparkSession, events: DataFrame) -> DataFrame:
     the batch last-row-per-key — which is exactly what the SQL oracle
     checks. At scale the state write is the partitioned/bucketed table
     the next batch joins against; no driver-side state anywhere."""
-    feed_dir = tempfile.mkdtemp(prefix="cdc_feed_")
-    state_root = tempfile.mkdtemp(prefix="cdc_state_")
+    feed_dir = scratch_dir("cdc_feed")
+    state_root = scratch_dir("cdc_state")
     ev = events.select("event_id", "user_id", "ts", "value")
     ev.repartition(4, "event_id").write.mode("overwrite").parquet(feed_dir)
 
@@ -193,7 +193,7 @@ def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFram
     per executor, not in JVM heap) and return every per-batch emission.
     Callers reduce to the final emission per user (max n_events) for
     the batch-equivalence check."""
-    feed_dir = tempfile.mkdtemp(prefix="tws_feed_")
+    feed_dir = scratch_dir("tws_feed")
     ev = events.select("user_id", "value")
     ev.repartition(4, "user_id").write.mode("overwrite").parquet(feed_dir)
     stream = (spark.readStream.schema(ev.schema)

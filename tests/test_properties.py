@@ -275,3 +275,66 @@ def test_temperature_mixing_keeps_head_and_upweights_tail(spark, sf_dir):
         assert abs(frac - r["rate_ppm"] / 1e6) < 0.25, r
     small, big = by_n[0], by_n[-1]
     assert small["rate_ppm"] / 1e6 >= (small["n_docs"] / big["n_docs"]) ** 0.5 - 1e-9
+
+
+def test_epoch_shuffle_orders_differ_across_epochs(spark, sf_dir):
+    """The epoch salt must actually change the visit order: identical
+    per-epoch position vectors would mean the salt cancelled (the exact
+    defect of a multiplier divisible by the modulus)."""
+    from data_ingestor_and_features_creator_spark import plans
+    plans.load_all()
+    rows = plans.QUERIES["data_epoch_shuffle"](spark, sf_dir).collect()
+    pos = {}
+    for r in rows:
+        pos.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(pos) == {0, 1, 2}
+    # every epoch is a permutation of the same doc set…
+    assert all(set(p) == set(pos[0]) for p in pos.values())
+    assert all(sorted(p.values()) == list(range(1, len(p) + 1))
+               for p in pos.values())
+    # …and no two epochs visit in the same order
+    assert pos[0] != pos[1] and pos[1] != pos[2] and pos[0] != pos[2]
+
+
+def test_sliding_median_wide_frame_takes_approx_path(spark, sf_dir):
+    """Frames wider than MEDIAN_EXACT_MAX_FRAME must switch to
+    percentile_approx (plan check) and still track the exact median
+    closely on real data (value check)."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans import q_window
+
+    ev = load_table(spark, sf_dir, "events")
+    half = (q_window.MEDIAN_EXACT_MAX_FRAME + 1) // 2 + 1
+    wide = q_window.sliding_median(ev, half)
+    assert "percentile_approx" in wide._jdf.queryExecution().analyzed().toString()
+    narrow = q_window.sliding_median(ev, 50)
+    assert "percentile_approx" not in narrow._jdf.queryExecution().analyzed().toString()
+    got = {r["event_id"]: r["med101"]
+           for r in wide.filter(F.col("user_id") == 1).collect()}
+    # approx accuracy=10000 on ~500-row frames is exact in practice;
+    # spot-check against a driver-side numpy median for one user
+    import numpy as np
+    pdf = (ev.filter(F.col("user_id") == 1)
+             .orderBy("ts", "event_id").toPandas())
+    vals = pdf["value"].to_numpy()
+    for i in (0, len(vals) // 2, len(vals) - 1):
+        lo, hi = max(0, i - half), min(len(vals), i + half + 1)
+        want = float(np.median(vals[lo:hi]))
+        assert abs(got[pdf["event_id"].iloc[i]] - want) <= max(
+            0.02 * abs(want), 1e-6)
+
+
+def test_star_cc_uses_no_exceptall_probe(spark, monkeypatch):
+    """The fixpoint probe must stay count+anti-join shaped: exceptAll
+    reshuffles the full edge set twice per round at 100 TB."""
+    from pyspark.sql import DataFrame
+    from data_ingestor_and_features_creator_spark.operators import graph
+
+    def _boom(self, other):
+        raise AssertionError("exceptAll used in CC convergence probe")
+
+    monkeypatch.setattr(DataFrame, "exceptAll", _boom)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    got = {r["n"]: r["cluster_id"]
+           for r in graph.connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
