@@ -225,11 +225,18 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _have_protobuf() -> bool:
     """transformWithStateInPandas talks to the JVM state server over a
-    protobuf protocol; the pure-Python `protobuf` package is NOT bundled
-    with PySpark and is absent from this container (no installs
-    allowed). Gate the registration so the operator exists wherever the
-    dependency does — a real cluster image — and is honestly absent
-    here instead of registering a guaranteed-fail."""
+    protobuf protocol; the pure-Python `protobuf` package is NOT
+    pip-installed in this container (no installs allowed), but
+    pbcompat can recover a usable runtime from the machine-local
+    google-cloud-sdk (see pbcompat/__init__.py). Gate the registration
+    on that discovery so the operator exists wherever EITHER source of
+    the dependency does, and is honestly absent elsewhere instead of
+    registering a guaranteed-fail. Called at plans-import time, which
+    precedes SparkSession creation in every entry path — required so
+    the worker-shim PYTHONPATH is live before the JVM captures env."""
+    from ..pbcompat import ensure_protobuf
+    if not ensure_protobuf():
+        return False
     try:
         import google.protobuf.descriptor  # noqa: F401
         return True

@@ -200,6 +200,15 @@ def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFram
                    .option("maxFilesPerTrigger", 1)
                    .option("pathGlobFilter", "*.parquet")
                    .parquet(feed_dir))
+    # The TWS python runners inherit env from the FUNCTION's envVars
+    # (sc.environment), not the driver process env — propagate the
+    # pbcompat worker shim path or the runner crashes importing
+    # StateMessage_pb2 wherever protobuf only exists via the shim.
+    from ..pbcompat import ensure_protobuf
+    if ensure_protobuf():
+        pp = os.environ.get("PYTHONPATH", "")
+        if pp and spark.sparkContext.environment.get("PYTHONPATH") != pp:
+            spark.sparkContext.environment["PYTHONPATH"] = pp
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

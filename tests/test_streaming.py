@@ -138,3 +138,28 @@ def test_stream_stream_left_outer_stream_subset_of_batch(spark, sf_dir,
     b_unmatched = {r for r in batch if r[2] is None}
     s_unmatched = {r for r in stream if r[2] is None}
     assert s_unmatched <= b_unmatched
+
+
+def test_transform_with_state_equals_batch_aggregate(spark, sf_dir):
+    """transformWithStateInPandas (4 replayed micro-batches, RocksDB
+    state store) must converge to the batch GROUP BY answer: each
+    user's final emission carries the full (count, max). Auto-skips
+    where no usable google.protobuf runtime exists (pbcompat found
+    none) — the implementation stays exercised wherever the dependency
+    does exist."""
+    from data_ingestor_and_features_creator_spark.pbcompat import (
+        ensure_protobuf)
+    if not ensure_protobuf():
+        pytest.skip("no usable google.protobuf runtime on this machine")
+    from pyspark.sql import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    out = runner.run_transform_with_state(spark, ev)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {(r["user_id"], r["n_events"], r["max_value"])
+             for r in out.withColumn("rn", F.row_number().over(w))
+                         .filter(F.col("rn") == 1).collect()}
+    batch = {(r["user_id"], r["n"], r["mx"])
+             for r in ev.groupBy("user_id")
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.max("value").alias("mx")).collect()}
+    assert final == batch
