@@ -45,6 +45,12 @@ HEADLINE = [
     # round-3: the end-to-end LLM data-prep composite (quality gate →
     # dedup → decontamination → temperature mix → packing in one plan)
     "llm_prep_pipeline_full",
+    # round-4: one iterative-plan representative (driver-looped
+    # star-contraction CC over minhash pairs) and one window-heavy
+    # gap-fill + decomposition representative — so driver-loop and
+    # gap-fill regressions become visible round-over-round
+    "dedup_minhash_cluster",
+    "ts_seasonal_decompose",
 ]
 
 

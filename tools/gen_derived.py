@@ -39,5 +39,37 @@ def main() -> None:
     print("wrote", OUT)
 
 
+
+
+def gen_sf1ish_documents() -> None:
+    """10× documents blow-up (~sf1-equivalent corpus) for COLD-path
+    measurement (BASELINE.md): each sf0.1 doc is replicated 10× with a
+    distinct doc_id and a deterministic per-replica suffix, so replicas
+    are NEAR-duplicates (realistic for dedup: LSH buckets hold ~10
+    members, never the whole corpus). Output is generated, not
+    committed (testdata_derived/sf1ish/ is gitignored)."""
+    sf1 = os.path.join(OUT, "sf1ish")
+    os.makedirs(sf1, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT doc_id * 10 + r.k AS doc_id,
+                 text || ' rep' || CAST(r.k AS VARCHAR) || ' tail'
+                      || CAST(doc_id * 10 + r.k AS VARCHAR) AS text,
+                 lang, source,
+                 n_chars + 9 + length(CAST(doc_id * 10 + r.k AS VARCHAR))
+                   AS n_chars
+          FROM '/root/testdata/sf0.1/documents.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS k) r
+          ORDER BY doc_id
+        ) TO '{sf1}/documents.parquet' (FORMAT PARQUET)
+    """)
+    print("wrote", sf1)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--sf1ish" in _sys.argv:
+        gen_sf1ish_documents()
+    else:
+        main()
