@@ -263,3 +263,74 @@ def test_phash_finds_planted_duplicate(spark):
              for r in simhash_pairs(sig, max_hamming=3).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_segment_dedup_drops_planted_boilerplate(spark):
+    """A 20-token segment shared verbatim by two docs must be kept only
+    at its first (doc_id, seg_idx) occurrence."""
+    from data_ingestor_and_features_creator_spark.plans import q_round4
+    boiler = " ".join(f"b{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"c{i}" for i in range(20))
+    import tempfile, os
+    d = spark.createDataFrame(
+        [(1, boiler + " " + uniq_a), (2, boiler + " " + uniq_b)],
+        "doc_id long, text string")
+    sf = tempfile.mkdtemp(prefix="segdedup_")
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["doc_id"]: (r["n_segments"], r["n_kept"])
+           for r in q_round4.text_segment_dedup(spark, sf).collect()}
+    assert out[1] == (2, 2)          # first occurrence keeps everything
+    assert out[2] == (2, 1)          # boilerplate segment dropped
+
+
+def test_reservoir_sample_deterministic_k_per_group(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.plans import q_round4
+    a = q_round4.agg_reservoir_sample(spark, sf_dir).collect()
+    b = q_round4.agg_reservoir_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    from collections import Counter
+    per = Counter(r["event_type"] for r in a)
+    assert all(v == 10 for v in per.values())
+    assert set(r["rn"] for r in a) == set(range(1, 11))
+
+
+def test_vec_quantize_int8_known_answer(spark):
+    from data_ingestor_and_features_creator_spark.plans import q_round4
+    import tempfile, os
+    # maxabs = 2.54 → scale = 0.02; 1.27/0.02 = 63.5 → floor(64.0)=64
+    d = spark.createDataFrame(
+        [(1, [2.54, -2.54, 1.27, 0.0, 0.01])],
+        "vec_id long, embedding array<float>")
+    sf = tempfile.mkdtemp(prefix="quant_")
+    d.write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    r = q_round4.vec_quantize_int8(spark, sf).collect()[0]
+    # float32 storage: 0.01f/scale lands just UNDER 0.5 → quantizes
+    # to 0 (numpy float64 mirror of the same arithmetic agrees)
+    assert r["n_saturated"] == 2       # ±2.54 → ±127
+    assert r["n_zero"] == 2            # 0.0 and 0.01f
+    assert r["sum_abs_q"] == 127 + 127 + 64 + 0 + 0
+
+
+def test_funnel_attribution_first_and_last_touch(spark):
+    from datetime import datetime
+    from data_ingestor_and_features_creator_spark.plans import q_round4
+    import tempfile, os
+    t = lambda m: datetime(2026, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 7, "click", 0.0, "{}"),
+        (2, t(1), 7, "view", 0.0, "{}"),
+        (3, t(2), 7, "click", 0.0, "{}"),
+        (4, t(3), 7, "purchase", 9.5, "{}"),
+        (5, t(0), 8, "purchase", 1.0, "{}"),   # no preceding click
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    sf = tempfile.mkdtemp(prefix="attr_")
+    d.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = {r["event_id"]: r for r in
+           q_round4.funnel_attribution(spark, sf).collect()}
+    assert out[4]["first_click_id"] == 1 and out[4]["last_click_id"] == 3
+    assert out[4]["attributed"] is True
+    assert out[5]["first_click_id"] is None and out[5]["attributed"] is False

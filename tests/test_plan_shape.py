@@ -489,3 +489,42 @@ def test_bucketed_aggregate_has_no_exchange(spark, sf_dir):
     the hash aggregate directly on the scan — zero exchanges."""
     plan = _physical(QUERIES["agg_bucketed_no_shuffle"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6's whole cost is the scan: all predicates must reach the
+    parquet reader and ReadSchema must shrink to the 4 used columns."""
+    plan = _formatted(QUERIES["sql_tpch_q6"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in schema_line
+    assert "l_returnflag" not in schema_line
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """supplier/nation/region/customer broadcast; the only shuffle
+    join is lineitem-orders."""
+    plan = _physical(QUERIES["sql_tpch_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_segment_dedup_stays_in_codegen(spark, sf_dir):
+    """Segment explode + keep-first window must be pure JVM."""
+    df = QUERIES["text_segment_dedup"](spark, sf_dir)
+    assert "EvalPython" not in _physical(df)
+
+
+def test_tfidf_has_no_driver_side_count(spark, sf_dir):
+    """The corpus size must enter as a broadcast 1-row aggregate inside
+    ONE plan — building the DataFrame must schedule zero Spark jobs
+    (the old d.count() ran a full corpus scan at plan-build time)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = QUERIES["text_tfidf_topk"](spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction ran a Spark job"
+    assert "CROSS" in df._jdf.queryExecution().optimizedPlan().toString().upper() \
+        or "BroadcastNestedLoopJoin" in _physical(df)
