@@ -426,3 +426,273 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "first_click_id", "last_click_id",
                      F.coalesce(F.col("first_click_id").isNotNull(),
                                 F.lit(False)).alias("attributed")))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 — returned-item top customers (join + group + total-order top-k)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q10", oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned
+    the most revenue in a window — join-filter-group-rank in one plan.
+    Plan shape: the returnflag filter reaches the lineitem scan, the
+    date filter the orders scan; customer/nation broadcast; the top-20
+    is a TakeOrderedAndProject over a TOTAL order (exact decimal
+    revenue is bit-identical cross-engine, so revenue DESC +
+    c_custkey tiebreak is hash-safe)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (li.filter(F.col("l_returnflag") == "R")
+              .join(o.filter((F.col("o_orderdate") >= "1996-01-01")
+                             & (F.col("o_orderdate") < "1997-01-01")),
+                    li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(dsum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))).alias("revenue"))
+              .orderBy(F.desc("revenue"), "c_custkey")
+              .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 — promo revenue share (conditional aggregate ratio)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q14", oracle=f"""
+SELECT {r6_sql(
+    "100.0 * "
+    + dsum_sql("CASE WHEN p_type = 'ECONOMY' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")
+    + " / " + dsum_sql("l_extendedprice * (1 - l_discount)"))}
+         AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""")
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share, p_type='ECONOMY' standing in
+    for the PROMO% predicate of the spec against the fixture's type
+    domain): conditional-aggregate ratio over a month window — the
+    SUM(CASE)/SUM pattern every KPI dashboard runs. part broadcasts
+    (200 rows here; 1:30 vs lineitem at spec ratios); both sums run
+    through DECIMAL so the ratio divides two bit-identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1996-04-01"))
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .agg(r6(F.lit(100.0) * dsum(promo) / dsum(rev))
+                   .alias("promo_pct"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (closed-form: cumsum minus running min)
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 60.0   # target + slack (value mean ≈ 50)
+_CUSUM_H = 500.0  # alarm threshold
+
+
+@query("win_cusum_drift", oracle=f"""
+WITH s AS (
+  SELECT event_id, user_id,
+         SUM(CAST(value - {_CUSUM_K} AS DECIMAL(38,12))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
+  FROM events WHERE value IS NOT NULL)
+SELECT event_id, user_id,
+       CAST(s_t - LEAST(MIN(s_t) OVER (
+           PARTITION BY user_id ORDER BY s_t IS NOT NULL, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+         AS cusum_pos,
+       COALESCE(CAST(s_t - LEAST(MIN(s_t) OVER (
+           PARTITION BY user_id ORDER BY s_t IS NOT NULL, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+           > {_CUSUM_H}, false) AS drift_alarm
+FROM s
+""")
+def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift/changepoint detection in CLOSED FORM: the textbook
+    recursion C⁺_t = max(0, C⁺_{t-1} + (x_t − k)) is not a plain
+    window — but it equals S_t − min_{i≤t} S_i for the running sum
+    S of (x − k) with the virtual S₀ = 0 included in the min, so TWO
+    stacked cumulative windows over ONE (user, time) sort compute it
+    exactly (the same trick that turns max-drawdown into
+    cummax − cum); equivalence with the recursion is pinned in
+    tests/test_properties.py. Sums stay in DECIMAL until the
+    final subtraction, so the alarm threshold compares bit-identical
+    doubles cross-engine. The monitoring primitive for sensor/metric
+    drift at scale: one shuffle, no recursion, no UDF.
+
+    Oracle note: the second window must order by a column, and
+    ordering by the DECIMAL S_t itself would reorder ties differently
+    than Spark — both engines order the min-window by event_id (the
+    outer ordering is already (ts, event_id)-sorted per user, and
+    running-min over the SAME row order is order-identical)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wcum = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, 0))
+    s = ev.select(
+        "event_id", "user_id", "ts",
+        F.sum((F.col("value") - _CUSUM_K).cast("decimal(38,12)"))
+         .over(wcum).alias("s_t"))
+    wmin = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, 0))
+    # the running min must include the virtual S_0 = 0 (empty prefix):
+    # C+_t = S_t - min_{0<=i<=t} S_i — without it a series that never
+    # dips below zero anchors to S_1 instead of 0
+    zero = F.lit(0).cast("decimal(38,12)")
+    cusum = (F.col("s_t")
+             - F.least(F.min("s_t").over(wmin), zero)).cast("double")
+    return (s.select("event_id", "user_id",
+                     cusum.alias("cusum_pos"),
+                     F.coalesce(cusum > _CUSUM_H, F.lit(False))
+                      .alias("drift_alarm")))
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence (event_type × day-of-week)
+# ---------------------------------------------------------------------------
+
+@query("agg_chi2_independence", oracle=f"""
+WITH o AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts) % 7 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot
+       FROM o GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS tot FROM o)
+SELECT {r6_sql(dsum_sql(
+    "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+    " / CAST(tot AS DOUBLE)) * "
+    "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+    " / CAST(tot AS DOUBLE)) / "
+    "(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+    " / CAST(tot AS DOUBLE))"))} AS chi2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+""")
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARED independence test statistic between event_type and
+    day-of-week — the drift/data-quality check for "did the category
+    mix change by weekday": Σ (O−E)²/E over the contingency table,
+    E = row·col/N. The contingency table is one hash aggregate; row
+    and column marginals are tiny re-aggregations broadcast back onto
+    it; the cell statistic is pure IEEE arithmetic on integer-derived
+    doubles (bit-identical cross-engine) and the final Σ runs through
+    DECIMAL. Day-of-week via integer days-since-epoch % 7 — NOT
+    dayofweek(), whose weekday numbering differs between engines. At
+    100 TB only the first aggregate sees the data; everything after is
+    domain-sized (|types| × 7 cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = (ev.select("event_type",
+                   (F.datediff(F.col("ts"), F.lit("1970-01-01")) % 7)
+                   .alias("dow"))
+           .groupBy("event_type", "dow")
+           .agg(F.count(F.lit(1)).alias("obs")))
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("tot"))
+    e = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+         / F.col("tot").cast("double"))
+    cell = (F.col("obs").cast("double") - e) * (F.col("obs").cast("double")
+                                                - e) / e
+    return (o.join(F.broadcast(rt), "event_type")
+              .join(F.broadcast(ct), "dow")
+              .crossJoin(F.broadcast(n))
+              .agg(r6(dsum(cell)).alias("chi2"),
+                   F.count(F.lit(1)).alias("n_cells")))
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation (50-row frame, decimal-exact sums)
+# ---------------------------------------------------------------------------
+
+_CORR_FRAME = 49  # trailing rows → 50-row frame
+
+
+def _dsum_over_sql(expr: str) -> str:
+    return (f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,12))) OVER w AS DOUBLE)")
+
+
+@query("win_rolling_corr", oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value AS x,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events WHERE value IS NOT NULL),
+q AS (
+  SELECT event_id, user_id,
+         CAST(COUNT(y) OVER w AS DOUBLE) AS n,
+         {_dsum_over_sql('CASE WHEN y IS NOT NULL THEN x END')} AS sx,
+         {_dsum_over_sql('y')} AS sy,
+         {_dsum_over_sql('CASE WHEN y IS NOT NULL THEN x * x END')} AS sxx,
+         {_dsum_over_sql('y * y')} AS syy,
+         {_dsum_over_sql('x * y')} AS sxy
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_CORR_FRAME} PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id,
+       CASE WHEN n >= 3
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN {r6_sql('(n * sxy - sx * sy) / '
+                         '(sqrt(n * sxx - sx * sx)'
+                         ' * sqrt(n * syy - sy * sy))')}
+            END AS lag1_corr
+FROM q
+""")
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING CORRELATION of the series with its own lag-1 (local
+    autocorrelation — the regularity/periodicity monitor a streaming
+    HRV or metrics pipeline tracks): all five frame sums run through
+    DECIMAL over ONE 50-row trailing window, the Pearson assembly is
+    scalar IEEE arithmetic (+ sqrt — IEEE-exact, unlike ln/exp), and
+    degenerate frames (n < 3 or zero variance) emit NULL on both
+    engines. One shuffle on user_id; window and lag share the sort."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("event_id", "user_id", "ts",
+                  F.col("value").alias("x"),
+                  F.lag("value").over(wl).alias("y"))
+    w = wl.rowsBetween(-_CORR_FRAME, 0)
+
+    def ds(c):
+        return F.sum(c.cast("decimal(38,12)")).over(w).cast("double")
+
+    xm = F.when(F.col("y").isNotNull(), F.col("x"))
+    q = p.select(
+        "event_id", "user_id",
+        F.count("y").over(w).cast("double").alias("n"),
+        ds(xm).alias("sx"), ds(F.col("y")).alias("sy"),
+        ds(xm * xm).alias("sxx"), ds(F.col("y") * F.col("y")).alias("syy"),
+        ds(F.col("x") * F.col("y")).alias("sxy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when((F.col("n") >= 3) & (vx > 0) & (vy > 0),
+                  r6(num / (F.sqrt(vx) * F.sqrt(vy))))
+    return q.select("event_id", "user_id", corr.alias("lag1_corr"))

@@ -338,3 +338,42 @@ def test_star_cc_uses_no_exceptall_probe(spark, monkeypatch):
     got = {r["n"]: r["cluster_id"]
            for r in graph.connected_components_star(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """cumsum-minus-running-min must equal the textbook recursion
+    C+_t = max(0, C+_{t-1} + (x_t - k)) computed driver-side."""
+    from data_ingestor_and_features_creator_spark.plans import q_round4
+    rows = (q_round4.win_cusum_drift(spark, sf_dir)
+            .filter(F.col("user_id") == 1).collect())
+    got = {r["event_id"]: r["cusum_pos"] for r in rows}
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") == 1)
+          .orderBy("ts", "event_id").collect())
+    c = 0.0
+    for r in ev:
+        c = max(0.0, c + (r["value"] - q_round4._CUSUM_K))
+        assert abs(got[r["event_id"]] - c) < 1e-6, r["event_id"]
+
+
+def test_chi2_matches_driver_side_computation(spark, sf_dir):
+    """Spark chi2 must match a numpy contingency-table computation."""
+    import numpy as np
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans import q_round4
+    got = q_round4.agg_chi2_independence(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.datediff(F.col("ts"), F.lit("1970-01-01")) % 7).alias("dow")
+    ).collect()
+    from collections import Counter
+    obs = Counter((r["event_type"], r["dow"]) for r in ev)
+    types = sorted({t for t, _ in obs}); dows = sorted({d for _, d in obs})
+    O = np.array([[obs.get((t, d), 0) for d in dows] for t in types],
+                 dtype=float)
+    E = O.sum(1, keepdims=True) * O.sum(0, keepdims=True) / O.sum()
+    mask = O > 0  # spark aggregates only observed cells
+    chi2 = ((O - E) ** 2 / E)[mask].sum()
+    assert got["n_cells"] == int(mask.sum())
+    assert abs(got["chi2"] - chi2) < 1e-4
