@@ -696,3 +696,88 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = F.when((F.col("n") >= 3) & (vx > 0) & (vy > 0),
                   r6(num / (F.sqrt(vx) * F.sqrt(vy))))
     return q.select("event_id", "user_id", corr.alias("lag1_corr"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 — large-volume customers (agg → HAVING → join back)
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 150.0
+
+
+@query("sql_tpch_q18", oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dsum_sql('l_quantity')} > {_Q18_QTY})
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): aggregate the big table
+    FIRST (lineitem → per-order quantity, map-side partials), filter
+    with HAVING, and only the surviving order keys join back to
+    orders/customer — the aggregate-before-join shape that at 100 TB
+    turns a lineitem-sized join into a filtered-keys join. DECIMAL
+    quantity sums; top-10 over (o_totalprice DESC, o_orderkey) — a
+    total order on scan-native values, hash-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(dsum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > _Q18_QTY))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .select("c_custkey", "c_name", "o_orderkey",
+                       "o_totalprice", "sum_qty")
+               .orderBy(F.desc("o_totalprice"), "o_orderkey")
+               .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (supplier co-purchase graph)
+# ---------------------------------------------------------------------------
+
+@query("graph_triangle_count", oracle="""
+WITH e AS (
+  SELECT DISTINCT least(l1.l_suppkey, l2.l_suppkey) AS a,
+         greatest(l1.l_suppkey, l2.l_suppkey) AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING over the supplier co-purchase graph (suppliers
+    sharing an order are connected) — the clustering-coefficient /
+    community-density primitive next to PageRank and CC. Algorithm:
+    orient every edge low→high id, then count paths a→b→c that close
+    with an a→c edge — each triangle counted EXACTLY once (the
+    orientation makes a<b<c canonical). Two equi-joins on an edge set
+    that was distinct'd once and cached; at web scale the orientation
+    is by DEGREE (so the join fans out on low-degree endpoints —
+    Suri & Vassilvitskii's MapReduce variant), id-orientation is the
+    deterministic fixture-scale stand-in and the plan shape is
+    identical. Edge building never leaves the JVM."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    e = (li.join(l2, (li.l_orderkey == l2.o2) & (li.l_suppkey < l2.s2))
+           .select(F.least("l_suppkey", "s2").alias("a"),
+                   F.greatest("l_suppkey", "s2").alias("b"))
+           .distinct().cache())
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+             .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return tri.crossJoin(F.broadcast(
+        e.agg(F.count(F.lit(1)).alias("n_edges"))))
