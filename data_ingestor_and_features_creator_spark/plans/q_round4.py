@@ -781,3 +781,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_triangles")))
     return tri.crossJoin(F.broadcast(
         e.agg(F.count(F.lit(1)).alias("n_edges"))))
+
+
+# ---------------------------------------------------------------------------
+# transformWithState MAP STATE (running distinct count per key)
+# ---------------------------------------------------------------------------
+
+def _have_protobuf_r4() -> bool:
+    from ..pbcompat import ensure_protobuf
+    if not ensure_protobuf():
+        return False
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_DISTINCT_ORACLE = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def stream_tws_map_state_distinct(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with MAP STATE: per-user running
+    DISTINCT event_type count across 4 replayed micro-batches — the
+    state-variable family beyond stream_transform_with_state's
+    ValueState: one RocksDB map entry per (user, type), so state size
+    tracks the distinct DOMAIN (bounded), not the stream length. The
+    registered result keeps each user's LAST emission (n_types is
+    monotone), which must equal the batch COUNT(DISTINCT) — the merge
+    ≡ rebuild contract, proven by the SQL oracle. Same protobuf gate
+    as stream_transform_with_state (pbcompat)."""
+    from ..streaming import runner
+    ev = load_table(spark, sf_dir, "events")
+    out = runner.run_tws_distinct_types(spark, ev)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_types"))
+    return (out.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("user_id", "n_types"))
+
+
+if _have_protobuf_r4():
+    stream_tws_map_state_distinct = query(
+        "stream_tws_map_state_distinct",
+        oracle=_TWS_DISTINCT_ORACLE)(stream_tws_map_state_distinct)

@@ -186,17 +186,44 @@ def _make_running_max_processor():
     return RunningMax()
 
 
-def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFrame:
-    """Replay events as 4 micro-batches through
+def _make_distinct_types_processor():
+    """Per-user running DISTINCT event_type count via MAP STATE — the
+    state variable family beyond ValueState: one RocksDB map entry per
+    (user, type), so state size tracks the DISTINCT domain (bounded)
+    rather than the stream length, exactly how a 100 TB deployment
+    keeps per-key cardinality state. Emits the running distinct count
+    each batch; the LAST emission equals the batch COUNT(DISTINCT)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState("seen", "t string", "one long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for t in pdf["event_type"].dropna().unique():
+                    self._seen.updateValue((str(t),), (1,))
+            n = sum(1 for _ in self._seen.keys())
+            yield pd.DataFrame({"user_id": [key[0]], "n_types": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return DistinctTypes()
+
+
+def _run_tws(spark: SparkSession, feed: DataFrame, tag: str,
+             processor, out_schema: str) -> DataFrame:
+    """Replay `feed` as 4 micro-batches through
     transformWithStateInPandas (RocksDB state store — required by the
     API and the production-scale choice: state lives off-heap/on-disk
-    per executor, not in JVM heap) and return every per-batch emission.
-    Callers reduce to the final emission per user (max n_events) for
-    the batch-equivalence check."""
-    feed_dir = scratch_dir("tws_feed")
-    ev = events.select("user_id", "value")
-    ev.repartition(4, "user_id").write.mode("overwrite").parquet(feed_dir)
-    stream = (spark.readStream.schema(ev.schema)
+    per executor, not in JVM heap) and return every per-batch
+    emission."""
+    feed_dir = scratch_dir(tag)
+    feed.repartition(4, "user_id").write.mode("overwrite").parquet(feed_dir)
+    stream = (spark.readStream.schema(feed.schema)
                    .option("maxFilesPerTrigger", 1)
                    .option("pathGlobFilter", "*.parquet")
                    .parquet(feed_dir))
@@ -216,8 +243,8 @@ def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFram
     try:
         out = (stream.groupBy("user_id")
                      .transformWithStateInPandas(
-                         statefulProcessor=_make_running_max_processor(),
-                         outputStructType=TWS_SCHEMA,
+                         statefulProcessor=processor,
+                         outputStructType=out_schema,
                          outputMode="Update",
                          timeMode="None"))
         return run_available_now(out, output_mode="update")
@@ -226,3 +253,16 @@ def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFram
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """ValueState running (count, max) — see _run_tws."""
+    return _run_tws(spark, events.select("user_id", "value"), "tws_feed",
+                    _make_running_max_processor(), TWS_SCHEMA)
+
+
+def run_tws_distinct_types(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """MapState running distinct-type count — see _run_tws."""
+    return _run_tws(spark, events.select("user_id", "event_type"),
+                    "tws_feed_distinct", _make_distinct_types_processor(),
+                    "user_id long, n_types long")

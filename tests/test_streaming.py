@@ -163,3 +163,24 @@ def test_transform_with_state_equals_batch_aggregate(spark, sf_dir):
                         .agg(F.count(F.lit(1)).alias("n"),
                              F.max("value").alias("mx")).collect()}
     assert final == batch
+
+
+def test_tws_map_state_distinct_equals_batch(spark, sf_dir):
+    """MapState running distinct-count must converge to the batch
+    COUNT(DISTINCT). Auto-skips without a usable protobuf runtime."""
+    from data_ingestor_and_features_creator_spark.pbcompat import (
+        ensure_protobuf)
+    if not ensure_protobuf():
+        pytest.skip("no usable google.protobuf runtime on this machine")
+    ev = load_table(spark, sf_dir, "events")
+    out = runner.run_tws_distinct_types(spark, ev)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.desc("n_types"))
+    final = {(r["user_id"], r["n_types"])
+             for r in out.withColumn("rn", F.row_number().over(w))
+                         .filter(F.col("rn") == 1).collect()}
+    batch = {(r["user_id"], r["n"])
+             for r in ev.groupBy("user_id")
+                        .agg(F.countDistinct("event_type").alias("n"))
+                        .collect()}
+    assert final == batch
