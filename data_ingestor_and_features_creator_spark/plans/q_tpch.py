@@ -1,0 +1,727 @@
+"""TPC-H completion: the 15 queries beyond q1/q3/q5/q6/q10/q14/q18.
+
+Provenance (SURVEY.md §0 applies — empty reference checkout): these
+extend the SQL-surface credibility axis. The fixture schema is a TPC-H
+SUBSET (no partsupp table; no l_commitdate / l_receiptdate /
+l_shipmode / comment columns; NATION_0..24 names), so each query is
+ADAPTED: the predicate columns change, the PLAN STRUCTURE — the thing
+the engine is graded on — does not. Every adaptation is documented on
+the op. House rules throughout: decimal-exact double sums (dsum /
+dsum_sql), AVG built from exact sums, r6 rounding on any ratio, total
+orders before every LIMIT, aliases identical on both engines.
+
+Adaptation key (applies to all ops below):
+- part↔supplier relation (partsupp in spec) := DISTINCT (l_partkey,
+  l_suppkey) pairs observed in lineitem;
+- "late" (spec: l_commitdate < l_receiptdate) := l_shipdate more than
+  N days after o_orderdate;
+- comment/phone filters := priority / nationkey predicates of the
+  same selectivity class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import (dmean_sql, dsum, dsum_sql, r6, r6_sql)
+from .registry import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier (adapted: max-acctbal supplier per part)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q2", oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+elig AS (
+  SELECT p_partkey, s_suppkey, s_acctbal, s_name, n_name
+  FROM part JOIN ps ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'),
+best AS (SELECT p_partkey AS bp, MAX(s_acctbal) AS max_bal
+         FROM elig GROUP BY p_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM elig JOIN best ON p_partkey = bp AND s_acctbal = max_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the part↔supplier
+    relation comes from DISTINCT lineitem pairs (no partsupp) and the
+    correlated MIN(ps_supplycost) becomes MAX(s_acctbal) — same shape:
+    a correlated-aggregate subquery de-correlated into agg + join-back.
+    Plan for 100 TB: the only big input is lineitem, reduced to
+    distinct pairs ONCE (shuffle on partkey); part/supplier/nation/
+    region all broadcast; the per-part max is a tiny aggregate that
+    broadcasts back onto the eligible set. The double-equality join on
+    s_acctbal is safe because both sides carry the identical
+    scan-native double. Total order before LIMIT 100."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    elig = (ps.join(F.broadcast(p.filter((F.col("p_size") == 15)
+                                         & (F.col("p_type") == "STANDARD"))),
+                    ps.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                    n.n_regionkey == r.r_regionkey)
+              .select("p_partkey", "s_suppkey", "s_acctbal", "s_name",
+                      "n_name"))
+    best = (elig.groupBy(F.col("p_partkey").alias("bp"))
+                .agg(F.max("s_acctbal").alias("max_bal")))
+    return (elig.join(F.broadcast(best),
+                      (elig.p_partkey == best.bp)
+                      & (elig.s_acctbal == best.max_bal))
+                .select("s_acctbal", "s_name", "n_name", "p_partkey")
+                .orderBy(F.desc("s_acctbal"), "n_name", "s_name",
+                         "p_partkey")
+                .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking (EXISTS → left-semi join)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q4", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""")
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted: "late line" is
+    l_shipdate > o_orderdate + 30 days (no commit/receipt dates). The
+    shape is the classic correlated EXISTS de-correlated to a LEFT
+    SEMI join — at 100 TB the semi join emits each order AT MOST once
+    regardless of how many late lines it has (no fan-out, no distinct
+    needed), and the quarter filter on orders pushes to its scan
+    before the shuffle on orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.filter((F.col("o_orderdate") >= "1996-07-01")
+                 & (F.col("o_orderdate") < "1996-10-01"))
+    cond = ((o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate
+               > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")))
+    return (o.join(li, cond, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q7", oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+             {_REV} AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01') t
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) with the fixture's NATION_7/NATION_8
+    standing in for FRANCE/GERMANY: the two-role nation dimension
+    (supplier's nation AND customer's nation joined independently) is
+    the query's point — the same 25-row table broadcasts twice under
+    different aliases, and the disjunctive nation-pair predicate
+    cannot be pushed into either scan alone. lineitem↔orders is the
+    one real shuffle; supplier/customer/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    li = li.filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1998-01-01"))
+    pair = (((F.col("supp_nation") == "NATION_7")
+             & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8")
+               & (F.col("cust_nation") == "NATION_7")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+              .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+              .agg(dsum(_rev()).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q8", oracle=f"""
+SELECT o_year,
+       {r6_sql(dsum_sql("CASE WHEN nation = 'NATION_6' THEN volume"
+                        " ELSE 0 END")
+               + " / " + dsum_sql("volume"))} AS mkt_share
+FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             {_REV} AS volume, n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01') t
+GROUP BY o_year
+""")
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share; NATION_6 in AMERICA for
+    BRAZIL, p_type='PROMO' for the spec's part-type filter): the
+    8-table join where the market-share numerator is a conditional sum
+    INSIDE the same aggregate as the denominator — one pass, no
+    self-join. The customer-side nation chain (n1→region) restricts
+    the market; the supplier-side nation (n2) only labels rows for the
+    CASE — Catalyst broadcasts both roles separately. Ratio of two
+    decimal-exact sums, r6-rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation"))
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA")
+    o = o.filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+    vol = _rev()
+    return (li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+                    li.l_partkey == p.p_partkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n1), c.c_nationkey == F.col("nk1"))
+              .join(F.broadcast(r), F.col("rk1") == r.r_regionkey)
+              .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
+              .groupBy(F.year("o_orderdate").alias("o_year"))
+              .agg(r6(dsum(F.when(F.col("nation") == "NATION_6", vol)
+                            .otherwise(0.0))
+                      / dsum(vol)).alias("mkt_share")))
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q9", oracle=f"""
+SELECT nation, o_year, {dsum_sql('amount')} AS sum_profit
+FROM (SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             {_REV} - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') t
+GROUP BY nation, o_year
+""")
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: supply cost proxied as
+    0.5·p_retailprice per unit (no partsupp.ps_supplycost), part
+    filter is the spec's LIKE '%green%' against this fixture's color
+    adjectives ('%red%'). Shape preserved: profit expression mixes
+    columns from THREE tables, forcing the join before the agg; the
+    '%...%' LIKE cannot prune the part scan (no prefix), so part
+    filters post-scan then broadcasts. lineitem↔orders is the one
+    shuffle; group key (nation, year) is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (_rev()
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+                    li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").alias("o_year"))
+              .agg(dsum(amount).alias("sum_profit")))
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (global-fraction HAVING via broadcast scalar)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q11", oracle="""
+WITH de AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(38,12)) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+pv AS (SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+       FROM de GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 AS thresh FROM de)
+SELECT l_partkey, part_value
+FROM pv, tot WHERE part_value > thresh
+""")
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: part value := Σ
+    l_extendedprice over NATION_3-supplier lineitems (no
+    partsupp.availqty·supplycost). The point of the query is the
+    HAVING > FRACTION·(global sum) — a per-group aggregate compared
+    against a GLOBAL scalar. Implementation is the house
+    broadcast-scalar pattern (same as the tfidf fix): the filtered
+    fact is aggregated twice from one cached pass — per-part and
+    1-row total — and the scalar crossJoin-broadcasts onto the
+    per-part rows. NO driver-side .count()/.collect(); both sums are
+    decimal-exact so the > on doubles is bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    de = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("l_partkey", "l_extendedprice"))
+    pv = (de.groupBy("l_partkey")
+            .agg(dsum("l_extendedprice").alias("part_value")))
+    tot = de.agg((dsum("l_extendedprice") * 0.001).alias("thresh"))
+    return (pv.crossJoin(F.broadcast(tot))
+              .filter(F.col("part_value") > F.col("thresh"))
+              .select("l_partkey", "part_value"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q12", oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+""")
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: group key is
+    l_linestatus (no l_shipmode) and "received late" is l_shipdate >
+    o_orderdate + 60 days (no commit/receipt dates). Shape preserved:
+    join predicate mixes columns of both tables (the +60-day
+    comparison can only run post-join), then TWO complementary
+    conditional counts in one aggregate — the high/low split never
+    rescans. Year filter pushes to the lineitem scan; one shuffle on
+    orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, (li.l_orderkey == o.o_orderkey)
+                    & (li.l_shipdate
+                       > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+              .groupBy("l_linestatus")
+              .agg(F.sum(F.when(high, 1).otherwise(0))
+                    .alias("high_line_count"),
+                   F.sum(F.when(~high, 1).otherwise(0))
+                    .alias("low_line_count")))
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double agg)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q13", oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""")
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), adapted: the spec's
+    NOT-LIKE comment filter becomes o_orderpriority <> '4-NOT
+    SPECIFIED' (no o_comment). Shape preserved exactly: a LEFT OUTER
+    join whose filter sits IN the join condition (so filtered-out
+    customers still appear with count 0 — moving it to WHERE would be
+    wrong), then the two-level aggregate: orders-per-customer, then
+    the histogram of those counts. COUNT(o_orderkey) counts non-null
+    keys only, which is what makes the outer join's null rows count
+    as zero. First agg shuffles on custkey; second is 'a histogram of
+    a histogram' — few distinct counts, trivially small."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = ((c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"))
+    per_cust = (c.join(o, cond, "left_outer")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (agg → global max → equality join back)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q15", oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+m AS (SELECT MAX(total_revenue) AS mr FROM rev)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+              JOIN m ON total_revenue = mr
+""")
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the spec's revenue VIEW + "revenue =
+    (SELECT MAX…)" — per-supplier quarterly revenue, a 1-row global
+    max, and an equality join back that keeps ALL tied suppliers
+    (which is why it isn't ORDER BY…LIMIT 1). The revenue aggregate is
+    computed ONCE and cached; the max broadcasts back onto it; the
+    double equality is safe because both sides are the same
+    decimal-exact sum. Supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+             .groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(dsum(_rev()).alias("total_revenue"))
+             .cache())
+    m = rev.agg(F.max("total_revenue").alias("mr"))
+    return (rev.crossJoin(F.broadcast(m))
+               .filter(F.col("total_revenue") == F.col("mr"))
+               .join(F.broadcast(s),
+                     F.col("supplier_no") == s.s_suppkey)
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (anti-join + count distinct)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q16", oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: partsupp :=
+    distinct lineitem pairs; the spec's 'Customer Complaints' comment
+    filter := suppliers with negative acctbal, excluded via NOT IN.
+    Shape preserved: negated dimension predicates + an IN-list that
+    prunes, a NOT IN realized as a broadcast LEFT ANTI join (null-safe
+    here because s_suppkey is a key, never null — the SQL NOT IN
+    null-trap is documented, not silently repeated), and
+    COUNT(DISTINCT supplier) per part-attribute group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter((F.col("p_brand") != "Brand#5")
+                  & (F.col("p_type") != "PROMO")
+                  & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    return (ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+              .join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg de-correlated)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q17", oracle=f"""
+WITH pf AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+pa AS (SELECT l_partkey AS ap,
+              0.2 * {dmean_sql('l_quantity')} AS qlim
+       FROM lineitem JOIN pf ON l_partkey = p_partkey
+       GROUP BY l_partkey)
+SELECT {r6_sql(dsum_sql('l_extendedprice') + " / 7.0")} AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN pa ON l_partkey = ap
+WHERE l_quantity < qlim
+""")
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: part filter
+    is brand + p_type='SMALL' (no p_container). The correlated
+    "l_quantity < 0.2·AVG(l_quantity) over the same part" subquery is
+    de-correlated the scalable way: semi-reduce lineitem to the
+    filtered parts FIRST (broadcast join on the tiny part subset), so
+    the per-part AVG aggregates only relevant rows, then join the
+    thresholds back — at 100 TB the unfiltered per-part aggregate the
+    naive plan computes over ALL parts never happens. AVG built from
+    decimal sums (dmean), so the strict < compares bit-identical
+    doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pf = p.filter((F.col("p_brand") == "Brand#3")
+                  & (F.col("p_type") == "SMALL")).select("p_partkey")
+    rel = (li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+             .select("l_partkey", "l_quantity", "l_extendedprice")
+             .cache())
+    pa = (rel.groupBy(F.col("l_partkey").alias("ap"))
+             .agg((0.2 * (dsum("l_quantity")
+                          / F.count("l_quantity"))).alias("qlim")))
+    return (rel.join(F.broadcast(pa), rel.l_partkey == pa.ap)
+               .filter(F.col("l_quantity") < F.col("qlim"))
+               .agg(r6(dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+                    F.count(F.lit(1)).alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive multi-attribute predicate)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q19", oracle=f"""
+SELECT {dsum_sql(_REV)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: p_size ranges replace
+    the p_container IN-lists (no container column). The query's point
+    is the OR-of-ANDs spanning BOTH tables: no single conjunct can be
+    fully pushed to either scan, but Catalyst derives the
+    per-table residuals (p_brand IN (…) to part, l_quantity BETWEEN
+    1 AND 30 to lineitem) before the broadcast join, and the full
+    disjunction filters post-join. One scan each side, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (((F.col("p_brand") == "Brand#12")
+             & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23")
+               & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#3")
+               & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .filter(cond)
+              .agg(dsum(_rev()).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested agg share + semi-join chain)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q20", oracle="""
+WITH sp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate <  TIMESTAMP '1998-01-01'
+                       THEN CAST(l_quantity AS DECIMAL(38,12))
+                       ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+           AS q97,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS qall
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'STANDARD'
+  GROUP BY l_suppkey, l_partkey),
+cand AS (SELECT DISTINCT l_suppkey FROM sp WHERE q97 > 0.3 * qall)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (SELECT l_suppkey FROM cand)
+ORDER BY s_name
+""")
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: "excess stock"
+    (ps_availqty > ½·shipped) becomes "1997 shipped quantity > 0.3 of
+    lifetime shipped quantity" per (supplier, part) — same nested
+    structure: an inner aggregate per supplier-part pair, a share
+    threshold, then a DISTINCT supplier set driving a SEMI join into
+    the dimension side. Quantity sums decimal-exact so the share
+    comparison is bit-stable. At 100 TB the candidate set is tiny and
+    broadcasts into the supplier semi join; lineitem shuffles once on
+    (suppkey, partkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_4")
+    in97 = ((F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01"))
+    sp = (li.join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")),
+                  li.l_partkey == p.p_partkey)
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(dsum(F.when(in97, F.col("l_quantity")).otherwise(0.0))
+                  .alias("q97"),
+                 dsum("l_quantity").alias("qall")))
+    cand = (sp.filter(F.col("q97") > 0.3 * F.col("qall"))
+              .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(cand), s.s_suppkey == cand.l_suppkey,
+                   "left_semi")
+             .select("s_name", "n_name")
+             .orderBy("s_name"))
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS/NOT-EXISTS flattened)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q21", oracle="""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+ostat AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM lo GROUP BY l_orderkey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lo JOIN ostat USING (l_orderkey)
+     JOIN supplier ON s_suppkey = l_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+WHERE lo.is_late = 1 AND n_supp > 1 AND n_late = 1
+  AND n_name = 'NATION_2'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""")
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    is l_shipdate > o_orderdate + 60 days (no receipt/commit dates).
+    The spec phrases it as EXISTS(other supplier on the order) AND NOT
+    EXISTS(other LATE supplier) — two correlated self-joins of the
+    biggest table. Implemented as the scalable FLATTENING: one
+    aggregate per (order, supplier) with a late flag, one per-order
+    rollup (supplier count, late count), and the predicate "this
+    supplier late AND order multi-supplier AND exactly one late
+    supplier" — identical semantics (the sole late supplier is the
+    blocker), ONE shuffle on orderkey instead of three self-joins.
+    Total order before LIMIT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2")
+    late = F.when(F.col("l_shipdate")
+                  > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                  1).otherwise(0)
+    lo = (li.join(o.filter(F.col("o_orderstatus") == "F"),
+                  li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max(late).alias("is_late"))
+            .cache())
+    ostat = (lo.groupBy(F.col("l_orderkey").alias("ok"))
+               .agg(F.count(F.lit(1)).alias("n_supp"),
+                    F.sum("is_late").alias("n_late")))
+    return (lo.join(ostat, lo.l_orderkey == ostat.ok)
+              .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
+                      & (F.col("n_late") == 1))
+              .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .groupBy("s_name")
+              .agg(F.count(F.lit(1)).alias("numwait"))
+              .orderBy(F.desc("numwait"), "s_name")
+              .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti join + broadcast-scalar avg)
+# ---------------------------------------------------------------------------
+
+@query("sql_tpch_q22", oracle=f"""
+WITH sel AS (SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+             WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 23)),
+a AS (SELECT {dmean_sql('c_acctbal')} AS avg_bal FROM sel
+      WHERE c_acctbal > 0.0)
+SELECT CAST(c_nationkey AS INTEGER) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {dsum_sql('c_acctbal')} AS totacctbal
+FROM sel, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""")
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the phone
+    country-code prefix becomes c_nationkey IN (…) — no c_phone. All
+    three spec mechanisms preserved: (1) a GLOBAL scalar subquery
+    (average positive balance of the selected codes) applied per-row →
+    broadcast-scalar crossJoin of a 1-row decimal-exact mean; (2) NOT
+    EXISTS(recent orders of this customer — the spec's "no orders for
+    7 years" dormancy window, here orders since 2000) → LEFT ANTI
+    join on custkey against the date-filtered orders; (3)
+    grouped count + balance sum per code. customer is the larger side
+    here only notionally — at 100 TB orders is bigger, so the anti
+    join shuffles both on custkey while the scalar still broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    sel = (c.filter(F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21, 23))
+            .select("c_custkey", "c_acctbal", "c_nationkey"))
+    a = (sel.filter(F.col("c_acctbal") > 0.0)
+            .agg((dsum("c_acctbal") / F.count("c_acctbal"))
+                 .alias("avg_bal")))
+    return (sel.crossJoin(F.broadcast(a))
+               .filter(F.col("c_acctbal") > F.col("avg_bal"))
+               .join(o.filter(F.col("o_orderdate") >= "2000-01-01"),
+                     sel.c_custkey == o.o_custkey, "left_anti")
+               .groupBy(F.col("c_nationkey").cast("int")
+                         .alias("cntrycode"))
+               .agg(F.count(F.lit(1)).alias("numcust"),
+                    dsum("c_acctbal").alias("totacctbal")))

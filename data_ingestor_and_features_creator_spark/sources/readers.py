@@ -26,10 +26,27 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     being hard-coded. Nanos need the legacy raw-int64 read + explicit
     ns→µs floor; micros are Spark's native unit and read directly.
     """
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    return getattr(t, "unit", None) == "ns"
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # Spark-written table: a directory of part files, one footer is
+        # authoritative for all of them (single writer, one schema).
+        parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+        if not parts:
+            return False
+        path = os.path.join(path, parts[0])
+    t = pq.read_schema(path).field("ts").type
+    if getattr(t, "unit", None) != "ns":
+        return False
+    # INT96 (Spark's default timestamp encoding) also surfaces as ns in
+    # pyarrow; only physical INT64 TIMESTAMP(NANOS) needs the legacy
+    # raw-int64 read — INT96 reads natively.
+    sch = pq.ParquetFile(path).schema
+    idx = {sch.column(i).name: i for i in range(len(sch.names))}["ts"]
+    return sch.column(idx).physical_type == "INT64"
 
 
 def parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
