@@ -23,6 +23,7 @@ def load_all() -> None:
     from . import q_round3  # noqa: F401  (tail of the priority order)
     from . import q_round4  # noqa: F401  (tail of the priority order)
     from . import q_tpch  # noqa: F401  (tail of the priority order)
+    from . import q_round4b  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round

@@ -1,0 +1,383 @@
+"""Round-4 batch B: distribution statistics + corpus-ops additions.
+
+Provenance (SURVEY.md §0 applies — empty reference checkout): these
+extend the analytics surface along two driver-north-star axes —
+statistical comparison operators a feature-QA pipeline runs per cohort
+(Welch t, Mann-Whitney U, two-sample KS, Benford digit audit) and
+corpus-management ops for training-data pipelines (shard-balance
+audit, prefix-duplicate families, Pareto head-coverage).
+
+House determinism rules, applied throughout: NO libm transcendentals
+(ln/exp/log10 drift 1 ulp cross-engine — every statistic here is built
+from counts, rational arithmetic, and sqrt, which are IEEE-exact);
+integer shares in PPM via integer division (Spark DIV ≡ DuckDB //);
+decimal-exact sums for any float aggregation; r6 only on values whose
+inputs are already bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql, r6, r6_sql
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/corruption smell test, log-free)
+# ---------------------------------------------------------------------------
+
+@query("agg_benford_digits", oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1.0),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM c)
+SELECT digit, n_orders,
+       CAST(n_orders * 1000000 // total AS BIGINT) AS share_ppm
+FROM c, t
+""")
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT AUDIT over order totals — the classic
+    data-quality / fraud smell test: natural multiplicative amounts
+    follow log10(1+1/d), fabricated or truncated ones don't. This op
+    emits the OBSERVED digit distribution (the expected curve needs
+    log10, which is libm — drifts 1 ulp cross-engine — so the
+    comparison against theoretical Benford is left to the consumer);
+    shares are integer PPM via integer division (Spark DIV ≡ DuckDB
+    //), hash-exact by construction. First digit is extracted from the
+    INTEGER part as a string head — FLOOR first, because a plain
+    CAST-to-int rounds half-even in DuckDB but truncates in Spark.
+    Plan: one scan, one 9-group agg, scalar total broadcast back —
+    embarrassingly parallel at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (F.substring(F.floor("o_totalprice").cast("long")
+                          .cast("string"), 1, 1).cast("int"))
+    c = (o.filter(F.col("o_totalprice") >= 1.0)
+          .select(digit.alias("digit"))
+          .groupBy("digit")
+          .agg(F.count(F.lit(1)).alias("n_orders")))
+    t = c.agg(F.sum("n_orders").alias("total"))
+    return (c.crossJoin(F.broadcast(t))
+             .select("digit", "n_orders",
+                     F.expr("BIGINT(n_orders * 1000000 div total)")
+                      .alias("share_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Welch's t (unequal-variance two-sample test) per cohort
+# ---------------------------------------------------------------------------
+
+_TT_A, _TT_B = "purchase", "view"
+
+
+@query("agg_welch_ttest", oracle=f"""
+WITH s AS (
+  SELECT user_id % 8 AS cohort,
+         CAST(SUM(CASE WHEN event_type = '{_TT_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{_TT_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         {dsum_sql(f"CASE WHEN event_type = '{_TT_A}' THEN value"
+                   " ELSE 0 END")} AS s1,
+         {dsum_sql(f"CASE WHEN event_type = '{_TT_B}' THEN value"
+                   " ELSE 0 END")} AS s2,
+         {dsum_sql(f"CASE WHEN event_type = '{_TT_A}' THEN value * value"
+                   " ELSE 0 END")} AS q1,
+         {dsum_sql(f"CASE WHEN event_type = '{_TT_B}' THEN value * value"
+                   " ELSE 0 END")} AS q2
+  FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+  GROUP BY user_id % 8)
+SELECT cohort, n1, n2,
+       {r6_sql('(s1 / n1 - s2 / n2) / SQRT('
+               ' ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1'
+               ' + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)')} AS t_stat
+FROM s WHERE n1 > 1 AND n2 > 1
+""")
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-STATISTIC per user cohort, comparing
+    purchase vs view event values — the A/B-test primitive run per
+    segment after every feature rollout. Entirely from ONE conditional
+    aggregate pass (six decimal-exact sums per cohort), then scalar
+    arithmetic: means, unbiased variances via the Σx²−(Σx)²/n
+    identity, t = Δmean / sqrt(v1/n1 + v2/n2). sqrt is IEEE-exact, so
+    the only rounding is the final r6. The p-value needs the t CDF
+    (incomplete beta — transcendental), so the op emits the statistic
+    and sample sizes; thresholding t is the deterministic part every
+    engine agrees on. One shuffle on the 8-row cohort key."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == _TT_A
+    b = F.col("event_type") == _TT_B
+    v = F.col("value")
+    s = (ev.filter(a | b)
+           .groupBy((F.col("user_id") % 8).alias("cohort"))
+           .agg(F.sum(F.when(a, 1).otherwise(0)).alias("n1"),
+                F.sum(F.when(b, 1).otherwise(0)).alias("n2"),
+                dsum(F.when(a, v).otherwise(0.0)).alias("s1"),
+                dsum(F.when(b, v).otherwise(0.0)).alias("s2"),
+                dsum(F.when(a, v * v).otherwise(0.0)).alias("q1"),
+                dsum(F.when(b, v * v).otherwise(0.0)).alias("q2")))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = (F.col(c) for c in ("s1", "s2", "q1", "q2"))
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    t = (s1 / n1 - s2 / n2) / F.sqrt(v1 / n1 + v2 / n2)
+    return (s.filter((n1 > 1) & (n2 > 1))
+             .select("cohort", "n1", "n2", r6(t).alias("t_stat")))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) per cohort — distribution-free comparison
+# ---------------------------------------------------------------------------
+
+@query("agg_mannwhitney_u", oracle=f"""
+WITH vc AS (
+  SELECT user_id % 8 AS cohort, value,
+         CAST(SUM(CASE WHEN event_type = '{_TT_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS cv
+  FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+  GROUP BY user_id % 8, value),
+r AS (
+  SELECT cohort, c1, cv,
+         CAST(COALESCE(SUM(cv) OVER (PARTITION BY cohort ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM vc)
+SELECT cohort,
+       CAST(SUM(c1) AS BIGINT) AS n1,
+       CAST(SUM(cv - c1) AS BIGINT) AS n2,
+       {r6_sql('SUM(c1 * (cum_before + (cv + 1) / 2.0))'
+               ' - SUM(c1) * (SUM(c1) + 1) / 2.0')} AS u1
+FROM r GROUP BY cohort
+""")
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (rank-sum) per cohort, purchase vs view — the
+    distribution-free sibling of the t-test, robust to the heavy tails
+    real engagement values have. Scalable construction: instead of
+    ranking N raw rows, pre-aggregate per DISTINCT value (the tie
+    groups), window-cumsum the group sizes for the rank offsets, and
+    use the midrank identity avg_rank = cum_before + (tie+1)/2; then
+    R1 = Σ c1·avg_rank and U1 = R1 − n1(n1+1)/2. Ranks are halves of
+    integers — exact in doubles far beyond any realistic count, so the
+    result is hash-stable with no decimal detour. The window orders by
+    the distinct value key (no ties by construction → frame order is
+    total); one shuffle on (cohort, value), one on cohort."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == _TT_A
+    vc = (ev.filter(a | (F.col("event_type") == _TT_B))
+            .groupBy((F.col("user_id") % 8).alias("cohort"), "value")
+            .agg(F.sum(F.when(a, 1).otherwise(0)).alias("c1"),
+                 F.count(F.lit(1)).alias("cv")))
+    w = (W.partitionBy("cohort").orderBy("value")
+          .rowsBetween(W.unboundedPreceding, -1))
+    r = vc.withColumn("cum_before",
+                      F.coalesce(F.sum("cv").over(w), F.lit(0)))
+    avg_rank = F.col("cum_before") + (F.col("cv") + 1) / 2.0
+    n1 = F.sum("c1")
+    return (r.groupBy("cohort")
+             .agg(n1.alias("n1"),
+                  F.sum(F.col("cv") - F.col("c1")).alias("n2"),
+                  r6(F.sum(F.col("c1") * avg_rank)
+                     - n1 * (n1 + 1) / 2.0).alias("u1")))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov D per cohort
+# ---------------------------------------------------------------------------
+
+@query("agg_ks_2sample", oracle=f"""
+WITH vc AS (
+  SELECT user_id % 8 AS cohort, value,
+         CAST(SUM(CASE WHEN event_type = '{_TT_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = '{_TT_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+  GROUP BY user_id % 8, value),
+cum AS (
+  SELECT cohort,
+         CAST(SUM(c1) OVER (PARTITION BY cohort ORDER BY value)
+              AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (PARTITION BY cohort ORDER BY value)
+              AS BIGINT) AS f2,
+         CAST(SUM(c1) OVER (PARTITION BY cohort) AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER (PARTITION BY cohort) AS BIGINT) AS n2
+  FROM vc)
+SELECT cohort, CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       {r6_sql('MAX(ABS(CAST(f1 AS DOUBLE) / n1'
+               ' - CAST(f2 AS DOUBLE) / n2))')} AS ks_d
+FROM cum GROUP BY cohort
+""")
+def agg_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV D per cohort — the drift detector
+    run between yesterday's and today's feature distribution before a
+    model retrain. D = max |F̂1(x) − F̂2(x)| evaluated only at observed
+    values (where the max is attained): pre-aggregate counts per
+    distinct value, one cumulative window per sample gives both
+    empirical CDFs, max of the absolute difference of two exact
+    integer ratios. No transcendentals anywhere (the KS p-value
+    series is left to the consumer), so cross-engine hash-stable.
+    Same scalable shape as the U test: shuffles on (cohort, value)
+    then cohort, never a per-row global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == _TT_A
+    b = F.col("event_type") == _TT_B
+    vc = (ev.filter(a | b)
+            .groupBy((F.col("user_id") % 8).alias("cohort"), "value")
+            .agg(F.sum(F.when(a, 1).otherwise(0)).alias("c1"),
+                 F.sum(F.when(b, 1).otherwise(0)).alias("c2")))
+    wc = W.partitionBy("cohort").orderBy("value")
+    wall = W.partitionBy("cohort")
+    cum = (vc.select("cohort",
+                     F.sum("c1").over(wc).alias("f1"),
+                     F.sum("c2").over(wc).alias("f2"),
+                     F.sum("c1").over(wall).alias("n1"),
+                     F.sum("c2").over(wall).alias("n2")))
+    d = F.abs(F.col("f1").cast("double") / F.col("n1")
+              - F.col("f2").cast("double") / F.col("n2"))
+    return (cum.groupBy("cohort")
+               .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+                    r6(F.max(d)).alias("ks_d")))
+
+
+# ---------------------------------------------------------------------------
+# Shard-balance audit (hash sharding + skew report)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query("data_shard_balance_audit", oracle=f"""
+WITH sh AS (
+  SELECT (doc_id * 2654435761 % 4294967296) % {_N_SHARDS} AS shard,
+         n_chars
+  FROM documents)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM sh GROUP BY shard
+""")
+def data_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-BALANCE AUDIT: assign documents to training shards by the
+    portable Knuth-multiplicative hash (the same RNG-free gate family
+    as data_split_hash — scan-parallel, no global sort, reproducible
+    across engines and runs) and report per-shard document and
+    character totals — the job you run at 100 TB BEFORE kicking off a
+    1000-GPU read to know no shard is a straggler. Hash sharding makes
+    size balance statistical rather than exact (a size-rank round-robin
+    would balance exactly but needs a global row_number — a single
+    partition bottleneck); the audit quantifies the spread so the
+    trade-off is measured, not assumed. One scan, one 8-group agg."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") * F.lit(2654435761).cast("long"))
+             % F.lit(4294967296).cast("long")) % _N_SHARDS
+    return (d.select(shard.alias("shard"), "n_chars")
+             .groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate families (cheap near-dup signal)
+# ---------------------------------------------------------------------------
+
+_PFX_TOKENS = 10
+
+
+@query("text_prefix_dup", oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:{_PFX_TOKENS}],
+             ' ')) AS pfx
+  FROM documents),
+g AS (SELECT pfx, CAST(COUNT(*) AS BIGINT) AS n_peers,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper
+      FROM p GROUP BY pfx)
+SELECT doc_id, n_peers,
+       CAST(doc_id = keeper AS BOOLEAN) AS keep
+FROM p JOIN g USING (pfx)
+""")
+def text_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-DUPLICATE FAMILIES: documents sharing their first 10
+    tokens — the cheapest near-dup signal in a crawl pipeline (mirrors
+    and templated pages copy openings verbatim long before MinHash
+    gets involved; run THIS first, it is one hash per doc). Every doc
+    is emitted with its family size and a deterministic keep flag
+    (min doc_id wins), so the oracle bites on real data even when the
+    fixture plants no prefix dups. The digest keys the shuffle — md5
+    is uniform, unskewable; family agg + join-back is the same
+    digest-keyed shape as dedup_exact. At 100 TB: one scan, one
+    shuffle on a 16-byte key."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "),
+                                         1, _PFX_TOKENS)))
+    p = d.select("doc_id", pfx.alias("pfx"))
+    g = (p.groupBy("pfx")
+          .agg(F.count(F.lit(1)).alias("n_peers"),
+               F.min("doc_id").alias("keeper")))
+    return (p.join(g, "pfx")
+             .select("doc_id", "n_peers",
+                     (F.col("doc_id") == F.col("keeper")).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Pareto head coverage (how concentrated is each source?)
+# ---------------------------------------------------------------------------
+
+@query("agg_pareto_head", oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         CAST(SUM(n_chars) OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT)
+           AS total_chars,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM documents)
+SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(total_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(CASE WHEN 2 * cum_chars >= total_chars THEN rk END)
+            AS BIGINT) AS docs_to_half
+FROM r GROUP BY source
+""")
+def agg_pareto_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO HEAD COVERAGE per source: how many of the largest
+    documents hold half the corpus bytes — the concentration metric
+    that decides whether a source needs length-capping before
+    training (a docs_to_half ≪ n_docs/2 source is dominated by a few
+    giants). The half-mass rank uses the INTEGER inequality 2·cum ≥
+    total — no 0.5 float threshold to straddle, so the boundary doc is
+    engine-exact. Window partitioned BY SOURCE (parallel across
+    sources; within a source the cumsum is the sequential part, same
+    per-key scan as any running total). Ties pinned by (n_chars DESC,
+    doc_id) — a total order."""
+    d = load_table(spark, sf_dir, "documents")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    wcum = (W.partitionBy("source").orderBy(*order)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("source")
+    r = (d.select("source", "n_chars", "doc_id")
+          .withColumn("rk", F.row_number().over(
+              W.partitionBy("source").orderBy(*order)))
+          .withColumn("cum_chars", F.sum("n_chars").over(wcum))
+          .withColumn("total_chars", F.sum("n_chars").over(wall))
+          .withColumn("n_docs", F.count(F.lit(1)).over(wall)))
+    hit = F.when(2 * F.col("cum_chars") >= F.col("total_chars"),
+                 F.col("rk"))
+    return (r.groupBy("source")
+             .agg(F.max("n_docs").alias("n_docs"),
+                  F.max("total_chars").alias("total_chars"),
+                  F.min(hit).alias("docs_to_half")))
