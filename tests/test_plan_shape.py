@@ -528,3 +528,61 @@ def test_tfidf_has_no_driver_side_count(spark, sf_dir):
     assert after == before, "plan construction ran a Spark job"
     assert "CROSS" in df._jdf.queryExecution().optimizedPlan().toString().upper() \
         or "BroadcastNestedLoopJoin" in _physical(df)
+
+
+def test_tpch_q19_broadcast_and_no_shuffle_join(spark, sf_dir):
+    """Q19's disjunctive predicate must not force a shuffle join: part
+    broadcasts, and Catalyst derives a per-table residual filter on
+    lineitem (quantity bounds) ahead of the join."""
+    plan = _physical(QUERIES["sql_tpch_q19"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_semi_join(spark, sf_dir):
+    """The EXISTS must compile to a LEFT SEMI join (each order emitted
+    at most once), never an inner join + distinct."""
+    plan = _physical(QUERIES["sql_tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q16_anti_join(spark, sf_dir):
+    """NOT IN over the complaint suppliers must be a broadcast LEFT
+    ANTI join, not a filter over a collected list."""
+    plan = _physical(QUERIES["sql_tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q11_no_driver_side_actions(spark, sf_dir):
+    """The global-fraction threshold must enter as a broadcast 1-row
+    aggregate inside ONE plan — building the DataFrame schedules zero
+    Spark jobs."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = QUERIES["sql_tpch_q11"](spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction ran a Spark job"
+    opt = df._jdf.queryExecution().optimizedPlan().toString().upper()
+    assert "CROSS" in opt or "BroadcastNestedLoopJoin" in _physical(df)
+
+
+def test_tpch_q21_single_fact_shuffle_no_self_join(spark, sf_dir):
+    """The flattened Q21 must not self-join lineitem: the per-(order,
+    supplier) aggregate is computed once and CACHED (both the row side
+    and the per-order rollup read the InMemory relation, not a second
+    lineitem scan), supplier/nation broadcast."""
+    plan = _physical(QUERIES["sql_tpch_q21"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stats_batch_stays_in_codegen(spark, sf_dir):
+    """The cohort statistics (t/U/KS) and Benford audit are pure
+    JVM expression work — no Python evaluation anywhere."""
+    for name in ("agg_welch_ttest", "agg_mannwhitney_u",
+                 "agg_ks_2sample", "agg_benford_digits",
+                 "agg_pareto_head", "text_prefix_dup"):
+        assert "EvalPython" not in _physical(QUERIES[name](spark, sf_dir)), name
