@@ -377,3 +377,102 @@ def test_chi2_matches_driver_side_computation(spark, sf_dir):
     chi2 = ((O - E) ** 2 / E)[mask].sum()
     assert got["n_cells"] == int(mask.sum())
     assert abs(got["chi2"] - chi2) < 1e-4
+
+
+def _events_pairs(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    rows = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("purchase", "view"))
+            .select((F.col("user_id") % 8).alias("cohort"),
+                    "event_type", "value").collect())
+    by = {}
+    for r in rows:
+        by.setdefault(r["cohort"], ([], []))[
+            0 if r["event_type"] == "purchase" else 1].append(r["value"])
+    return by
+
+
+def test_welch_t_matches_numpy(spark, sf_dir):
+    """The decimal-sum construction must agree with a straight numpy
+    Welch t (ddof=1) to the emitted 6-dp round."""
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_welch_ttest)
+    got = {r["cohort"]: r["t_stat"]
+           for r in agg_welch_ttest(spark, sf_dir).collect()}
+    for cohort, (a, b) in _events_pairs(spark, sf_dir).items():
+        if len(a) < 2 or len(b) < 2:
+            continue
+        x, y = np.array(a), np.array(b)
+        t = (x.mean() - y.mean()) / math.sqrt(
+            x.var(ddof=1) / len(x) + y.var(ddof=1) / len(y))
+        assert got[cohort] == pytest.approx(t, abs=2e-6), cohort
+
+
+def test_mannwhitney_u_matches_naive_midranks(spark, sf_dir):
+    """The tie-group cumsum construction must equal the textbook
+    midrank computation done row-at-a-time in numpy."""
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_mannwhitney_u)
+    got = {r["cohort"]: (r["n1"], r["n2"], r["u1"])
+          for r in agg_mannwhitney_u(spark, sf_dir).collect()}
+    for cohort, (a, b) in _events_pairs(spark, sf_dir).items():
+        allv = np.concatenate([a, b])
+        order = np.argsort(allv, kind="stable")
+        ranks = np.empty(len(allv))
+        i = 0
+        sv = allv[order]
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # midrank, 1-based
+            i = j
+        r1 = ranks[:len(a)].sum()
+        u1 = r1 - len(a) * (len(a) + 1) / 2.0
+        assert got[cohort][0] == len(a) and got[cohort][1] == len(b)
+        assert got[cohort][2] == pytest.approx(u1, abs=1e-6), cohort
+
+
+def test_ks_2sample_matches_naive(spark, sf_dir):
+    """D must equal the brute-force max |F1-F2| over observed values."""
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_ks_2sample)
+    got = {r["cohort"]: r["ks_d"]
+           for r in agg_ks_2sample(spark, sf_dir).collect()}
+    for cohort, (a, b) in _events_pairs(spark, sf_dir).items():
+        xs = np.unique(np.concatenate([a, b]))
+        f1 = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        f2 = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        assert got[cohort] == pytest.approx(np.abs(f1 - f2).max(),
+                                            abs=1e-6), cohort
+
+
+def test_pareto_head_boundary_is_tight(spark, sf_dir):
+    """docs_to_half must be the MINIMAL head: top-k chars >= half the
+    total, top-(k-1) strictly under half."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_pareto_head)
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("source", "n_chars", "doc_id").collect())
+    by = {}
+    for r in docs:
+        by.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    for row in agg_pareto_head(spark, sf_dir).collect():
+        sizes = [c for c, _ in sorted(by[row["source"]],
+                                      key=lambda t: (-t[0], t[1]))]
+        total = sum(sizes)
+        k = row["docs_to_half"]
+        assert 2 * sum(sizes[:k]) >= total
+        assert 2 * sum(sizes[:k - 1]) < total
+
+
+def test_benford_digit_partition(spark, sf_dir):
+    """Digits partition the orders; PPM shares sum to <= 1e6 (floor
+    division) and within 9 ulps of it."""
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_benford_digits)
+    rows = agg_benford_digits(spark, sf_dir).collect()
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    ppm = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - 9 <= ppm <= 1_000_000
