@@ -381,3 +381,91 @@ def agg_pareto_head(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.max("n_docs").alias("n_docs"),
                   F.max("total_chars").alias("total_chars"),
                   F.min(hit).alias("docs_to_half")))
+
+
+# ---------------------------------------------------------------------------
+# Text-lines source (spark.read.text)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_DERIVED = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "testdata_derived",
+)
+_DOCS_TXT = _os.path.join(_DERIVED, "docs_sample.txt")
+
+
+@query("scan_text_lines", oracle=f"""
+SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM read_csv('{_DOCS_TXT}', delim=chr(9), header=false, quote='',
+              columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR'}})
+""")
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-LINES source (§2.1 family, completing the format set next
+    to parquet/csv/json/orc/xml/binary): `spark.read.text` — the
+    line-per-record reader every crawl/log pipeline starts from —
+    with record parsing (id TAB text) done as codegen expressions
+    AFTER the scan, the split-the-line-yourself contract raw text
+    implies. At 100 TB text files split by line ranges across tasks
+    exactly like any other splittable source. The committed
+    tab-separated sample mirrors the sf0.001 documents table."""
+    lines = spark.read.text(_DOCS_TXT)
+    tab = F.instr("value", "\t")
+    return (lines.select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"))
+        .withColumn("n_chars", F.length("text").cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential; Arrow kernel)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.1
+
+
+def _holt_kernel(pdf):
+    """Per-user Holt recursion: l_t = a·x + (1-a)(l+b); b_t =
+    β(l_t−l_{t−1}) + (1−β)b. Sequential by nature — runs as a python
+    loop over the group's numpy arrays inside one Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    x = pdf["value"].to_numpy()
+    lvl = np.empty(len(x))
+    trd = np.empty(len(x))
+    if len(x):
+        lvl[0], trd[0] = x[0], 0.0
+        for i in range(1, len(x)):
+            prev = lvl[i - 1] + trd[i - 1]
+            lvl[i] = _HOLT_ALPHA * x[i] + (1 - _HOLT_ALPHA) * prev
+            trd[i] = (_HOLT_BETA * (lvl[i] - lvl[i - 1])
+                      + (1 - _HOLT_BETA) * trd[i - 1])
+    return pd.DataFrame({
+        "user_id": pdf["user_id"].to_numpy(),
+        "event_id": pdf["event_id"].to_numpy(),
+        "level": np.round(lvl, 6),
+        "trend": np.round(trd, 6),
+    })
+
+
+@query("win_holt_linear")  # rows-only: sequential recursion, no SQL twin
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND smoothing (double exponential) per user over
+    event values — the trend-aware sibling of win_ewma. EWMA has a
+    closed weighted-sum form (win_ewma exploits it in pure SQL); the
+    Holt level/trend pair is a coupled recursion with no closed form,
+    so this is the honest Arrow-kernel case (§2.12 house rules:
+    pre-selected 4 columns only, one applyInPandas per user group —
+    each group one task, bounded by per-user event counts). Verified
+    against a direct driver-side recursion in tests; rows-only for
+    the driver (recursion isn't SQL-expressible)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("user_id", "event_id", "ts", "value")
+              .groupBy("user_id")
+              .applyInPandas(_holt_kernel,
+                             "user_id long, event_id long, "
+                             "level double, trend double"))

@@ -476,3 +476,33 @@ def test_benford_digit_partition(spark, sf_dir):
     assert all(1 <= r["digit"] <= 9 for r in rows)
     ppm = sum(r["share_ppm"] for r in rows)
     assert 1_000_000 - 9 <= ppm <= 1_000_000
+
+
+def test_holt_linear_matches_driver_recursion(spark, sf_dir):
+    """The Arrow kernel must reproduce the textbook Holt recursion
+    computed driver-side for a sample of users."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        _HOLT_ALPHA, _HOLT_BETA, win_holt_linear)
+    got = {(r["user_id"], r["event_id"]): (r["level"], r["trend"])
+           for r in win_holt_linear(spark, sf_dir)
+           .filter(F.col("user_id") < 5).collect()}
+    raw = (load_table(spark, sf_dir, "events")
+           .filter(F.col("user_id") < 5)
+           .select("user_id", "event_id", "ts", "value").collect())
+    by = {}
+    for r in sorted(raw, key=lambda r: (r["ts"], r["event_id"])):
+        by.setdefault(r["user_id"], []).append((r["event_id"], r["value"]))
+    checked = 0
+    for uid, seq in by.items():
+        lvl, trd = seq[0][1], 0.0
+        assert got[(uid, seq[0][0])] == (round(lvl, 6), 0.0)
+        for eid, x in seq[1:]:
+            prev = lvl + trd
+            new_lvl = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * prev
+            trd = _HOLT_BETA * (new_lvl - lvl) + (1 - _HOLT_BETA) * trd
+            lvl = new_lvl
+            assert got[(uid, eid)] == pytest.approx(
+                (round(lvl, 6), round(trd, 6)), abs=1e-9)
+            checked += 1
+    assert checked > 0
