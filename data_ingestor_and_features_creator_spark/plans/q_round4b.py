@@ -469,3 +469,105 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
               .applyInPandas(_holt_kernel,
                              "user_id long, event_id long, "
                              "level double, trend double"))
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user (running-peak shortfall)
+# ---------------------------------------------------------------------------
+
+@query("win_drawdown", oracle=f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cum
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+d AS (
+  SELECT user_id, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c)
+SELECT user_id,
+       {r6_sql('MAX(peak - cum)')} AS max_drawdown,
+       {r6_sql('MAX(cum)')} AS final_peak
+FROM d GROUP BY user_id
+""")
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per user over the cumulative value series —
+    the risk metric every portfolio/engagement dashboard carries:
+    largest peak-to-trough drop of the running total. Two stacked
+    windows sharing ONE (user, time) sort — cumulative sum, then
+    running max of it — and a grouped max of the shortfall; Spark
+    plans a single Exchange + Sort for both frames. The cumsum runs
+    through DECIMAL (order-fixed by the total ORDER, but decimal makes
+    the prefix sums bit-identical cross-engine); peak − cum is then a
+    deterministic double difference. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    wrun = (W.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (F.sum(F.col("value").cast("decimal(38,12)")).over(wrun)
+            .cast("double"))
+    d = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .withColumn("cum", cum)
+           .withColumn("peak", F.max("cum").over(wrun)))
+    return (d.groupBy("user_id")
+             .agg(r6(F.max(F.col("peak") - F.col("cum")))
+                  .alias("max_drawdown"),
+                  r6(F.max("cum")).alias("final_peak")))
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness check, libm-free)
+# ---------------------------------------------------------------------------
+
+@query("agg_runs_test", oracle="""
+WITH m AS (
+  SELECT user_id % 8 AS cohort, ts, event_id, value,
+         quantile_cont(value, 0.5) OVER (PARTITION BY user_id % 8)
+           AS med
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (
+  SELECT cohort, ts, event_id,
+         CASE WHEN value > med THEN 1 ELSE 0 END AS side
+  FROM m WHERE value <> med),
+r AS (
+  SELECT cohort, side,
+         CASE WHEN LAG(side) OVER (PARTITION BY cohort
+                ORDER BY ts, event_id) IS DISTINCT FROM side
+              THEN 1 ELSE 0 END AS new_run
+  FROM s)
+SELECT cohort,
+       CAST(SUM(new_run) AS BIGINT) AS n_runs,
+       CAST(SUM(side) AS BIGINT) AS n_above,
+       CAST(SUM(1 - side) AS BIGINT) AS n_below
+FROM r GROUP BY cohort
+""")
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST inputs per cohort — the randomness
+    check a feature pipeline runs to catch accidentally SORTED or
+    batched data before training (sorted inputs wreck SGD and
+    time-split validity): dichotomize each value against its cohort
+    median, count the runs of consecutive same-side values. The op
+    emits (n_runs, n_above, n_below) — the exact integer triple the
+    z-statistic is a closed form of (kept integer; the z needs only
+    sqrt but the INTEGER triple is the stronger oracle). Median-equal
+    values are excluded per the classical test. One median window +
+    one lag window + one grouped sum; shuffles on cohort only."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .withColumn("cohort", F.col("user_id") % 8)
+           .withColumn("med", F.expr("percentile(value, 0.5)").over(
+               W.partitionBy("cohort"))))
+    s = (m.filter(F.col("value") != F.col("med"))
+          .withColumn("side", F.when(F.col("value") > F.col("med"), 1)
+                               .otherwise(0)))
+    lagged = F.lag("side").over(
+        W.partitionBy("cohort").orderBy("ts", "event_id"))
+    r = s.withColumn(
+        "new_run",
+        F.when(~lagged.eqNullSafe(F.col("side")), 1).otherwise(0))
+    return (r.groupBy("cohort")
+             .agg(F.sum("new_run").alias("n_runs"),
+                  F.sum("side").alias("n_above"),
+                  F.sum(1 - F.col("side")).alias("n_below")))
