@@ -32,6 +32,9 @@ def main() -> int:
     qs = plans.queries()
     ids = sorted((n for n in qs if n.startswith("sql_tpch_q")),
                  key=lambda n: int(n.rsplit("q", 1)[1]))
+    # One untimed warmup so the first measured query isn't charged the
+    # session's codegen/scan cold-start (~5-7 s, observed on q1).
+    qs[ids[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for _ in range(repeats):
         for name in ids:
