@@ -571,3 +571,223 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum("new_run").alias("n_runs"),
                   F.sum("side").alias("n_above"),
                   F.sum(1 - F.col("side")).alias("n_below")))
+
+
+# ---------------------------------------------------------------------------
+# One-pass covariance matrix over derived features
+# ---------------------------------------------------------------------------
+
+@query("agg_covariance_matrix", oracle=f"""
+WITH f AS (
+  SELECT event_type, value AS x1,
+         CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS x2,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS DOUBLE) AS x3
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('x1')} AS s1, {dsum_sql('x2')} AS s2,
+         {dsum_sql('x3')} AS s3,
+         {dsum_sql('x1*x1')} AS s11, {dsum_sql('x1*x2')} AS s12,
+         {dsum_sql('x1*x3')} AS s13, {dsum_sql('x2*x2')} AS s22,
+         {dsum_sql('x2*x3')} AS s23, {dsum_sql('x3*x3')} AS s33
+  FROM f GROUP BY event_type)
+SELECT event_type, i, j,
+       {r6_sql('(sij - si * sj / n) / (n - 1)')} AS cov
+FROM (
+  SELECT event_type, n, 1 AS i, 1 AS j, s11 AS sij, s1 AS si, s1 AS sj FROM s
+  UNION ALL SELECT event_type, n, 1, 2, s12, s1, s2 FROM s
+  UNION ALL SELECT event_type, n, 1, 3, s13, s1, s3 FROM s
+  UNION ALL SELECT event_type, n, 2, 2, s22, s2, s2 FROM s
+  UNION ALL SELECT event_type, n, 2, 3, s23, s2, s3 FROM s
+  UNION ALL SELECT event_type, n, 3, 3, s33, s3, s3 FROM s) t
+""")
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS COVARIANCE MATRIX per event_type over three derived
+    features (value, hour-of-day, day-of-week) — the multivariate
+    sibling of agg_corr_covar and the input to any whitening/Mahalanobis
+    step. All k(k+1)/2 = 6 upper-triangle entries come from ONE
+    aggregate pass (Σxᵢ, Σxᵢxⱼ through DECIMAL), then the covariance
+    identity assembles each entry with scalar arithmetic — never k²
+    passes, never a self-join. The triangle unpivots via a stack()
+    Expand (same node as unpivot_melt) so the output is the tidy
+    (type, i, j, cov) long form. Day-of-week via days-since-epoch % 7
+    (dayofweek() numbering differs cross-engine — house rule from
+    agg_chi2_independence)."""
+    ev = load_table(spark, sf_dir, "events")
+    x1 = F.col("value")
+    x2 = F.hour("ts").cast("double")
+    x3 = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) % 7
+          ).cast("double")
+    f = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select("event_type", x1.alias("x1"), x2.alias("x2"),
+                   x3.alias("x3")))
+    s = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x1").alias("s1"), dsum("x2").alias("s2"),
+        dsum("x3").alias("s3"),
+        dsum(F.col("x1") * F.col("x1")).alias("s11"),
+        dsum(F.col("x1") * F.col("x2")).alias("s12"),
+        dsum(F.col("x1") * F.col("x3")).alias("s13"),
+        dsum(F.col("x2") * F.col("x2")).alias("s22"),
+        dsum(F.col("x2") * F.col("x3")).alias("s23"),
+        dsum(F.col("x3") * F.col("x3")).alias("s33"))
+    tri = s.select(
+        "event_type", "n",
+        F.expr("stack(6, 1, 1, s11, s1, s1,"
+               "         1, 2, s12, s1, s2,"
+               "         1, 3, s13, s1, s3,"
+               "         2, 2, s22, s2, s2,"
+               "         2, 3, s23, s2, s3,"
+               "         3, 3, s33, s3, s3) AS (i, j, sij, si, sj)"))
+    cov = (F.col("sij") - F.col("si") * F.col("sj") / F.col("n")) \
+        / (F.col("n") - 1)
+    return tri.select("event_type", "i", "j", r6(cov).alias("cov"))
+
+
+# ---------------------------------------------------------------------------
+# Multivariate OLS (2 regressors, closed-form normal equations)
+# ---------------------------------------------------------------------------
+
+@query("agg_ols_multivariate", oracle=f"""
+WITH f AS (
+  SELECT event_type, value AS y,
+         CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS a,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS DOUBLE) AS b
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('a')} AS sa, {dsum_sql('b')} AS sb,
+         {dsum_sql('y')} AS sy,
+         {dsum_sql('a*a')} AS saa, {dsum_sql('a*b')} AS sab,
+         {dsum_sql('b*b')} AS sbb, {dsum_sql('a*y')} AS say,
+         {dsum_sql('b*y')} AS sby
+  FROM f GROUP BY event_type),
+c AS (
+  SELECT event_type, n,
+         saa - sa * sa / n AS caa, sab - sa * sb / n AS cab,
+         sbb - sb * sb / n AS cbb, say - sa * sy / n AS cay,
+         sby - sb * sy / n AS cby, sa, sb, sy
+  FROM s)
+SELECT event_type, n,
+       {r6_sql('(cay * cbb - cby * cab) / (caa * cbb - cab * cab)')}
+         AS beta_hour,
+       {r6_sql('(cby * caa - cay * cab) / (caa * cbb - cab * cab)')}
+         AS beta_dow,
+       {r6_sql('sy / n'
+               ' - ((cay * cbb - cby * cab) / (caa * cbb - cab * cab))'
+               '   * (sa / n)'
+               ' - ((cby * caa - cay * cab) / (caa * cbb - cab * cab))'
+               '   * (sb / n)')} AS intercept
+FROM c
+""")
+def agg_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-REGRESSOR OLS per event_type (value ~ hour + day-of-week)
+    via the closed-form 2×2 normal equations — multiple regression as
+    ONE aggregate pass: nine decimal-exact sums, then Cramer's rule on
+    the centered cross-moments. The single-regressor version is
+    agg_regression_trend; two regressors is where the 'fit a model per
+    group without leaving SQL' pattern starts paying (seasonality
+    controls in every metrics pipeline). All arithmetic after the sums
+    is scalar IEEE (+,-,*,/) on bit-identical inputs → r6 is safe.
+    One shuffle on the 5-row type key."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.hour("ts").cast("double")
+    b = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) % 7
+         ).cast("double")
+    f = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select("event_type", F.col("value").alias("y"),
+                   a.alias("a"), b.alias("b")))
+    s = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("a").alias("sa"), dsum("b").alias("sb"),
+        dsum("y").alias("sy"),
+        dsum(F.col("a") * F.col("a")).alias("saa"),
+        dsum(F.col("a") * F.col("b")).alias("sab"),
+        dsum(F.col("b") * F.col("b")).alias("sbb"),
+        dsum(F.col("a") * F.col("y")).alias("say"),
+        dsum(F.col("b") * F.col("y")).alias("sby"))
+    n = F.col("n")
+    caa = F.col("saa") - F.col("sa") * F.col("sa") / n
+    cab = F.col("sab") - F.col("sa") * F.col("sb") / n
+    cbb = F.col("sbb") - F.col("sb") * F.col("sb") / n
+    cay = F.col("say") - F.col("sa") * F.col("sy") / n
+    cby = F.col("sby") - F.col("sb") * F.col("sy") / n
+    det = caa * cbb - cab * cab
+    bh = (cay * cbb - cby * cab) / det
+    bd = (cby * caa - cay * cab) / det
+    icept = F.col("sy") / n - bh * (F.col("sa") / n) - bd * (F.col("sb") / n)
+    return s.select("event_type", "n", r6(bh).alias("beta_hour"),
+                    r6(bd).alias("beta_dow"), r6(icept).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# PCA top component: distributed gramian + driver-side power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 100
+
+
+def _gramian_partials(it):
+    """Per-partition partial (Σxxᵀ, Σx, n) as ONE d²+d+1-column row —
+    the map-side combine that makes the gramian's shuffle volume
+    O(partitions·d²) instead of O(rows·d²)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        g = x.T @ x
+        yield pd.DataFrame({
+            "g": [g.ravel().tolist()],
+            "s": [x.sum(axis=0).tolist()],
+            "n": [int(len(x))],
+        })
+
+
+@query("vec_pca_power_iteration")  # rows-only: iterative, no SQL twin
+def vec_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA TOP COMPONENT of the embedding corpus — the whitening/
+    dimensionality step before clustering or ANN: (1) DISTRIBUTED
+    gramian — every partition emits one partial (Σxxᵀ, Σx, n) row via
+    an Arrow kernel (numpy outer-product accumulate; shuffle volume is
+    partitions·d², never rows·d² — the d=64 explode alternative would
+    fan 4096× per row), partials combined by a d²-group sum; (2) the
+    d×d covariance is assembled DRIVER-SIDE (it is sketch-sized — 32
+    KB — the same legitimate driver reduction as sim_ivf_ann's KMeans
+    centroids) and power-iterated a fixed {it} rounds from the
+    deterministic all-ones start, sign-canonicalized on the largest
+    component; (3) the loadings return as a 64-row DataFrame. Verified
+    against numpy.linalg.eigh in tests; rows-only for the driver
+    (fixed-point iteration has no SQL twin).""".format(it=_PCA_ITERS)
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = (emb.select("embedding")
+                .mapInPandas(_gramian_partials,
+                             "g array<double>, s array<double>, n long")
+                .collect())
+    d = 64
+    g = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for r in parts:
+        g += np.array(r["g"]).reshape(d, d)
+        s += np.array(r["s"])
+        n += r["n"]
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(_PCA_ITERS):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    lam = float(v @ cov @ v)
+    total_var = float(np.trace(cov))
+    rows = [(i, round(float(v[i]), 6), round(lam, 6),
+             round(lam / total_var, 6)) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "component long, loading double, eigenvalue double, "
+              "explained_ratio double")

@@ -506,3 +506,23 @@ def test_holt_linear_matches_driver_recursion(spark, sf_dir):
                 (round(lvl, 6), round(trd, 6)), abs=1e-9)
             checked += 1
     assert checked > 0
+
+
+def test_pca_top_component_matches_eigh(spark, sf_dir):
+    """Power iteration must align with numpy's exact top eigenvector
+    (|cos| > 0.999) and reproduce its eigenvalue."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        vec_pca_power_iteration)
+    rows = vec_pca_power_iteration(spark, sf_dir).collect()
+    v = np.array([r["loading"] for r in
+                  sorted(rows, key=lambda r: r["component"])])
+    lam = rows[0]["eigenvalue"]
+    x = np.stack([np.array(r["embedding"], dtype="float64") for r in
+                  load_table(spark, sf_dir, "embeddings")
+                  .select("embedding").collect()])
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(v @ top) / np.linalg.norm(v)) > 0.999
+    assert lam == pytest.approx(w[-1], rel=1e-4)
