@@ -791,3 +791,61 @@ def vec_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component long, loading double, eigenvalue double, "
               "explained_ratio double")
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate against an induced top-k vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 50
+
+
+@query("text_oov_rate", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, u.t AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE u.t <> ''),
+df_ AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        GROUP BY term),
+vocab AS (SELECT term FROM df_
+          ORDER BY tf DESC, term LIMIT {_OOV_VOCAB_K}),
+j AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+FROM j
+""")
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY RATE per document against a corpus-induced
+    top-{k} term vocabulary — the coverage check run before committing
+    a tokenizer/vocab: docs with high OOV either need the vocab grown
+    or are noise. Tokenize ONCE (cached diamond top: the token table
+    feeds both the vocab induction and the per-doc join), induce the
+    vocab by (tf DESC, term) — a total order so the cut is
+    deterministic — broadcast it (vocab is k rows at any corpus
+    size), LEFT join + null-count, integer-PPM rate. The corpus
+    never shuffles for the vocab membership test — only for its own
+    term count.""".format(k=_OOV_VOCAB_K)
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .cache())
+    vocab = (tok.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .orderBy(F.desc("tf"), "term")
+                .limit(_OOV_VOCAB_K)
+                .select("term", F.lit(1).alias("in_vocab")))
+    j = (tok.join(F.broadcast(vocab), "term", "left_outer")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                        .otherwise(0)).alias("n_oov")))
+    return j.select("doc_id", "n_tokens", "n_oov",
+                    F.expr("BIGINT(n_oov * 1000000 div n_tokens)")
+                     .alias("oov_ppm"))
