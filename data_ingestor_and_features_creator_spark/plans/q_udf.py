@@ -109,3 +109,41 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(F.date_trunc("month", F.col("o_orderdate")),
                      F.col("installment")).cast("date").alias("due_month"),
     )
+
+
+def _arrow_minmax_scale(it):
+    """Raw-Arrow kernel: min-max scale value per RecordBatch using
+    pyarrow.compute only — no pandas materialization at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        v = batch.column("value")
+        scaled = pc.round(
+            pc.divide(pc.subtract(v, pa.scalar(0.0)),
+                      pa.scalar(100.0)), 6)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("event_id"), scaled],
+            names=["event_id", "value_scaled"])
+
+
+@query("udf_map_in_arrow", oracle="""
+SELECT event_id, ROUND(value / 100.0, 6) AS value_scaled
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+""")
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the RAW Arrow RecordBatch API, completing the
+    §2.12 Python surface (scalar pandas_udf / applyInPandas /
+    grouped-agg / @udtf / mapInPandas are all registered elsewhere):
+    the kernel receives pyarrow RecordBatches and answers with
+    pyarrow.compute calls only — zero pandas conversion, the lowest-
+    overhead Python path Spark offers (what you use when the Python
+    step is memory-bound: no per-column Series materialization).
+    The fixed /100 scale is deliberately expression-simple so the
+    DuckDB twin pins the numeric semantics of the Arrow path
+    (divide + round on float64 is IEEE-exact cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+              .select("event_id", "value")
+              .mapInArrow(_arrow_minmax_scale,
+                          "event_id long, value_scaled double"))
