@@ -849,3 +849,102 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_id", "n_tokens", "n_oov",
                     F.expr("BIGINT(n_oov * 1000000 div n_tokens)")
                      .alias("oov_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAPE per event type)
+# ---------------------------------------------------------------------------
+
+@query("win_forecast_snaive_backtest", oracle=f"""
+WITH g AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         {dsum_sql('value')} / COUNT(*) AS y
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type, date_trunc('hour', ts)),
+f AS (
+  SELECT event_type, h, y,
+         LAG(y, 24) OVER (PARTITION BY event_type ORDER BY h) AS yhat
+  FROM g)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       {r6_sql(dsum_sql('ABS(y - yhat) / ABS(y)') + ' / COUNT(*)')}
+         AS mape
+FROM f WHERE yhat IS NOT NULL AND y <> 0.0
+GROUP BY event_type
+""")
+def win_forecast_snaive_backtest(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST BACKTEST per event type: bucket the
+    stream to an hourly series (mean value), forecast each hour with
+    the value 24 hours earlier (the no-model baseline every real
+    forecaster must beat), score with MAPE. This is the backtest
+    harness shape — grid → lag-k forecast → masked error mean — with
+    the forecast horizon as ONE window lag, so swapping in any other
+    lag/combination forecast keeps the plan. The per-hour mean and
+    the APE mean both run through decimal sums; APE itself is a
+    deterministic |diff|/|y| of bit-identical doubles. Shuffles: one
+    on (type, hour) for the grid, one on type for the score."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .groupBy("event_type",
+                    F.date_trunc("hour", "ts").alias("h"))
+           .agg((dsum("value") / F.count(F.lit(1))).alias("y")))
+    w = W.partitionBy("event_type").orderBy("h")
+    f = g.withColumn("yhat", F.lag("y", 24).over(w))
+    ape = F.abs(F.col("y") - F.col("yhat")) / F.abs(F.col("y"))
+    return (f.filter(F.col("yhat").isNotNull() & (F.col("y") != 0.0))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_scored"),
+                  r6(dsum(ape) / F.count(F.lit(1))).alias("mape")))
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew pre-flight audit
+# ---------------------------------------------------------------------------
+
+@query("audit_join_key_skew", oracle="""
+WITH kc AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey),
+st AS (
+  SELECT CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS median_cnt,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM kc),
+top AS (
+  SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rk
+  FROM kc)
+SELECT t.rk, t.k AS hot_key, t.cnt, s.max_cnt, s.median_cnt,
+       s.n_keys, s.n_rows
+FROM top t, st s WHERE t.rk <= 5
+""")
+def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PRE-FLIGHT AUDIT: before shuffling 100 TB on a
+    key, measure its distribution — the top-5 hottest keys plus
+    (max, median, #keys, #rows) — the numbers that decide between a
+    plain shuffle join, AQE skew split, salting (join_salted_skew),
+    or a broadcast. 'Measure, don't guess' as an operator: one
+    groupBy on the candidate key (the same shuffle the join would do,
+    but emitting counts not payloads — ~key-cardinality output), a
+    1-row stats aggregate broadcast back, and the top-5 via
+    TakeOrderedAndProject (orderBy+limit — distributed partial top-k
+    per partition, never a full single-partition sort of the key
+    table; the rank window then runs over 5 rows). Median via
+    quantile_disc/percentile on the COUNT table (tiny), never the
+    raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    kc = (o.groupBy(F.col("o_custkey").alias("k"))
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .cache())
+    st = kc.agg(F.max("cnt").alias("max_cnt"),
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+                 .cast("long").alias("median_cnt"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cnt").alias("n_rows"))
+    top5 = kc.orderBy(F.desc("cnt"), "k").limit(5)
+    top = top5.withColumn("rk", F.row_number().over(
+        W.orderBy(F.desc("cnt"), "k")))
+    return (top.crossJoin(F.broadcast(st))
+               .select("rk", F.col("k").alias("hot_key"), "cnt",
+                       "max_cnt", "median_cnt", "n_keys", "n_rows"))
