@@ -586,3 +586,40 @@ def test_stats_batch_stays_in_codegen(spark, sf_dir):
                  "agg_ks_2sample", "agg_benford_digits",
                  "agg_pareto_head", "text_prefix_dup"):
         assert "EvalPython" not in _physical(QUERIES[name](spark, sf_dir)), name
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join handling must actually fire: join a heavily
+    skewed fact (99% of rows on one key) against a spread table with
+    thresholds lowered to fixture scale, then check the FINAL adaptive
+    plan for the skew=true marker on the shuffle read. This is the
+    runtime half of the skew story (join_salted_skew is the static
+    half): at 100 TB AQE re-plans the straggler partition into
+    splits without any code change."""
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.adaptive."
+                 "skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        from pyspark.sql import functions as F
+        skewed = (spark.range(0, 200_000)
+                  .select(F.when(F.col("id") % 100 < 99, F.lit(7))
+                           .otherwise(F.col("id")).alias("k"),
+                          F.col("id").alias("payload")))
+        other = spark.range(0, 5000).select(
+            (F.col("id") % 2000).alias("k"), F.col("id").alias("r"))
+        j = skewed.join(other, "k").groupBy().count()
+        j.collect()  # executes THIS queryExecution → final adaptive plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -184,3 +184,46 @@ def test_tws_map_state_distinct_equals_batch(spark, sf_dir):
                         .agg(F.countDistinct("event_type").alias("n"))
                         .collect()}
     assert final == batch
+
+
+def test_checkpoint_resume_no_reprocessing(spark, sf_dir):
+    """EXACTLY-ONCE RESUME: drain a file stream with a checkpoint,
+    append NEW files, restart the SAME query against the SAME
+    checkpoint — the second run must emit only the new files' rows
+    (the committed offsets survive the restart), and a fresh
+    checkpoint over the full feed must see everything. This is the
+    recovery contract a 100 TB deployment leans on after every
+    executor/driver loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.scratch import scratch_dir
+
+    base = scratch_dir("ckpt_resume")
+    feed = os.path.join(base, "feed")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "value"))
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(feed)
+
+    def drain():
+        q = (spark.readStream.schema(ev.schema).parquet(feed)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+    second.coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()  # no duplicates from re-run
+    assert (out.select(F.sum("event_id")).first()[0]
+            == ev.select(F.sum("event_id")).first()[0])
