@@ -948,3 +948,45 @@ def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (top.crossJoin(F.broadcast(st))
                .select("rk", F.col("k").alias("hot_key"), "cnt",
                        "max_cnt", "median_cnt", "n_keys", "n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Timezone-aware day bucketing (UTC vs local-civil-day divergence)
+# ---------------------------------------------------------------------------
+
+_TZ = "America/New_York"
+
+
+@query("date_tz_bucket", oracle=f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS utc_day,
+       CAST(CAST(timezone('{_TZ}', timezone('UTC', ts)) AS DATE) AS VARCHAR) AS local_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE)
+                      <> CAST(timezone('{_TZ}', timezone('UTC', ts)) AS DATE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted
+FROM events
+GROUP BY 1, 2
+""")
+def date_tz_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMEZONE-AWARE DAY BUCKETING: the same instants bucketed by UTC
+    calendar day AND by {tz} civil day, with the count of events whose
+    day label DIFFERS — the late-evening rows every UTC-bucketed
+    dashboard silently misfiles (and the DST boundary moves twice a
+    year). Spark: `convert_timezone` (session tz is pinned UTC by
+    session.py, so naive ts ≡ UTC instant); DuckDB: the double
+    conversion `timezone(tz, timezone('UTC', ts))` — naive-as-UTC →
+    instant → tz-local — which is session-TimeZone independent
+    (single-argument timezone() goes the OTHER direction). Both resolve through the IANA tzdata — the oracle proves
+    the two engines' tz databases agree on every fixture instant,
+    which is exactly the review question this op exists to answer.
+    One scan, one grouped agg; the tz conversion is a pure per-row
+    expression (no shuffle implications at any scale).""".format(tz=_TZ)
+    ev = load_table(spark, sf_dir, "events")
+    local = F.convert_timezone(F.lit("UTC"), F.lit(_TZ), F.col("ts"))
+    utc_day = F.col("ts").cast("date")
+    local_day = local.cast("date")
+    return (ev.groupBy(utc_day.cast("string").alias("utc_day"),
+                       local_day.cast("string").alias("local_day"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.when(utc_day != local_day, 1).otherwise(0))
+                    .alias("n_shifted")))
