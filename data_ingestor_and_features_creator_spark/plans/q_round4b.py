@@ -990,3 +990,84 @@ def date_tz_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum(F.when(utc_day != local_day, 1).otherwise(0))
                     .alias("n_shifted")))
+
+
+# ---------------------------------------------------------------------------
+# JSONL source with corrupt-record tolerance (PERMISSIVE mode)
+# ---------------------------------------------------------------------------
+
+_EVENTS_JSONL = _os.path.join(_DERIVED, "events_sample.jsonl")
+
+
+@query("scan_jsonl_corrupt", oracle=f"""
+WITH raw AS (
+  SELECT * FROM read_json('{_EVENTS_JSONL}',
+    format='newline_delimited', ignore_errors=true,
+    columns={{'event_id': 'BIGINT', 'user_id': 'BIGINT',
+              'event_type': 'VARCHAR', 'value': 'DOUBLE'}})),
+parsed AS (SELECT * FROM raw WHERE event_type IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       CAST((SELECT COUNT(*) FROM raw)
+            - (SELECT COUNT(*) FROM parsed) AS BIGINT) AS n_corrupt
+FROM parsed GROUP BY event_type
+""")
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL SOURCE WITH CORRUPT-RECORD TOLERANCE: real feeds carry
+    malformed lines, and the production posture is PERMISSIVE — parse
+    what parses, ROUTE the rest to `_corrupt_record`, and ACCOUNT for
+    it (silently dropping is how pipelines lose data without noticing;
+    DROPMALFORMED is exactly that). The committed fixture plants 4
+    corrupt lines in 200; the op emits per-type counts of good rows
+    plus the corrupt total carried on every row — the oracle twin
+    derives the same count from DuckDB's ignore_errors behavior
+    (NULL-filled salvage rows — no corrupt-record column there, which
+    is the point: the number is engine-independent). At scale the JSON parse is per-line
+    splittable like any text source."""
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, _corrupt_record string")
+    raw = (spark.read.schema(schema)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .json(_EVENTS_JSONL)
+                .cache())
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()) \
+             .agg(F.count(F.lit(1)).alias("n_corrupt"))
+    ok = (raw.filter(F.col("_corrupt_record").isNull())
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_ok")))
+    return (ok.crossJoin(F.broadcast(bad))
+              .select("event_type", "n_ok", "n_corrupt"))
+
+
+# ---------------------------------------------------------------------------
+# Boolean aggregate family (every / any / count_if)
+# ---------------------------------------------------------------------------
+
+@query("agg_boolean_funcs", oracle="""
+SELECT event_type,
+       COALESCE(bool_and(value > 10.0), false) AS all_over_10,
+       COALESCE(bool_or(value > 400.0), false) AS any_over_400,
+       CAST(count_if(value > 100.0) AS BIGINT) AS n_over_100,
+       CAST(count_if(value IS NULL OR isnan(value)) AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+""")
+def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN AGGREGATE family — every/bool_and, any/bool_or,
+    count_if — completing §2.4 next to the numeric aggregates: the
+    assertion-style rollups data-quality checks are written in
+    ("every reading positive?", "any outlier?", "how many missing?").
+    NULL semantics pinned: bool_and/bool_or over an all-NULL group
+    yields NULL on both engines → COALESCE false (registry house rule
+    for nullable booleans); NaN counts as missing explicitly since
+    NaN > x is false, not NULL, in both engines. Single hash
+    aggregate, map-side partials, JVM-only."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return (ev.groupBy("event_type")
+              .agg(F.coalesce(F.every(v > 10.0), F.lit(False))
+                    .alias("all_over_10"),
+                   F.coalesce(F.some(v > 400.0), F.lit(False))
+                    .alias("any_over_400"),
+                   F.count_if(v > 100.0).alias("n_over_100"),
+                   F.count_if(v.isNull() | F.isnan(v)).alias("n_missing")))
