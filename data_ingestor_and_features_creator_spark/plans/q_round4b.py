@@ -1071,3 +1071,134 @@ def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("any_over_400"),
                    F.count_if(v > 100.0).alias("n_over_100"),
                    F.count_if(v.isNull() | F.isnan(v)).alias("n_missing")))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-family size histogram (how duplicated is the corpus?)
+# ---------------------------------------------------------------------------
+
+@query("dedup_family_size_histogram", oracle="""
+WITH fam AS (
+  SELECT md5(text) AS k, CAST(COUNT(*) AS BIGINT) AS family_size
+  FROM documents GROUP BY md5(text))
+SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(family_size * COUNT(*) AS BIGINT) AS n_docs
+FROM fam GROUP BY family_size
+""")
+def dedup_family_size_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """DUPLICATE-FAMILY SIZE HISTOGRAM — the corpus-duplication
+    profile read BEFORE choosing a dedup strategy: a corpus whose
+    histogram is all 1s needs no dedup pass; a heavy tail says
+    keep-policy choice matters. Two-level aggregate (digest → family
+    size → histogram of sizes), the same histogram-of-a-histogram
+    shape as TPC-H Q13; the first shuffle is digest-keyed (uniform),
+    the second is size-keyed (tiny domain). n_docs = size×families
+    cross-checks against the corpus row count by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = (d.groupBy(F.md5("text").alias("k"))
+             .agg(F.count(F.lit(1)).alias("family_size")))
+    return (fam.groupBy("family_size")
+               .agg(F.count(F.lit(1)).alias("n_families"))
+               .select("family_size", "n_families",
+                       (F.col("family_size") * F.col("n_families"))
+                       .alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# One-row corpus quality scorecard
+# ---------------------------------------------------------------------------
+
+@query("data_quality_scorecard", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {dsum_sql('CAST(n_chars AS DOUBLE)')} AS total_chars,
+       CAST(count_if(n_chars < 100) AS BIGINT) AS n_short,
+       CAST(count_if(length(text) <> n_chars) AS BIGINT)
+         AS n_len_mismatch,
+       CAST(count_if(text LIKE '% % % %') AS BIGINT) AS n_multiword
+FROM documents
+""")
+def data_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW CORPUS SCORECARD — the first query run on any new data
+    drop: row/source/language counts, length extremes and total, the
+    short-doc count, an INTERNAL-CONSISTENCY check (does the recorded
+    n_chars match length(text)? — metadata drift is how stale
+    re-crawls sneak in), and a structural sanity count. ONE aggregate
+    pass, map-side partials for everything except the two exact
+    distincts (which Spark expands to partial-distinct aggregates —
+    still one logical pass, no window, no join). The profile_table op
+    is the per-column generalization; this is the per-corpus gate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        dsum(F.col("n_chars").cast("double")).alias("total_chars"),
+        F.count_if(F.col("n_chars") < 100).alias("n_short"),
+        F.count_if(F.length("text") != F.col("n_chars"))
+         .alias("n_len_mismatch"),
+        F.count_if(F.col("text").like("% % % %")).alias("n_multiword"))
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift (market-basket affinity, log-free)
+# ---------------------------------------------------------------------------
+
+@query("agg_cooccurrence_lift", oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events),
+tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+       FROM ut GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT type_a, type_b, n_ab,
+       CAST(n_ab * n_users * 1000000
+            // (ta.n_t * tb.n_t) AS BIGINT) AS lift_ppm
+FROM pair
+JOIN tc ta ON ta.event_type = type_a
+JOIN tc tb ON tb.event_type = type_b
+CROSS JOIN n
+""")
+def agg_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TYPE CO-OCCURRENCE LIFT (market-basket affinity): for
+    each type pair, lift = P(a∧b) / (P(a)·P(b)) over users — >1 means
+    the behaviors attract, <1 they repel. The pair join is per-user
+    over the DISTINCT (user, type) table, so fan-out is bounded by
+    the TYPE-DOMAIN squared per user (≤ k²/2, never events²) — the
+    reduce-before-self-join rule that makes basket analysis feasible
+    at 100 TB. Lift emitted in integer PPM (n_ab·N·10⁶ ÷ (n_a·n_b) —
+    integer division ≡ on both engines), so no float ratio to drift;
+    marginals and N broadcast back onto the pair table."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().cache()
+    n = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("u2"),
+                  F.col("event_type").alias("type_b"))
+    pair = (a.join(b, (F.col("u") == F.col("u2"))
+                   & (F.col("type_a") < F.col("type_b")))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    ta = tc.select(F.col("event_type").alias("type_a"),
+                   F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("type_b"),
+                   F.col("n_t").alias("nb"))
+    return (pair.join(F.broadcast(ta), "type_a")
+                .join(F.broadcast(tb), "type_b")
+                .crossJoin(F.broadcast(n))
+                .select("type_a", "type_b", "n_ab",
+                        F.expr("BIGINT(n_ab * n_users * 1000000"
+                               " div (na * nb))").alias("lift_ppm")))
