@@ -526,3 +526,45 @@ def test_pca_top_component_matches_eigh(spark, sf_dir):
     top = vecs[:, -1]
     assert abs(float(v @ top) / np.linalg.norm(v)) > 0.999
     assert lam == pytest.approx(w[-1], rel=1e-4)
+
+
+def test_family_histogram_accounts_for_every_doc(spark, sf_dir):
+    """Σ family_size·n_families must equal the corpus row count —
+    the histogram partitions the corpus."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        dedup_family_size_histogram)
+    rows = dedup_family_size_histogram(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_scorecard_internal_consistency(spark, sf_dir):
+    """The fixture's n_chars metadata must match length(text) (drift
+    count 0), and totals must be coherent."""
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        data_quality_scorecard)
+    r = data_quality_scorecard(spark, sf_dir).first()
+    assert r["n_len_mismatch"] == 0
+    assert r["min_chars"] <= r["max_chars"]
+    assert r["total_chars"] >= r["n_docs"] * r["min_chars"]
+
+
+def test_cooccurrence_lift_matches_driver_computation(spark, sf_dir):
+    """Lift PPM recomputed driver-side from raw distinct sets."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_cooccurrence_lift)
+    rows = (load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type").distinct().collect())
+    users_by_type = {}
+    all_users = set()
+    for r in rows:
+        users_by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+        all_users.add(r["user_id"])
+    n = len(all_users)
+    for r in agg_cooccurrence_lift(spark, sf_dir).collect():
+        a, b = users_by_type[r["type_a"]], users_by_type[r["type_b"]]
+        n_ab = len(a & b)
+        assert r["n_ab"] == n_ab
+        assert r["lift_ppm"] == n_ab * n * 1_000_000 // (len(a) * len(b))
