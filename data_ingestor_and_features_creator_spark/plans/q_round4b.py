@@ -1202,3 +1202,84 @@ def agg_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("type_a", "type_b", "n_ab",
                         F.expr("BIGINT(n_ab * n_users * 1000000"
                                " div (na * nb))").alias("lift_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# SQL DML surface: CREATE TABLE / INSERT INTO / INSERT OVERWRITE
+# ---------------------------------------------------------------------------
+
+from .registry import scratch_dir as _scratch_dir
+
+
+@query("sql_insert_dml", oracle=f"""
+WITH base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('value')} AS total
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type),
+extra AS (
+  SELECT 'synthetic' AS event_type, CAST(1 AS BIGINT) AS n,
+         CAST(42.5 AS DOUBLE) AS total)
+SELECT * FROM base UNION ALL SELECT * FROM extra
+""")
+def sql_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML ROUND TRIP — CREATE TABLE (parquet, external location)
+    → INSERT INTO … SELECT (the aggregate) → a second INSERT INTO
+    (literal VALUES row) → read back: the statement surface an
+    engine's SQL users actually type, distinct from the DataFrame
+    writer API the sink_* ops exercise. INSERT INTO appends files
+    atomically per statement; the oracle reproduces the final table
+    state as agg UNION literal. The scratch location is session-
+    scoped (house rule from the round-3 tmp-leak fix); the table is
+    DROPped and re-CREATEd per invocation so reruns are idempotent."""
+    loc = _scratch_dir("sql_dml_tbl")
+    spark.sql("DROP TABLE IF EXISTS dml_event_stats")
+    spark.sql(f"""
+        CREATE TABLE dml_event_stats
+        (event_type STRING, n BIGINT, total DOUBLE)
+        USING parquet LOCATION '{loc}'""")
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__dml_events")
+    spark.sql(f"""
+        INSERT INTO dml_event_stats
+        SELECT event_type, COUNT(*) AS n,
+               {{dsum}} AS total
+        FROM __dml_events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY event_type""".format(
+        dsum="CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)"))
+    spark.sql("INSERT INTO dml_event_stats "
+              "VALUES ('synthetic', 1, 42.5)")
+    return spark.table("dml_event_stats")
+
+
+# ---------------------------------------------------------------------------
+# SQL join hints (BROADCAST / MERGE) honored by the planner
+# ---------------------------------------------------------------------------
+
+@query("sql_join_hints", oracle=f"""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       {dsum_sql('c_acctbal')} AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL JOIN HINTS: the /*+ BROADCAST(dim) */ hint spelled in SQL
+    text — the tuning surface SQL users reach for when the planner's
+    statistics mis-size a side (DataFrame users call F.broadcast; both
+    land on the same ResolvedHint node). The hint is semantically
+    neutral — the oracle is the plain join — and the plan-shape test
+    asserts the hint actually produced a BroadcastHashJoin, which is
+    the point: hints must be HONORED, not parsed and dropped."""
+    load_table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("__hint_customer")
+    load_table(spark, sf_dir, "nation") \
+        .createOrReplaceTempView("__hint_nation")
+    return spark.sql("""
+        SELECT /*+ BROADCAST(n) */ n_name,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE)
+                 AS total_bal
+        FROM __hint_customer c JOIN __hint_nation n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name""")

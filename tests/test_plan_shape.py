@@ -623,3 +623,11 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_sql_broadcast_hint_is_honored(spark, sf_dir):
+    """/*+ BROADCAST */ must produce a BroadcastHashJoin, not be
+    parsed and dropped."""
+    plan = _physical(QUERIES["sql_join_hints"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
