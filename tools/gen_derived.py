@@ -67,9 +67,32 @@ def gen_sf1ish_documents() -> None:
     print("wrote", sf1)
 
 
+def gen_sf1ish_lineitem() -> None:
+    """10x lineitem blow-up (~6M rows, sf1-equivalent fact table) for
+    COLD scan-path measurement of the TPC-H aggregate queries: each
+    sf0.1 line is replicated 10x with a distinct (orderkey, linenumber)
+    so per-order structure survives. Generated, not committed."""
+    sf1 = os.path.join(OUT, "sf1ish")
+    os.makedirs(sf1, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey * 10 + r.k AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus,
+                 l_shipdate
+          FROM '/root/testdata/sf0.1/lineitem.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS k) r
+        ) TO '{sf1}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    print("wrote", sf1, "lineitem x10")
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--sf1ish" in _sys.argv:
         gen_sf1ish_documents()
+    elif "--sf1ish-lineitem" in _sys.argv:
+        gen_sf1ish_lineitem()
     else:
         main()
