@@ -1283,3 +1283,36 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __hint_customer c JOIN __hint_nation n
           ON c.c_nationkey = n.n_nationkey
         GROUP BY n_name""")
+
+
+# ---------------------------------------------------------------------------
+# SQL-standard LISTAGG (ordered string aggregation) + GROUP BY ALL
+# ---------------------------------------------------------------------------
+
+@query("agg_listagg_ordered", oracle="""
+SELECT event_type,
+       string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
+                  ORDER BY CAST(user_id % 10 AS VARCHAR)) AS cohorts,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LISTAGG WITHIN GROUP (ORDER BY …) — ordered,
+    DISTINCT string aggregation (Spark 4's listagg ≡ DuckDB's
+    string_agg ORDER BY): the report-formatting aggregate analysts
+    reach for constantly, and a determinism trap — WITHOUT the WITHIN
+    GROUP order the concatenation is partition-order-dependent and
+    can never hash-match, which is why the house rule is 'no unordered
+    listagg, ever' (agg_collect pins the same rule for array_agg).
+    Also exercises GROUP BY ALL, the Spark-4 dialect sugar. The
+    DISTINCT cohort domain is 10 strings/group — the result stays
+    row-sized however large the input."""
+    load_table(spark, sf_dir, "events") \
+        .createOrReplaceTempView("__listagg_events")
+    return spark.sql("""
+        SELECT event_type,
+               listagg(DISTINCT CAST(user_id % 10 AS STRING), ',')
+                 WITHIN GROUP (ORDER BY CAST(user_id % 10 AS STRING))
+                 AS cohorts,
+               COUNT(*) AS n
+        FROM __listagg_events GROUP BY ALL""")
