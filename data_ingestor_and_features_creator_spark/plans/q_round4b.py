@@ -1316,3 +1316,50 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS cohorts,
                COUNT(*) AS n
         FROM __listagg_events GROUP BY ALL""")
+
+
+# ---------------------------------------------------------------------------
+# SQL PIVOT / UNPIVOT dialect round trip
+# ---------------------------------------------------------------------------
+
+@query("sql_pivot_unpivot", oracle=f"""
+WITH base AS (
+  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) % 4
+           AS hour_band, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+SELECT event_type,
+       CAST(hour_band AS INTEGER) AS hour_band,
+       {dsum_sql('value')} AS total
+FROM base
+WHERE hour_band IN (0, 1, 2, 3)
+GROUP BY event_type, hour_band
+""")
+def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT → UNPIVOT ROUND TRIP — the DIALECT forms (distinct
+    from the DataFrame API ops agg_pivot / unpivot_melt): PIVOT turns
+    the hour-band dimension into 4 columns (one hash aggregate with
+    the pivot values compiled into conditional aggregates — no extra
+    shuffle vs GROUP BY), UNPIVOT folds them back to long form via an
+    Expand node. The round trip must land exactly on the plain
+    GROUP BY result — which is the oracle — proving the two dialect
+    constructs are lossless inverses (NULL cells from empty
+    combinations are dropped by UNPIVOT's default INCLUDE NULLS=off,
+    matching the GROUP BY's absent groups)."""
+    load_table(spark, sf_dir, "events") \
+        .createOrReplaceTempView("__pivot_events")
+    return spark.sql("""
+        WITH base AS (
+          SELECT event_type, CAST(hour(ts) AS INT) % 4 AS hour_band,
+                 value
+          FROM __pivot_events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        p AS (
+          SELECT * FROM base
+          PIVOT (CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                 FOR hour_band IN (0 AS h0, 1 AS h1, 2 AS h2, 3 AS h3))),
+        u AS (
+          SELECT event_type, band, total
+          FROM p UNPIVOT (total FOR band IN (h0, h1, h2, h3)))
+        SELECT event_type,
+               CAST(substring(band, 2) AS INT) AS hour_band, total
+        FROM u""")
