@@ -1363,3 +1363,40 @@ def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(substring(band, 2) AS INT) AS hour_band, total
         FROM u""")
+
+
+# ---------------------------------------------------------------------------
+# df.stat.crosstab (contingency table convenience API)
+# ---------------------------------------------------------------------------
+
+@query("stat_crosstab", oracle="""
+SELECT event_type AS event_type_lang,
+       CAST(count_if(lang_bucket = 'short') AS BIGINT) AS short,
+       CAST(count_if(lang_bucket = 'long') AS BIGINT) AS long
+FROM (
+  SELECT e.event_type,
+         CASE WHEN e.value < 50.0 THEN 'short' ELSE 'long' END
+           AS lang_bucket
+  FROM events e WHERE e.value IS NOT NULL AND NOT isnan(e.value)) t
+GROUP BY event_type
+""")
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — the DataFrameStatFunctions contingency-table
+    convenience (pairwise frequency of two categoricals as a wide
+    table). Under the hood it is groupBy(a).pivot(b).count() — one
+    hash aggregate, the column domain becoming columns — so it shares
+    agg_pivot's plan shape; the op pins the API surface and its
+    column-naming convention (first column is 'a_b'). Column domain
+    here is a 2-value bucket, so the wide result is bounded however
+    large the input. The oracle is the equivalent conditional-count
+    GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+                  .select("event_type",
+                          F.when(F.col("value") < 50.0, "short")
+                           .otherwise("long").alias("lang_bucket")))
+    ct = bucketed.stat.crosstab("event_type", "lang_bucket")
+    return ct.select(
+        F.col("event_type_lang_bucket").alias("event_type_lang"),
+        F.col("short").cast("long").alias("short"),
+        F.col("long").cast("long").alias("long"))
