@@ -1400,3 +1400,53 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type_lang_bucket").alias("event_type_lang"),
         F.col("short").cast("long").alias("short"),
         F.col("long").cast("long").alias("long"))
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (posting lists with df cap)
+# ---------------------------------------------------------------------------
+
+_IDX_MAX_DF = 390
+
+
+@query("text_inverted_index", oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, u.t AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE u.t <> ''),
+df_ AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+        GROUP BY term)
+SELECT t.term, d.df,
+       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+         AS postings
+FROM tok t JOIN df_ d USING (term)
+WHERE d.df <= {_IDX_MAX_DF}
+GROUP BY t.term, d.df
+""")
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX BUILD: term → sorted posting list of doc_ids —
+    the construction step behind BM25/boolean retrieval (text_bm25
+    consumes these statistics; this op materializes the index
+    itself). Stop-terms are dropped by a df cap BEFORE the posting
+    aggregation — at web scale the 'the'-posting-list is the classic
+    single-reducer killer, the same hot-key valve as the Jaccard
+    stop-shingle cap. Postings serialize as an ORDERED comma string
+    (listagg house rule: unordered concatenation can never
+    hash-match); real deployments keep array<long> + delta encoding,
+    same plan shape. Distinct (doc, term) first so a repeated term
+    contributes one posting. One term-keyed shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .distinct()
+            .cache())
+    dfreq = (tok.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= _IDX_MAX_DF))
+    return (tok.join(F.broadcast(dfreq), "term")
+               .groupBy("term", "df")
+               .agg(F.expr(
+                   "listagg(CAST(doc_id AS STRING), ',')"
+                   " WITHIN GROUP (ORDER BY doc_id)")
+                   .alias("postings")))
