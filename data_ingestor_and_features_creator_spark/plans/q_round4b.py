@@ -1450,3 +1450,199 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "listagg(CAST(doc_id AS STRING), ',')"
                    " WITHIN GROUP (ORDER BY doc_id)")
                    .alias("postings")))
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: set algebra over distinct counts (Spark 4.1)
+# ---------------------------------------------------------------------------
+
+@query("agg_theta_sketch_setops", oracle="""
+WITH p AS (SELECT DISTINCT date_trunc('week', ts) AS week, user_id
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT DISTINCT date_trunc('week', ts) AS week, user_id
+      FROM events WHERE event_type = 'click'),
+m AS (SELECT DISTINCT week FROM (SELECT week FROM p
+                                 UNION ALL SELECT week FROM c) u)
+SELECT m.week,
+       CAST((SELECT COUNT(*) FROM p WHERE p.week = m.week) AS BIGINT)
+         AS n_purchase,
+       CAST((SELECT COUNT(*) FROM c WHERE c.week = m.week) AS BIGINT)
+         AS n_click,
+       CAST((SELECT COUNT(*) FROM p JOIN c ON p.user_id = c.user_id
+             AND p.week = m.week AND c.week = m.week) AS BIGINT)
+         AS n_both,
+       CAST((SELECT COUNT(*) FROM p WHERE p.week = m.week
+             AND NOT EXISTS (SELECT 1 FROM c WHERE c.week = m.week
+                             AND c.user_id = p.user_id)) AS BIGINT)
+         AS n_only_purchase
+FROM m
+""")
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA SKETCHES (Datasketches, Spark 4.1): SET ALGEBRA over
+    distinct counts — the capability HLL fundamentally lacks: HLL
+    merges are UNION-only, theta supports INTERSECTION and DIFFERENCE
+    ("users who purchased AND clicked this week") on mergeable
+    pre-aggregated state. One sketch per (week, type), then
+    theta_intersection / theta_difference between the pair — the
+    nightly-rollup answer to audience-overlap questions that would
+    otherwise need a re-shuffle of raw events. At fixture scale the
+    sketches sit below their k=4096 sampling threshold, so estimates
+    are EXACT integers and the op carries a full SQL oracle; beyond
+    the threshold the same plan returns ±2% estimates (the 100 TB
+    trade, documented not hidden)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").alias("week")
+    sk = (ev.filter(F.col("event_type").isin("purchase", "click"))
+            .groupBy(week, "event_type")
+            .agg(F.expr("theta_sketch_agg(user_id)").alias("s")))
+    p = sk.filter(F.col("event_type") == "purchase") \
+          .select(F.col("week").alias("wp"), F.col("s").alias("sp"))
+    c = sk.filter(F.col("event_type") == "click") \
+          .select(F.col("week").alias("wc"), F.col("s").alias("sc"))
+    j = p.join(c, p.wp == c.wc, "full_outer")
+    est = lambda e: F.round(e).cast("long")  # noqa: E731
+    return j.select(
+        F.coalesce("wp", "wc").alias("week"),
+        F.coalesce(est(F.expr("theta_sketch_estimate(sp)")), F.lit(0))
+         .alias("n_purchase"),
+        F.coalesce(est(F.expr("theta_sketch_estimate(sc)")), F.lit(0))
+         .alias("n_click"),
+        F.coalesce(est(F.expr(
+            "theta_sketch_estimate(theta_intersection(sp, sc))")),
+            F.lit(0)).alias("n_both"),
+        F.coalesce(est(F.expr(
+            "theta_sketch_estimate(theta_difference(sp, sc))")),
+            est(F.expr("theta_sketch_estimate(sp)")), F.lit(0))
+         .alias("n_only_purchase"))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches: daily partials → monthly merged percentiles
+# ---------------------------------------------------------------------------
+
+@query("rollup_kll_quantile_merge")  # rows-only: sketch estimates
+def rollup_kll_quantile_merge(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """KLL QUANTILE SKETCHES (Datasketches, Spark 4.1): build one
+    sketch per DAY, merge the daily partials per WEEK, read p50/p90
+    off the merged sketch — the mergeable-percentile contract that
+    makes daily precomputation of latency/value distributions sound
+    (exact percentiles cannot be merged; t-digest/KLL exist precisely
+    for this). Same precompute-once/roll-up-anywhere family as
+    agg_hll_sketch_merge (distinct counts) and
+    agg_incremental_state_merge (moments) — KLL completes the trio
+    with QUANTILES. Rows-only: KLL compaction is sampled, so
+    estimates carry rank error (bounded ~1.65% at k=200) — accuracy
+    and merge-vs-rebuild agreement are pinned in tests, not by the
+    hash oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ok = F.col("value").isNotNull() & ~F.isnan("value")
+    daily = (ev.filter(ok)
+               .groupBy(F.date_trunc("day", "ts").alias("day"))
+               .agg(F.expr("kll_sketch_agg_double(value)").alias("sk"))
+               .withColumn("week", F.date_trunc("week", "day")))
+    return (daily.groupBy("week")
+                 .agg(F.expr("kll_merge_agg_double(sk)").alias("msk"),
+                      F.count(F.lit(1)).alias("n_days"))
+                 .select(
+                     "week", "n_days",
+                     F.round(F.expr(
+                         "kll_sketch_get_quantile_double(msk, 0.5)"), 6)
+                      .alias("p50"),
+                     F.round(F.expr(
+                         "kll_sketch_get_quantile_double(msk, 0.9)"), 6)
+                      .alias("p90"),
+                     F.expr("kll_sketch_get_n_double(msk)")
+                      .cast("long").alias("n_values")))
+
+
+# ---------------------------------------------------------------------------
+# SQL-standard REGR_* aggregate family
+# ---------------------------------------------------------------------------
+
+@query("agg_regr_family", oracle=f"""
+SELECT event_type,
+       CAST(regr_count(value, EXTRACT(HOUR FROM ts)) AS BIGINT) AS n,
+       {r6_sql('regr_slope(value, EXTRACT(HOUR FROM ts))')} AS slope,
+       {r6_sql('regr_intercept(value, EXTRACT(HOUR FROM ts))')}
+         AS intercept,
+       {r6_sql('regr_avgx(value, EXTRACT(HOUR FROM ts))')} AS avg_x,
+       {r6_sql('regr_avgy(value, EXTRACT(HOUR FROM ts))')} AS avg_y
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type
+""")
+def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-STANDARD REGR_* AGGREGATES (value ~ hour per type): the
+    ISO linear-regression aggregate family — regr_count / slope /
+    intercept / avgx / avgy — spelled with the BUILT-IN functions on
+    BOTH engines (agg_regression_trend and agg_ols_multivariate build
+    the same statistics from exact sums by hand; this op pins that
+    the standard surface itself exists and that the two engines'
+    native implementations agree to 6 dp). regr_r2 is omitted: its
+    0/NULL convention on zero-variance groups differs cross-engine —
+    that sharp edge is documented here rather than papered over."""
+    ev = load_table(spark, sf_dir, "events")
+    x = "CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)"
+    return (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+              .groupBy("event_type")
+              .agg(F.expr(f"regr_count(value, {x})").cast("long")
+                    .alias("n"),
+                   r6(F.expr(f"regr_slope(value, {x})")).alias("slope"),
+                   r6(F.expr(f"regr_intercept(value, {x})"))
+                    .alias("intercept"),
+                   r6(F.expr(f"regr_avgx(value, {x})")).alias("avg_x"),
+                   r6(F.expr(f"regr_avgy(value, {x})")).alias("avg_y")))
+
+
+# ---------------------------------------------------------------------------
+# AES column encryption round trip (governance surface)
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # demo key: 16-byte AES-128
+
+
+@query("crypto_aes_roundtrip", oracle="""
+SELECT event_id, CAST(user_id AS VARCHAR) AS plain
+FROM events WHERE event_id < 1000
+""")
+def crypto_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES COLUMN ENCRYPTION round trip — the governance surface for
+    at-rest column protection: aes_encrypt the user id (ECB mode —
+    chosen here because it is DETERMINISTIC, which is what makes the
+    round trip oracle-checkable; production uses GCM, whose random IV
+    is exactly why ciphertext columns can never be hash-compared),
+    then aes_decrypt back and return the plaintext. The oracle is the
+    identity projection — decrypt(encrypt(x)) ≡ x is the whole
+    contract. DuckDB has no AES, which is fine: the ciphertext never
+    appears in a compared column."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    enc = F.expr(f"aes_encrypt(CAST(user_id AS STRING), '{_AES_KEY}', 'ECB')")
+    dec = F.expr(f"CAST(aes_decrypt(cipher, '{_AES_KEY}', 'ECB') AS STRING)")
+    return (ev.select("event_id", enc.alias("cipher"))
+              .select("event_id", dec.alias("plain")))
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregate family
+# ---------------------------------------------------------------------------
+
+@query("agg_bitwise_funcs", oracle="""
+SELECT event_type,
+       CAST(bit_and(user_id) AS BIGINT) AS band,
+       CAST(bit_or(user_id) AS BIGINT) AS bor,
+       CAST(bit_xor(user_id) AS BIGINT) AS bxor
+FROM events GROUP BY event_type
+""")
+def agg_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE AGGREGATES (bit_and / bit_or / bit_xor) per group —
+    integer-exact, order-independent reductions (each is a
+    commutative monoid, so map-side partials are trivially correct):
+    the flag-mask rollups permission and feature-flag systems run,
+    and the parity check (bit_xor) that detects single-row
+    divergence between replicas. Completes §2.4's integer-exact
+    corner next to the bitmap distinct ops."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.bit_and("user_id").alias("band"),
+                   F.bit_or("user_id").alias("bor"),
+                   F.bit_xor("user_id").alias("bxor")))

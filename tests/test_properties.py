@@ -568,3 +568,38 @@ def test_cooccurrence_lift_matches_driver_computation(spark, sf_dir):
         n_ab = len(a & b)
         assert r["n_ab"] == n_ab
         assert r["lift_ppm"] == n_ab * n * 1_000_000 // (len(a) * len(b))
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
+    """Weekly-merged KLL p50/p90 must sit within ±3% RANK error of the
+    exact weekly percentiles (k=200 bounds ~1.65%; 3% gives slack),
+    and n_values must be exact (counts are not sampled)."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        rollup_kll_quantile_merge)
+    got = {r["week"]: r for r in
+           rollup_kll_quantile_merge(spark, sf_dir).collect()}
+    raw = (load_table(spark, sf_dir, "events")
+           .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select(F.date_trunc("week", "ts").alias("week"), "value")
+           .collect())
+    by = {}
+    for r in raw:
+        by.setdefault(r["week"], []).append(r["value"])
+    for week, vals in by.items():
+        xs = np.sort(np.array(vals))
+        row = got[week]
+        assert row["n_values"] == len(xs)
+        for q, est in ((0.5, row["p50"]), (0.9, row["p90"])):
+            rank = np.searchsorted(xs, est, side="right") / len(xs)
+            assert abs(rank - q) <= 0.03, (week, q, est, rank)
+
+
+def test_theta_setops_identities(spark, sf_dir):
+    """Theta estimates must satisfy the set identities exactly in the
+    sub-sampling regime: both + only_purchase == purchase."""
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_theta_sketch_setops)
+    for r in agg_theta_sketch_setops(spark, sf_dir).collect():
+        assert r["n_both"] + r["n_only_purchase"] == r["n_purchase"]
+        assert r["n_both"] <= min(r["n_purchase"], r["n_click"])
