@@ -1646,3 +1646,44 @@ def agg_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.bit_and("user_id").alias("band"),
                    F.bit_or("user_id").alias("bor"),
                    F.bit_xor("user_id").alias("bxor")))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup pre-step; parse_url surface)
+# ---------------------------------------------------------------------------
+
+@query("data_url_canonicalize", oracle="""
+SELECT doc_id,
+       'https://' || LOWER(source) || '.example.com/docs/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+       LOWER(source) || '.example.com' AS host
+FROM documents
+""")
+def data_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION — the crawl-dedup pre-step that collapses
+    trivially-distinct URLs before any content hashing (mixed-case
+    hosts, default ports, fragments, unordered query params account
+    for a large share of crawl 'duplicates'): parse_url extracts
+    HOST/PATH/QUERY, then lowercase host, drop the :443 default port
+    and the fragment, and REORDER query params by key (split →
+    array_sort → rejoin — params are semantically a set). Input URLs
+    are synthesized from document metadata (the fixture has no URL
+    column), which makes the expected canonical form closed-form for
+    the oracle. Pure codegen expressions; at scale this is a per-row
+    map with zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.upper("source"),
+                   F.lit(".Example.COM:443/docs/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?b=2&a=1#frag"))
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_replace(
+        F.expr("parse_url(url, 'HOST')"), ":443$", ""))
+    path = F.expr("parse_url(url, 'PATH')")
+    query = F.expr("parse_url(url, 'QUERY')")
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return u.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path, F.lit("?"), sorted_q)
+         .alias("canonical_url"),
+        host.alias("host"))
