@@ -1687,3 +1687,95 @@ def data_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), host, path, F.lit("?"), sorted_q)
          .alias("canonical_url"),
         host.alias("host"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end events analytics composite (the analytics-side flagship)
+# ---------------------------------------------------------------------------
+
+_AP_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query("analytics_pipeline_full", oracle=f"""
+WITH clean AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+flagged AS (
+  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > {_AP_GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM clean
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+              ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(date_trunc('day', MIN(ts)) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM sess GROUP BY user_id, session_id)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+         AS conversion_ppm,
+       CAST(quantile_disc(duration_us, 0.9) AS BIGINT) AS p90_duration_us
+FROM per_session GROUP BY day
+""")
+def analytics_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END EVENTS ANALYTICS COMPOSITE — the analytics-side
+    flagship next to hrv_pipeline_full (signals) and
+    llm_prep_pipeline_full (corpus): clean → sessionize (lag→flag→
+    cumsum, 30-min gap) → per-session stats with a conversion flag →
+    per-DAY dashboard KPIs (sessions, uniques, events, conversions,
+    conversion rate in integer PPM, p90 session duration) in ONE
+    plan. Stage sharing is the point at 100 TB: both windows and the
+    session aggregate share the single user_id partitioning (one
+    exchange for three stages — the sessionize_timeout plan shape),
+    and only the final day rollup re-shuffles, on a key with ~365
+    groups/year. Time arithmetic in integer µs; the exact p90 uses
+    percentile_disc (a VALUE from the data, hash-exact) not _cont
+    interpolation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    clean = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+               .select("user_id", "ts", "event_id", "event_type",
+                       us.alias("us")))
+    flagged = clean.withColumn(
+        "new_s",
+        F.when(F.lag("us").over(w).isNull()
+               | ((F.col("us") - F.lag("us").over(w)) > _AP_GAP_US), 1)
+         .otherwise(0))
+    wc = (W.partitionBy("user_id").orderBy("us", "event_id")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(wc).cast("long"))
+    per_session = (sess.groupBy("user_id", "session_id")
+                       .agg(F.date_trunc("day", F.min("ts")).cast("date")
+                             .alias("day"),
+                            F.count(F.lit(1)).alias("n_events"),
+                            (F.max("us") - F.min("us"))
+                             .alias("duration_us"),
+                            F.max(F.when(
+                                F.col("event_type") == "purchase", 1)
+                                .otherwise(0)).alias("converted")))
+    return (per_session.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("n_events").alias("n_events"),
+                 F.sum("converted").alias("n_converted"),
+                 F.expr("BIGINT(SUM(converted) * 1000000 div COUNT(*))")
+                  .alias("conversion_ppm"),
+                 F.expr("percentile_disc(0.9) WITHIN GROUP"
+                        " (ORDER BY duration_us)").cast("long")
+                  .alias("p90_duration_us")))

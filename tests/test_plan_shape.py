@@ -631,3 +631,11 @@ def test_sql_broadcast_hint_is_honored(spark, sf_dir):
     plan = _physical(QUERIES["sql_join_hints"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_analytics_pipeline_single_user_exchange(spark, sf_dir):
+    """Both sessionize windows and the session aggregate must share
+    ONE user_id partitioning; only the day rollup re-shuffles."""
+    plan = _physical(QUERIES["analytics_pipeline_full"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
