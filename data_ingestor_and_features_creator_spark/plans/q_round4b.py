@@ -1779,3 +1779,44 @@ def analytics_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("percentile_disc(0.9) WITHIN GROUP"
                         " (ORDER BY duration_us)").cast("long")
                   .alias("p90_duration_us")))
+
+
+# ---------------------------------------------------------------------------
+# Scalable global index assignment (range partitions + offset broadcast)
+# ---------------------------------------------------------------------------
+
+@query("data_global_index", oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+         AS global_idx
+FROM documents
+""")
+def data_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALABLE GLOBAL INDEX ASSIGNMENT — contiguous 0..N-1 ids in
+    doc_id order WITHOUT a single-partition window (the naive
+    `row_number() OVER (ORDER BY …)` moves the entire table through
+    one task — the classic 100 TB faceplant): (1) repartitionByRange
+    on the order key (a distributed sort — ranges are ordered ACROSS
+    partitions), (2) per-partition counts → a 32-row offset table via
+    prefix sum, broadcast back, (3) intra-partition rank + offset =
+    global rank. The result is independent of WHERE the range
+    boundaries land (sampling jitter moves rows between partitions
+    but never changes any row's global rank), which is what makes the
+    two-pass construction deterministic and the exact equivalent of
+    the oracle's global window. monotonically_increasing_id is the
+    non-contiguous fast path; THIS is the contiguous one."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    r = (d.repartitionByRange(n_parts, "doc_id")
+          .withColumn("pid", F.spark_partition_id())
+          .cache())
+    counts = r.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (W.orderBy("pid")
+              .rowsBetween(W.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    w_in = W.partitionBy("pid").orderBy("doc_id")
+    return (r.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+             .select("doc_id",
+                     (F.col("offset") + F.row_number().over(w_in) - 1)
+                     .cast("long").alias("global_idx")))
