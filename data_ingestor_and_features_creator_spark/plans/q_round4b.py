@@ -1820,3 +1820,45 @@ def data_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id",
                      (F.col("offset") + F.row_number().over(w_in) - 1)
                      .cast("long").alias("global_idx")))
+
+
+# ---------------------------------------------------------------------------
+# Source freshness audit (staleness vs the corpus frontier)
+# ---------------------------------------------------------------------------
+
+@query("audit_source_freshness", oracle="""
+WITH g AS (SELECT MAX(ts) AS frontier FROM events),
+s AS (
+  SELECT (user_id % 4) AS feed,
+         MAX(ts) AS latest,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id % 4)
+SELECT CAST(feed AS BIGINT) AS feed, latest,
+       CAST((epoch_us(frontier) - epoch_us(latest)) // 3600000000
+            AS BIGINT) AS hours_behind,
+       n_rows
+FROM s, g
+""")
+def audit_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE FRESHNESS AUDIT — per-feed staleness relative to the
+    corpus FRONTIER (the max timestamp anywhere), the first page of
+    every ingestion-ops dashboard: a feed whose latest row trails the
+    frontier by hours is stuck, and catching it from the DATA beats
+    waiting for the pipeline's own alerting. Frontier = 1-row global
+    max, broadcast onto the per-feed aggregates (never `now()` — wall
+    clock makes results unreproducible and is banned by the house
+    determinism rules; lag-vs-frontier is also the metric that stays
+    meaningful for backfills). Feeds proxied by user_id % 4 — the
+    fixture has one events table; in production this key is the
+    ingestion source. Integer hour arithmetic, one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("frontier"))
+    s = (ev.groupBy((F.col("user_id") % 4).alias("feed"))
+           .agg(F.max("ts").alias("latest"),
+                F.count(F.lit(1)).alias("n_rows")))
+    hours = (F.unix_micros("frontier") - F.unix_micros("latest")) \
+        / F.lit(3_600_000_000)
+    return (s.crossJoin(F.broadcast(g))
+             .select("feed", "latest",
+                     F.floor(hours).cast("long").alias("hours_behind"),
+                     "n_rows"))
