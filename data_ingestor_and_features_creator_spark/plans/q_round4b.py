@@ -1862,3 +1862,81 @@ def audit_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("feed", "latest",
                      F.floor(hours).cast("long").alias("hours_behind"),
                      "n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Date-part scalar completion (quarter/week/daynames/make_date)
+# ---------------------------------------------------------------------------
+
+@query("date_parts_funcs", oracle="""
+SELECT event_id,
+       CAST(quarter(ts) AS INTEGER) AS q,
+       CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+       CAST(dayofyear(ts) AS INTEGER) AS doy,
+       substr(dayname(ts), 1, 3) AS day_abbrev,
+       substr(monthname(ts), 1, 3) AS month_abbrev,
+       CAST(make_date(CAST(EXTRACT(YEAR FROM ts) AS INTEGER),
+                      CAST(EXTRACT(MONTH FROM ts) AS INTEGER),
+                      CAST(EXTRACT(DAY FROM ts) AS INTEGER)) AS DATE)
+         AS rebuilt_date
+FROM events WHERE event_id < 2000
+""")
+def date_parts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-PART scalar completion next to date_funcs: quarter,
+    ISO weekofyear, dayofyear, day/month names, and a
+    make_date(extract…) rebuild proving constructor/extractor are
+    inverses. Cross-engine naming pinned the cheap way: Spark's
+    dayname/monthname return 3-letter abbreviations, DuckDB full
+    names — the oracle takes substr(…, 1, 3), which is the honest
+    note that LOCALE-DEPENDENT name functions need normalization
+    before any cross-system comparison (same class of trap as
+    dayofweek numbering, handled in agg_chi2_independence). Pure
+    per-row expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofyear("ts").alias("doy"),
+        F.expr("dayname(ts)").alias("day_abbrev"),
+        F.expr("monthname(ts)").alias("month_abbrev"),
+        F.make_date(F.year("ts"), F.month("ts"), F.dayofmonth("ts"))
+         .alias("rebuilt_date"))
+
+
+# ---------------------------------------------------------------------------
+# String pad/format scalar completion
+# ---------------------------------------------------------------------------
+
+@query("str_pad_format_funcs", oracle="""
+SELECT doc_id,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+       printf('%s|%04d|%s', source, CAST(doc_id AS INTEGER),
+              lang) AS record_key,
+       repeat(lang, 2) AS lang2,
+       reverse(source) AS rsource,
+       left(text, 5) AS head5,
+       right(text, 5) AS tail5,
+       translate(lang, 'en', 'EN') AS lang_up
+FROM documents
+""")
+def str_pad_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING PAD/FORMAT scalar completion next to str_funcs:
+    lpad-zero-fill (the fixed-width key every legacy interchange
+    format wants), printf-style format_string (Spark) ≡ printf
+    (DuckDB) composite keys, repeat/reverse, left/right head-tail
+    slicing, and translate character mapping. All pure codegen
+    per-row expressions; the printf twin pins that %04d zero-padding
+    semantics agree cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.format_string("%s|%04d|%s", F.col("source"),
+                        F.col("doc_id").cast("int"), F.col("lang"))
+         .alias("record_key"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.reverse("source").alias("rsource"),
+        F.expr("left(text, 5)").alias("head5"),
+        F.expr("right(text, 5)").alias("tail5"),
+        F.translate("lang", "en", "EN").alias("lang_up"))
