@@ -51,6 +51,10 @@ HEADLINE = [
     # gap-fill regressions become visible round-over-round
     "dedup_minhash_cluster",
     "ts_seasonal_decompose",
+    # late round-4: the events-side end-to-end composite (sessionize →
+    # conversion stats → daily KPIs, one user_id exchange) — the
+    # analytics twin of llm_prep_pipeline_full
+    "analytics_pipeline_full",
 ]
 
 
