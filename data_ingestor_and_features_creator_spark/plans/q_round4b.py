@@ -444,15 +444,39 @@ def _holt_kernel(pdf):
             lvl[i] = _HOLT_ALPHA * x[i] + (1 - _HOLT_ALPHA) * prev
             trd[i] = (_HOLT_BETA * (lvl[i] - lvl[i - 1])
                       + (1 - _HOLT_BETA) * trd[i - 1])
+    # emitted UNROUNDED: the recursion order is fixed, so both engines
+    # produce bit-identical doubles — rounding would ADD a half-even vs
+    # half-away boundary hazard at the 6th dp (observed: one row in
+    # 10,000 at sf0.01), the exact trap the house rules warn about.
     return pd.DataFrame({
         "user_id": pdf["user_id"].to_numpy(),
         "event_id": pdf["event_id"].to_numpy(),
-        "level": np.round(lvl, 6),
-        "trend": np.round(trd, 6),
+        "level": lvl,
+        "trend": trd,
     })
 
 
-@query("win_holt_linear")  # rows-only: sequential recursion, no SQL twin
+_HOLT_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+h AS (
+  SELECT user_id, event_id, rn, value AS lvl, CAST(0.0 AS DOUBLE) AS trd
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         0.3 * b.value + 0.7 * (h.lvl + h.trd) AS lvl,
+         0.1 * ((0.3 * b.value + 0.7 * (h.lvl + h.trd)) - h.lvl)
+           + 0.9 * h.trd AS trd
+  FROM h JOIN base b ON b.user_id = h.user_id AND b.rn = h.rn + 1)
+SELECT user_id, event_id, lvl AS level, trd AS trend
+FROM h
+"""
+
+
+@query("win_holt_linear", oracle=_HOLT_ORACLE)
 def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT LINEAR-TREND smoothing (double exponential) per user over
     event values — the trend-aware sibling of win_ewma. EWMA has a
