@@ -78,10 +78,21 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_binary")  # rows-only: binaryFile source has no DuckDB twin
+@query("scan_binary", oracle=f"""
+SELECT CAST(regexp_extract(filename, 'doc_(\\d+)\\.bin', 1) AS BIGINT)
+         AS doc_id,
+       CAST(size AS BIGINT) AS length,
+       sha256(CAST(content AS VARCHAR)) AS content_sha256
+FROM read_blob('{_BLOBS}/*.bin')
+""")
 def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary ingestion (EDF-recording / multimodal-column analog,
-    SURVEY.md §2.1): content stays BinaryType, metadata is typed columns."""
+    SURVEY.md §2.1): content stays BinaryType, metadata is typed columns.
+    Round-4 oracle upgrade: DuckDB's read_blob reads the same files, and
+    sha256-over-VARCHAR equals Spark's sha2-over-binary because these
+    blobs are UTF-8 bytes — so the binary source is now hash-checked
+    end-to-end (content digest, size, and path-derived id), not just
+    executed."""
     return (
         spark.read.format("binaryFile").load(_BLOBS)
         .select(

@@ -48,44 +48,118 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZSCORE_SCHEMA = "event_id long, user_id long, value double, z double"
 
 
+def _dec12_sum(vals) -> float:
+    """Replicate CAST(double AS DECIMAL(38,12)) summation in Python:
+    quantize each exact binary value to 12 dp (half-even — matches the
+    engines' cast), sum exactly in Decimal, return the double. This is
+    what lets a PYTHON kernel participate in the dsum/dmean oracle
+    contract (functions/exact.py) that JVM expressions get for free."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal("1e-12")
+    total = Decimal(0)
+    for x in vals:
+        total += Decimal(float(x)).quantize(q, rounding=ROUND_HALF_EVEN)
+    return float(total)
+
+
 def _zscore_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group standardization — the grouped-map pattern the HRV
-    kernels use, in its minimal form."""
+    kernels use, in its minimal form. Moments via decimal-exact sums
+    (the dsum contract) so the per-row z is bit-identical to the SQL
+    oracle's construction; the per-row arithmetic after the sums is
+    IEEE, deterministic on both sides."""
+    import math
+
     v = pdf["value"].to_numpy(dtype=np.float64)
-    sd = v.std(ddof=1) if len(v) > 1 else 0.0
-    z = (v - v.mean()) / sd if sd > 0 else np.zeros_like(v)
+    n = len(v)
+    sx = _dec12_sum(v)
+    sxx = _dec12_sum(v * v)
+    m = sx / n
+    var = (sxx - sx * sx / n) / (n - 1) if n > 1 else 0.0
+    sd = math.sqrt(var) if var > 0 else 0.0
+    z = (v - m) / sd if sd > 0 else np.zeros_like(v)
     return pd.DataFrame({"event_id": pdf["event_id"],
                          "user_id": pdf["user_id"],
                          "value": pdf["value"], "z": z})
 
 
-@query("udf_grouped_map")  # rows-only: numpy reduction order ≠ SQL's
+@query("udf_grouped_map", oracle="""
+WITH f AS (SELECT event_id, user_id, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxx
+      FROM f GROUP BY user_id),
+st AS (SELECT user_id, sx / n AS m,
+              CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+                   THEN SQRT((sxx - sx * sx / n) / (n - 1)) END AS sd
+       FROM s)
+SELECT f.event_id, f.user_id, f.value,
+       CASE WHEN sd IS NOT NULL AND sd > 0
+            THEN (value - m) / sd ELSE 0.0 END AS z
+FROM f JOIN st USING (user_id)
+""")
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: z-score of value within each user.
-    Pre-select trims the Arrow payload to the 3 needed columns."""
-    ev = load_table(spark, sf_dir, "events").select(
+    Pre-select trims the Arrow payload to the 3 needed columns.
+    Round-4 oracle upgrade (was rows-only "numpy reduction order ≠
+    SQL's"): the kernel now builds its moments through the SAME
+    decimal-exact sums as the SQL oracle (_dec12_sum replicates
+    CAST-to-DECIMAL(38,12) summation in Python), so the z values are
+    bit-identical and emitted UNROUNDED."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")).select(
         "event_id", "user_id", "value")
     return ev.groupBy("user_id").applyInPandas(
         _zscore_kernel, schema=ZSCORE_SCHEMA)
 
 
 def _trimmed_mean_fn(v: pd.Series) -> float:
-    """10%-trimmed mean — a custom aggregate no builtin covers."""
+    """10%-trimmed mean — a custom aggregate no builtin covers. The
+    trimmed multiset is tie-invariant (dropping the k smallest/largest
+    VALUES gives the same bag whatever order ties sort in), and the
+    mean runs through the decimal-exact sum so the result matches the
+    SQL oracle's construction bit-for-bit."""
     x = np.sort(v.to_numpy(dtype=np.float64))
+    x = x[~np.isnan(x)]
     k = int(len(x) * 0.1)
     x = x[k:len(x) - k] if len(x) > 2 * k else x
-    return float(x.mean())
+    return _dec12_sum(x) / len(x)
 
 
-@query("udaf_grouped_agg")  # rows-only: trimmed-mean reduction order
+@query("udaf_grouped_agg", oracle="""
+WITH f AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n
+      FROM f),
+t AS (SELECT event_type, value FROM r
+      WHERE n <= 2 * CAST(FLOOR(n * 0.1) AS BIGINT)
+         OR (rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+             AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)))
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+         AS trimmed_mean
+FROM t GROUP BY event_type
+""")
 def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF (true custom UDAF): 10%-trimmed mean of
     value per event_type. Spark disallows mixing pandas and builtin
-    aggregates in one agg, so the UDAF stands alone."""
+    aggregates in one agg, so the UDAF stands alone. Round-4 oracle
+    upgrade (was rows-only "trimmed-mean reduction order"): the SQL
+    twin reproduces the trim as a rank-window slice — valid because
+    the trimmed BAG is tie-invariant — and both sides run the mean
+    through decimal-exact sums, emitted unrounded."""
     trimmed_mean = pandas_udf(_trimmed_mean_fn, "double")
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value"))
     return (ev.groupBy("event_type")
-              .agg(F.round(trimmed_mean("value"), 6).alias("trimmed_mean"))
+              .agg(trimmed_mean("value").alias("trimmed_mean"))
               .orderBy("event_type"))
 
 
