@@ -192,11 +192,20 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
-@query("stream_sink")  # rows-only: filesystem side-effect op
+@query("stream_sink", oracle="""
+SELECT event_id, user_id, event_type, value,
+       CAST(0 AS BIGINT) AS batch_id
+FROM events
+""")
 def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch → partitioned parquet sink, read back. The write
     path is the §2.1 sink (partitionBy event_type) applied per
-    micro-batch."""
+    micro-batch. Round-4 oracle upgrade (was rows-only "filesystem
+    side-effect"): the sink round trip is LOSSLESS and the feed is one
+    parquet file consumed by a single availableNow batch, so batch_id
+    is deterministically 0 and the read-back must hash-equal the
+    source rows — the sink's end-to-end fidelity is now the checked
+    contract, not just its execution."""
     stream = runner.read_events_stream(spark, sf_dir)
     out = runner.run_foreach_batch_parquet(
         stream.select("event_id", "user_id", "event_type", "value"))
