@@ -106,3 +106,18 @@ def r6_sql(expr: str) -> str:
 def safe_sqrt_sql(expr: str) -> str:
     """DuckDB twin of safe_sqrt (CASE guard; DuckDB errors on SQRT<0)."""
     return f"CASE WHEN ({expr}) >= 0 THEN SQRT({expr}) END"
+
+
+def dec12_sum_py(vals) -> float:
+    """Python-side replica of ``dsum`` — CAST(double AS DECIMAL(38,12))
+    summation: quantize each exact binary value to 12 dp (half-even,
+    matching the engines' cast), sum exactly in Decimal, return the
+    double. Lets pandas/Arrow kernels participate in the same
+    bit-stable oracle contract the JVM decimal sums get for free."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal("1e-12")
+    total = Decimal(0)
+    for x in vals:
+        total += Decimal(float(x)).quantize(q, rounding=ROUND_HALF_EVEN)
+    return float(total)

@@ -181,11 +181,25 @@ def stream_hrv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"))
 
 
-@query("stream_stateful")  # rows-only: state-store output, not SQL
+@query("stream_stateful", oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                     THEN CAST(value AS DECIMAL(38,12))
+                     ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY user_id
+""")
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (`applyInPandasWithState`):
     per-user running totals carried in GroupState across micro-batches.
-    Equality with batch groupBy is asserted in tests."""
+    Equality with batch groupBy is asserted in tests. Round-4 oracle
+    upgrade (was rows-only): the state kernel accumulates through the
+    decimal-exact Python sum (functions.exact.dec12_sum_py), and the
+    feed replays as ONE availableNow batch, so the emitted totals are
+    bit-identical to the oracle's dsum over the whole table; count
+    includes NaN rows (they arrive), the value sum excludes them
+    (dropna), both mirrored in the SQL."""
     stream = runner.read_events_stream(spark, sf_dir)
     out = runner.run_available_now(runner.running_totals_stateful(stream),
                                    output_mode="update")

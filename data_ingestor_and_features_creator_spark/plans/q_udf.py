@@ -49,18 +49,10 @@ ZSCORE_SCHEMA = "event_id long, user_id long, value double, z double"
 
 
 def _dec12_sum(vals) -> float:
-    """Replicate CAST(double AS DECIMAL(38,12)) summation in Python:
-    quantize each exact binary value to 12 dp (half-even — matches the
-    engines' cast), sum exactly in Decimal, return the double. This is
-    what lets a PYTHON kernel participate in the dsum/dmean oracle
-    contract (functions/exact.py) that JVM expressions get for free."""
-    from decimal import ROUND_HALF_EVEN, Decimal
-
-    q = Decimal("1e-12")
-    total = Decimal(0)
-    for x in vals:
-        total += Decimal(float(x)).quantize(q, rounding=ROUND_HALF_EVEN)
-    return float(total)
+    """See functions.exact.dec12_sum_py — the Python replica of the
+    dsum decimal-exact summation contract."""
+    from ..functions.exact import dec12_sum_py
+    return dec12_sum_py(vals)
 
 
 def _zscore_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec12_sum_py
 from ..scratch import scratch_dir
 from ..sources import events_stream
 
@@ -120,7 +121,12 @@ def _running_total_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # dropna removes NaN too (pandas treats NaN as NA for floats);
+        # decimal-exact batch sum so the emitted total matches the SQL
+        # oracle's dsum construction bit-for-bit (single-batch replay —
+        # cross-batch float re-accumulation would reintroduce ulp drift,
+        # documented on the query).
+        total += dec12_sum_py(pdf["value"].dropna())
     state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                         "total_value": [total]})
