@@ -603,3 +603,15 @@ def test_theta_setops_identities(spark, sf_dir):
     for r in agg_theta_sketch_setops(spark, sf_dir).collect():
         assert r["n_both"] + r["n_only_purchase"] == r["n_purchase"]
         assert r["n_both"] <= min(r["n_purchase"], r["n_click"])
+
+
+def test_ansi_mode_strict_and_try_escape(spark):
+    """The session runs ANSI mode (Spark 4 default, kept ON — silent
+    NULL-on-error corrupts pipelines): a bad cast must RAISE, and the
+    try_* family is the explicit, visible escape hatch."""
+    with pytest.raises(Exception):
+        spark.sql("SELECT CAST('abc' AS INT) AS x").collect()
+    row = spark.sql(
+        "SELECT TRY_CAST('abc' AS INT) AS x, try_divide(1, 0) AS y"
+    ).first()
+    assert row["x"] is None and row["y"] is None
