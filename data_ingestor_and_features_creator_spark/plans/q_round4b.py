@@ -1964,3 +1964,99 @@ def str_pad_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("left(text, 5)").alias("head5"),
         F.expr("right(text, 5)").alias("tail5"),
         F.translate("lang", "en", "EN").alias("lang_up"))
+
+
+# ---------------------------------------------------------------------------
+# Array set-operation scalar family
+# ---------------------------------------------------------------------------
+
+@query("array_set_funcs", oracle="""
+WITH t AS (
+  SELECT event_id,
+         list_transform(generate_series(1, 1 + CAST(user_id % 4 AS INT)),
+                        x -> CAST(x AS BIGINT)) AS a,
+         list_transform(generate_series(CAST(user_id % 3 AS INT), 4),
+                        x -> CAST(x AS BIGINT)) AS b
+  FROM events WHERE event_id < 3000)
+SELECT event_id,
+       list_sort(list_distinct(list_filter(a,
+           x -> list_contains(b, x)))) AS inter,
+       list_sort(list_distinct(list_concat(a, b))) AS uni,
+       list_sort(list_distinct(list_filter(a,
+           x -> NOT list_contains(b, x)))) AS diff,
+       list_has_any(a, b) AS overlaps,
+       CAST(COALESCE(list_position(b, 2), 0) AS INTEGER) AS pos2
+FROM t
+""")
+def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY SET-OPERATION family — array_intersect / union / except,
+    arrays_overlap, array_position — completing §2.8's array corner
+    (array_funcs covers construction/slicing, array_higher_order the
+    lambdas). The cross-engine trap this op pins: Spark's set ops
+    preserve FIRST-ARRAY encounter order while DuckDB's list_intersect
+    returns arbitrary order — any cross-system comparison (and any
+    deterministic downstream consumer) must SORT set-semantic results,
+    so both sides emit sorted+distinct arrays, and the oracle builds
+    the set ops from list_filter/list_contains primitives. Position is
+    1-based on both engines (0 = absent via COALESCE)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    a = F.sequence(F.lit(1).cast("long"),
+                   (1 + F.col("user_id") % 4).cast("long"))
+    b = F.sequence((F.col("user_id") % 3).cast("long"),
+                   F.lit(4).cast("long"))
+    t = ev.select("event_id", a.alias("a"), b.alias("b"))
+    return t.select(
+        "event_id",
+        F.sort_array(F.array_distinct(F.array_intersect("a", "b")))
+         .alias("inter"),
+        F.sort_array(F.array_distinct(F.array_union("a", "b")))
+         .alias("uni"),
+        F.sort_array(F.array_distinct(F.array_except("a", "b")))
+         .alias("diff"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+        F.coalesce(F.array_position("b", 2), F.lit(0)).cast("int")
+         .alias("pos2"))
+
+
+# ---------------------------------------------------------------------------
+# explode_outer / posexplode_outer NULL semantics
+# ---------------------------------------------------------------------------
+
+@query("explode_outer_semantics", oracle="""
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN user_id % 3 = 0 THEN NULL
+              WHEN user_id % 3 = 1 THEN []
+              ELSE [CAST(user_id AS BIGINT), CAST(user_id + 1 AS BIGINT)]
+         END AS xs
+  FROM events WHERE event_id < 2000),
+expl AS (
+  SELECT event_id,
+         CAST(unnest(generate_series(0, len(xs) - 1)) AS INTEGER) AS pos,
+         xs
+  FROM t),
+kept AS (
+  SELECT event_id, CAST(NULL AS INTEGER) AS pos,
+         CAST(NULL AS BIGINT) AS val
+  FROM t WHERE xs IS NULL OR len(xs) = 0)
+SELECT event_id, pos, CAST(xs[pos + 1] AS BIGINT) AS val FROM expl
+UNION ALL SELECT * FROM kept
+""")
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer / posexplode_outer NULL SEMANTICS — the corner
+    that silently loses rows in ETL: plain explode DROPS records whose
+    array is NULL or EMPTY, outer explode keeps them with NULL
+    element/position. The fixture mixes all three shapes (null / [] /
+    2 elements by user cohort); the oracle reproduces the contract
+    as exploded-rows UNION the kept null/empty records (DuckDB has no
+    outer unnest — the union IS its definition). Row count = kept-null rows + Σ array sizes,
+    which only the OUTER variant gets right."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    xs = (F.when(F.col("user_id") % 3 == 0, F.lit(None))
+           .when(F.col("user_id") % 3 == 1,
+                 F.array().cast("array<long>"))
+           .otherwise(F.array(F.col("user_id"),
+                              F.col("user_id") + 1)))
+    t = ev.select("event_id", xs.alias("xs"))
+    return t.select("event_id",
+                    F.posexplode_outer("xs").alias("pos", "val"))
