@@ -2060,3 +2060,33 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.select("event_id", xs.alias("xs"))
     return t.select("event_id",
                     F.posexplode_outer("xs").alias("pos", "val"))
+
+
+# ---------------------------------------------------------------------------
+# histogram_numeric (built-in equi-height histogram aggregate)
+# ---------------------------------------------------------------------------
+
+@query("agg_histogram_equiheight")  # rows-only: greedy bin merge is
+# input-order sensitive in general (deterministic here, but the bin
+# CENTROIDS are approximation artifacts with no SQL twin)
+def agg_histogram_equiheight(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """histogram_numeric — Spark's built-in EQUI-HEIGHT histogram
+    aggregate (NumericHistogram, the Hive/Ben-Haim-Tom-Tov streaming
+    algorithm): one pass, bounded memory, mergeable partials — the
+    histogram you can afford at 100 TB, vs agg_histogram_fixed_bins'
+    exact equi-WIDTH counts. Emits (bin centroid x, weight y) per
+    event_type with 10 bins. Rows-only by honest classification: the
+    greedy closest-pair bin merging makes centroids approximation
+    artifacts (the same class as KLL quantile estimates); the tests
+    pin the invariants that ARE exact — Σweights = row count, bins
+    ordered, centroids inside [min, max]."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+              .groupBy("event_type")
+              .agg(F.expr("histogram_numeric(value, 10)").alias("h"))
+              .select("event_type",
+                      F.posexplode("h").alias("bin_idx", "bin"))
+              .select("event_type", "bin_idx",
+                      F.round(F.col("bin.x"), 6).alias("centroid"),
+                      F.col("bin.y").cast("double").alias("weight")))

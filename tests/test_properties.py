@@ -615,3 +615,29 @@ def test_ansi_mode_strict_and_try_escape(spark):
         "SELECT TRY_CAST('abc' AS INT) AS x, try_divide(1, 0) AS y"
     ).first()
     assert row["x"] is None and row["y"] is None
+
+
+def test_equiheight_histogram_invariants(spark, sf_dir):
+    """histogram_numeric invariants that ARE exact: weights sum to the
+    group row count, bins are centroid-ordered, centroids lie within
+    the group's [min, max]."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+        agg_histogram_equiheight)
+    rows = agg_histogram_equiheight(spark, sf_dir).collect()
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
+    stats = {r["event_type"]: r for r in
+             ev.groupBy("event_type")
+               .agg(F.count("*").alias("n"), F.min("value").alias("lo"),
+                    F.max("value").alias("hi")).collect()}
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(r)
+    for et, bins in by.items():
+        bins.sort(key=lambda r: r["bin_idx"])
+        assert sum(r["weight"] for r in bins) == pytest.approx(
+            stats[et]["n"])
+        cs = [r["centroid"] for r in bins]
+        assert cs == sorted(cs)
+        assert stats[et]["lo"] <= cs[0] and cs[-1] <= stats[et]["hi"]
