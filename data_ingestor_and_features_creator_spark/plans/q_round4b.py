@@ -2090,3 +2090,45 @@ def agg_histogram_equiheight(spark: SparkSession,
               .select("event_type", "bin_idx",
                       F.round(F.col("bin.x"), 6).alias("centroid"),
                       F.col("bin.y").cast("double").alias("weight")))
+
+
+# ---------------------------------------------------------------------------
+# String record parsing: from_csv + str_to_map
+# ---------------------------------------------------------------------------
+
+@query("str_parse_record_funcs", oracle="""
+SELECT event_id,
+       user_id AS csv_uid,
+       event_type AS csv_type,
+       CAST(user_id AS VARCHAR) AS m_uid,
+       event_type AS m_type
+FROM events WHERE event_id < 2000
+""")
+def str_parse_record_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING RECORD PARSING — from_csv (typed CSV-in-a-string, the
+    schema-on-read path for delimited log LINES inside a column,
+    sibling of scan_json's from_json) and str_to_map (the 'k:v|k:v'
+    config/tag blob every legacy event pipeline carries). The records
+    are synthesized from typed columns and parsed BACK — identity
+    round trips, so the oracle is the plain projection and any parser
+    asymmetry (quoting, type coercion, delimiter handling) breaks the
+    hash. Both parsers are codegen expressions — schema-on-read
+    without leaving the JVM."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    csv_rec = F.concat_ws(",", F.col("user_id").cast("string"),
+                          F.col("event_type"))
+    map_rec = F.concat(F.lit("uid:"), F.col("user_id").cast("string"),
+                       F.lit("|type:"), F.col("event_type"))
+    t = ev.select("event_id", csv_rec.alias("csv_rec"),
+                  map_rec.alias("map_rec"))
+    parsed = t.select(
+        "event_id",
+        F.from_csv("csv_rec", F.lit("uid BIGINT, et STRING"))
+         .alias("c"),
+        F.expr("str_to_map(map_rec, '\\\\|', ':')").alias("m"))
+    return parsed.select(
+        "event_id",
+        F.col("c.uid").alias("csv_uid"),
+        F.col("c.et").alias("csv_type"),
+        F.element_at("m", "uid").alias("m_uid"),
+        F.element_at("m", "type").alias("m_type"))
