@@ -88,11 +88,37 @@ def gen_sf1ish_lineitem() -> None:
     print("wrote", sf1, "lineitem x10")
 
 
+def gen_sf1ish_orders() -> None:
+    """10x orders blow-up FK-consistent with the lineitem blow-up
+    (o_orderkey*10+k pairs with l_orderkey*10+k), so the full TPC-H
+    suite runs at sf1-equivalent fact scale. Customers stay at sf0.1
+    (each now carries 10x orders - the realistic shape of a growing
+    fact over a stable dimension)."""
+    sf1 = os.path.join(OUT, "sf1ish")
+    os.makedirs(sf1, exist_ok=True)
+    path = os.path.join(sf1, "orders.parquet")
+    if os.path.islink(path):
+        os.unlink(path)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey * 10 + r.k AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM '/root/testdata/sf0.1/orders.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS k) r
+        ) TO '{path}' (FORMAT PARQUET)
+    """)
+    print("wrote", path)
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--sf1ish" in _sys.argv:
         gen_sf1ish_documents()
     elif "--sf1ish-lineitem" in _sys.argv:
         gen_sf1ish_lineitem()
+    elif "--sf1ish-orders" in _sys.argv:
+        gen_sf1ish_orders()
     else:
         main()

@@ -48,7 +48,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf_dir": sf_dir,
         "n_queries": len(ids),
     }))
     return 0

@@ -67,7 +67,7 @@ def main() -> int:
         "queries_per_sec": round(n_streams * len(ids) / total, 3),
         "stream_wall": {str(k): v for k, v in sorted(stream_wall.items())},
         "errors": errors,
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf_dir": sf_dir,
     }))
     return 0 if not errors else 1
 
