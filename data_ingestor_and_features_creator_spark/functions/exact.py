@@ -20,6 +20,20 @@ Result: Spark and DuckDB produce bit-identical doubles before the
 round, so the round can't straddle a boundary. The decimal detour stays
 inside whole-stage codegen (decimal sum is JVM-intrinsic); use plain
 double sums on bench-only paths if profiling ever shows it hot.
+
+SCALE LIMIT, measured (round 4, 6M-row sf1-ish run): the two engines'
+double→DECIMAL casts are not bit-identical — Spark converts via exact
+BigDecimal then quantizes; DuckDB scales the double by 10^scale in
+FLOATING POINT first, whose own rounding error is ~ulp(x·10¹²) ≈
+1.6e-11 for x≈1e5. Per row that is far beneath the 12-dp grid, but it
+is a random-walk accumulating term: at 500k rows/group the sums
+diverged by ~4e-6 — visible in a 6-dp output of an e10-magnitude sum
+(observed on TPC-H q1 at sf1-ish; at the driver's sf0.01 every oracle
+stays green, margin ~100×). If a future fixture scales the CORRECTNESS
+gate past ~1M rows/group, pre-round the per-row expression to 6 dp
+before the cast (products of 2-dp inputs are ≤6-dp exact, so that
+round has no boundary hazard) — documented here rather than silently
+churning 280 proven oracles.
 """
 
 from __future__ import annotations
