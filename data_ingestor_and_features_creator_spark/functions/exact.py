@@ -21,19 +21,20 @@ round, so the round can't straddle a boundary. The decimal detour stays
 inside whole-stage codegen (decimal sum is JVM-intrinsic); use plain
 double sums on bench-only paths if profiling ever shows it hot.
 
-SCALE LIMIT, measured (round 4, 6M-row sf1-ish run): the two engines'
-double→DECIMAL casts are not bit-identical — Spark converts via exact
-BigDecimal then quantizes; DuckDB scales the double by 10^scale in
-FLOATING POINT first, whose own rounding error is ~ulp(x·10¹²) ≈
-1.6e-11 for x≈1e5. Per row that is far beneath the 12-dp grid, but it
-is a random-walk accumulating term: at 500k rows/group the sums
-diverged by ~4e-6 — visible in a 6-dp output of an e10-magnitude sum
-(observed on TPC-H q1 at sf1-ish; at the driver's sf0.01 every oracle
-stays green, margin ~100×). If a future fixture scales the CORRECTNESS
-gate past ~1M rows/group, pre-round the per-row expression to 6 dp
-before the cast (products of 2-dp inputs are ≤6-dp exact, so that
-round has no boundary hazard) — documented here rather than silently
-churning 280 proven oracles.
+SCALE LIMIT, measured (round 4, 6M-row sf1-ish run): once a group's
+exact 12-dp decimal sum needs more significant digits than a double
+holds (~16 — reached around sums of 1e10 with 6 meaningful dp, i.e.
+~500k rows/group of e4-magnitude values), the final DECIMAL→DOUBLE
+conversion itself becomes the divergence: the nearest-double choice
+differs between the engines' conversion routines at the last ulp
+(observed on TPC-H q1 at sf1-ish: 21/22 queries still match; q1's
+four e10 sums differ by 1 ulp ≈ 4e-6 — and even the plain
+sum_base_price with no products diverges, proving the cast, not the
+summation, is the limit). No double-typed output can beat this bound
+— the information exceeds the type; the robust form at that scale is
+a DECIMAL-typed output column end-to-end, which today's pandas
+compare path degrades to float64. At the driver's sf0.01 correctness
+scale every oracle is ~100× inside the bound and stays green.
 """
 
 from __future__ import annotations
