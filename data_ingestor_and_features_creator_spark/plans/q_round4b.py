@@ -2132,3 +2132,70 @@ def str_parse_record_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.et").alias("csv_type"),
         F.element_at("m", "uid").alias("m_uid"),
         F.element_at("m", "type").alias("m_type"))
+
+
+# ---------------------------------------------------------------------------
+# Rounding-convention semantics (ROUND half-away vs BROUND half-even)
+# ---------------------------------------------------------------------------
+
+@query("scalar_rounding_conventions", oracle="""
+WITH t AS (
+  SELECT event_id,
+         CAST(user_id % 19 AS DOUBLE) - 9.0 + 0.5 AS x
+  FROM events WHERE event_id < 2000)
+SELECT event_id, x,
+       round(x) AS half_away,
+       CASE WHEN x - floor(x) = 0.5 THEN 2.0 * round(x / 2.0)
+            ELSE round(x) END AS half_even
+FROM t
+""")
+def scalar_rounding_conventions(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ROUNDING CONVENTIONS pinned as an operator: every value here is
+    an exact half-integer — the worst case the house rules exist for —
+    and the op emits BOTH conventions side by side: ROUND (HALF_UP,
+    away from zero — identical in Spark and DuckDB for doubles) and
+    BROUND (banker's HALF_EVEN — no DuckDB builtin, emulated in the
+    oracle as 2·round(x/2) on exact halves, which lands on the nearest
+    EVEN integer). This is the executable documentation of why r6
+    exists and why fixed-fold-order results are emitted unrounded:
+    on a .5 boundary the two conventions differ by a full unit."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    x = (F.col("user_id") % 19).cast("double") - 9.0 + 0.5
+    t = ev.select("event_id", x.alias("x"))
+    return t.select("event_id", "x",
+                    F.round("x").alias("half_away"),
+                    F.bround("x").alias("half_even"))
+
+
+# ---------------------------------------------------------------------------
+# NaN semantics (ordering, aggregation, nanvl escape)
+# ---------------------------------------------------------------------------
+
+@query("scalar_nan_semantics", oracle="""
+SELECT event_type,
+       CAST(count_if(isnan(value)) AS BIGINT) AS n_nan,
+       CAST(isnan(MAX(value)) AS BOOLEAN) AS max_is_nan,
+       MAX(CASE WHEN isnan(value) THEN NULL ELSE value END)
+         AS max_clean,
+       MIN(value) AS min_plain
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""")
+def scalar_nan_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN SEMANTICS pinned as an operator — the float edge that
+    silently corrupts extremes: BOTH engines order NaN GREATER than
+    every number (so a single NaN poisons MAX, proven by the
+    max_is_nan flag being true wherever the group has one), while MIN
+    stays clean; the escape hatch is nanvl→NULL (aggregates skip
+    NULL, never NaN) — Spark's nanvl(value, NULL) ≡ the oracle's CASE
+    isnan. The op is why every float aggregate in this repo filters
+    `~isnan` explicitly rather than trusting the aggregate to cope."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return (ev.groupBy("event_type")
+              .agg(F.count_if(F.isnan("value")).alias("n_nan"),
+                   F.isnan(F.max("value")).alias("max_is_nan"),
+                   F.max(F.nanvl("value", F.lit(None).cast("double")))
+                    .alias("max_clean"),
+                   F.min("value").alias("min_plain")))
