@@ -126,13 +126,25 @@ def safe_sqrt_sql(expr: str) -> str:
 def dec12_sum_py(vals) -> float:
     """Python-side replica of ``dsum`` — CAST(double AS DECIMAL(38,12))
     summation: quantize each exact binary value to 12 dp (half-even,
-    matching the engines' cast), sum exactly in Decimal, return the
-    double. Lets pandas/Arrow kernels participate in the same
-    bit-stable oracle contract the JVM decimal sums get for free."""
-    from decimal import ROUND_HALF_EVEN, Decimal
+    matching the engines' cast), sum exactly, return the double. Lets
+    pandas/Arrow kernels participate in the same bit-stable oracle
+    contract the JVM decimal sums get for free.
 
-    q = Decimal("1e-12")
-    total = Decimal(0)
+    Implementation is exact INTEGER arithmetic on the double's binary
+    rational (as_integer_ratio → scaled floor-division with a
+    ties-to-even adjustment) — equivalent to Decimal.quantize
+    HALF_EVEN (property-tested incl. negatives and exact ties) and
+    ~3× faster, which matters in the per-key streaming-state kernel
+    where this runs over every value."""
+    from decimal import Decimal
+
+    P = 10**12
+    total = 0
     for x in vals:
-        total += Decimal(float(x)).quantize(q, rounding=ROUND_HALF_EVEN)
-    return float(total)
+        n, d = float(x).as_integer_ratio()
+        q, r = divmod(n * P, d)
+        r2 = r * 2
+        if r2 > d or (r2 == d and q & 1):
+            q += 1
+        total += q
+    return float(Decimal(total) / P)

@@ -641,3 +641,21 @@ def test_equiheight_histogram_invariants(spark, sf_dir):
         cs = [r["centroid"] for r in bins]
         assert cs == sorted(cs)
         assert stats[et]["lo"] <= cs[0] and cs[-1] <= stats[et]["hi"]
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=0, max_size=50))
+@SETTINGS
+def test_dec12_sum_matches_decimal_quantize(spark, xs):
+    """The integer-arithmetic dec12_sum_py must equal the literal
+    Decimal.quantize(HALF_EVEN) construction for any doubles,
+    including exact 0.5e-12 ties."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from data_ingestor_and_features_creator_spark.functions.exact import (
+        dec12_sum_py)
+    xs = xs + [0.5e-12, -0.5e-12, 1.5e-12]
+    q = Decimal("1e-12")
+    ref = float(sum((Decimal(x).quantize(q, rounding=ROUND_HALF_EVEN)
+                     for x in xs), Decimal(0)))
+    assert dec12_sum_py(xs) == ref
