@@ -125,8 +125,11 @@ def _running_total_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
         # decimal-exact batch sum so the emitted total matches the SQL
         # oracle's dsum construction bit-for-bit (single-batch replay —
         # cross-batch float re-accumulation would reintroduce ulp drift,
-        # documented on the query).
-        total += dec12_sum_py(pdf["value"].dropna())
+        # documented on the query). The exact path costs ~6 s over the
+        # 1M-row sf0.1 sweep vs a plain float sum — the price of a
+        # hash-checkable stateful stream; at production scale keep the
+        # double sum and verify with the batch-equality test instead.
+        total += dec12_sum_py(pdf["value"].dropna().tolist())
     state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                         "total_value": [total]})
