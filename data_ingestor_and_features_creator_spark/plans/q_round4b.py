@@ -2199,3 +2199,51 @@ def scalar_nan_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max(F.nanvl("value", F.lit(None).cast("double")))
                     .alias("max_clean"),
                    F.min("value").alias("min_plain")))
+
+
+# ---------------------------------------------------------------------------
+# IQR fence outlier counts (boxplot audit per group)
+# ---------------------------------------------------------------------------
+
+@query("agg_iqr_outlier_count", oracle=f"""
+WITH f AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+q AS (SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM f GROUP BY event_type)
+SELECT f.event_type,
+       {r6_sql('MAX(q.q1)')} AS q1, {r6_sql('MAX(q.q3)')} AS q3,
+       CAST(count_if(f.value < q.q1 - 1.5 * (q.q3 - q.q1)) AS BIGINT)
+         AS n_low,
+       CAST(count_if(f.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+         AS n_high
+FROM f JOIN q USING (event_type)
+GROUP BY f.event_type
+""")
+def agg_iqr_outlier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR FENCE OUTLIER COUNTS — the boxplot audit (Tukey fences at
+    1.5·IQR) every data-quality dashboard starts from, as a grouped
+    operator: exact interpolated quartiles per group, broadcast back
+    onto the rows, INTEGER counts beyond each fence. The counts are
+    the robust part of the oracle (a row is either beyond the fence or
+    not — the quartiles are bit-identical linear interpolations of the
+    same sorted neighbors on both engines, so the fence comparison is
+    deterministic). Two passes over the group (quantile, then count) —
+    the same aggregate-then-rejoin shape as TPC-H Q17, with the
+    quartile table broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    f = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select("event_type", "value"))
+    q = f.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    return (f.join(F.broadcast(q), "event_type")
+             .groupBy("event_type")
+             .agg(r6(F.max("q1")).alias("q1"),
+                  r6(F.max("q3")).alias("q3"),
+                  F.count_if(F.col("value")
+                             < F.col("q1") - 1.5 * iqr).alias("n_low"),
+                  F.count_if(F.col("value")
+                             > F.col("q3") + 1.5 * iqr).alias("n_high")))
