@@ -2247,3 +2247,95 @@ def agg_iqr_outlier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                              < F.col("q1") - 1.5 * iqr).alias("n_low"),
                   F.count_if(F.col("value")
                              > F.col("q3") + 1.5 * iqr).alias("n_high")))
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel (conversion within a window of the trigger)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WIN_US = 3_600_000_000  # 1 hour
+
+
+@query("funnel_within_window", oracle=f"""
+WITH p AS (SELECT user_id, epoch_us(ts) AS pus,
+                  CAST(ts AS DATE) AS day, event_id
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click')
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(count_if(EXISTS (
+         SELECT 1 FROM c WHERE c.user_id = p.user_id
+           AND c.cus >= p.pus - {_FUNNEL_WIN_US} AND c.cus < p.pus))
+         AS BIGINT) AS n_converted_from_click
+FROM p GROUP BY day
+""")
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED FUNNEL: purchases preceded by a click WITHIN ONE
+    HOUR — the attribution-window semantics real marketing funnels
+    use (funnel_steps is the unconstrained ordered variant; the bound
+    changes the algebra from a window scan to an INTERVAL SEMI JOIN).
+    Implemented per the house band-join recipe on TIME: click hours
+    bucket by the window width, purchases probe bucket and bucket−1
+    (any in-window click lands in one of the two), exact time filter
+    after the equi join, semi semantics via max-flag per purchase —
+    never a per-user cross of full histories. One (user, bucket)
+    shuffle; daily rollup after."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", "event_id",
+                   F.unix_micros("ts").alias("pus"),
+                   F.col("ts").cast("date").alias("day")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("user_id").alias("cu"),
+                   F.unix_micros("ts").alias("cus")))
+    bk = lambda col: (F.col(col) / _FUNNEL_WIN_US).cast("long")  # noqa: E731
+    pb = p.withColumn("bk", F.explode(F.array(bk("pus") - 1, bk("pus"))))
+    cb = c.withColumn("bk", bk("cus"))
+    hit = (pb.join(cb, (pb.bk == cb.bk) & (pb.user_id == cb.cu)
+                   & (cb.cus >= pb.pus - _FUNNEL_WIN_US)
+                   & (cb.cus < pb.pus), "left_outer")
+             .groupBy("event_id", "day")
+             .agg(F.max(cb.cus.isNotNull().cast("int")).alias("hit")))
+    return (hit.groupBy("day")
+               .agg(F.count(F.lit(1)).alias("n_purchases"),
+                    F.sum("hit").cast("long")
+                     .alias("n_converted_from_click")))
+
+
+# ---------------------------------------------------------------------------
+# Basket pair support (order-level market basket)
+# ---------------------------------------------------------------------------
+
+@query("basket_pair_support", oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT part_a, part_b, support FROM pairs
+ORDER BY support DESC, part_a, part_b
+LIMIT 20
+""")
+def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASKET PAIR SUPPORT — the order-level market-basket sibling of
+    agg_cooccurrence_lift (which works at user level): top-20 part
+    pairs by the number of ORDERS containing both. The self-join is
+    per ORDER over the DISTINCT (order, part) table, so fan-out is
+    bounded by lines-per-order squared (~4² here, spec ~7²), never
+    lineitem² — the same reduce-before-self-join rule as the
+    co-purchase graph build. Support counts are integers; the top-20
+    cut rides a TOTAL order (support DESC, part_a, part_b) through
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_b"))
+    pairs = (op.join(b, (op.l_orderkey == b.ok)
+                     & (op.l_partkey < b.part_b))
+               .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+               .agg(F.count(F.lit(1)).alias("support")))
+    return (pairs.orderBy(F.desc("support"), "part_a", "part_b")
+                 .limit(20))
