@@ -2339,3 +2339,90 @@ def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("support")))
     return (pairs.orderBy(F.desc("support"), "part_a", "part_b")
                  .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Supervised label generation: time-to-event
+# ---------------------------------------------------------------------------
+
+@query("label_time_to_event", oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+  FROM events),
+lab AS (
+  SELECT event_id, user_id, event_type, us,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_purchase_us
+  FROM e)
+SELECT event_id,
+       CAST(next_purchase_us - us AS BIGINT) AS us_to_purchase,
+       CAST(next_purchase_us IS NOT NULL AS BOOLEAN) AS has_label
+FROM lab
+""")
+def label_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-EVENT LABEL GENERATION — for every event, microseconds
+    until the user's NEXT purchase (NULL → censored): the target
+    column every survival/propensity model trains on, built as ONE
+    forward-looking conditional window (MIN of purchase timestamps
+    over the 1-FOLLOWING→∞ frame) — no self-join, no per-user
+    collect, and the strictly-forward frame can never leak the
+    current event into its own label (the classic target-leakage
+    bug, prevented structurally). One shuffle on user_id; integer-µs
+    labels are hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("us"))
+    w = (W.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(1, W.unboundedFollowing))
+    nxt = F.min(F.when(F.col("event_type") == "purchase",
+                       F.col("us"))).over(w)
+    return (e.withColumn("next_purchase_us", nxt)
+             .select("event_id",
+                     (F.col("next_purchase_us") - F.col("us"))
+                     .cast("long").alias("us_to_purchase"),
+                     F.col("next_purchase_us").isNotNull()
+                      .alias("has_label")))
+
+
+# ---------------------------------------------------------------------------
+# Supervised label generation: future-window conversion flag
+# ---------------------------------------------------------------------------
+
+_LABEL_WIN_US = 7 * 24 * 3_600_000_000  # 7 days
+
+
+@query("label_future_conversion", oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+  FROM events)
+SELECT event_id,
+       COALESCE(CAST(MAX(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 1 FOLLOWING AND {_LABEL_WIN_US} FOLLOWING)
+         AS BIGINT), 0) AS converts_within_7d
+FROM e
+""")
+def label_future_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUTURE-WINDOW CONVERSION LABEL — for every event, does the user
+    purchase within the NEXT 7 DAYS: the binary churn/propensity
+    target, built as a RANGE-framed window over integer microseconds
+    (1 FOLLOWING → 7d FOLLOWING — the range frame is what bounds the
+    look-ahead in TIME, not rows, and the 1-µs start excludes the
+    current instant: structural leakage prevention again). Events at
+    the stream's tail are labeled with whatever horizon remains —
+    the honest-censoring caveat every label pipeline must document —
+    here every label is deterministic so the oracle pins the whole
+    column. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("us"))
+    w = (W.partitionBy("user_id").orderBy("us")
+          .rangeBetween(1, _LABEL_WIN_US))
+    flag = F.max(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0)).over(w)
+    return e.select("event_id",
+                    F.coalesce(flag.cast("long"), F.lit(0))
+                     .alias("converts_within_7d"))
