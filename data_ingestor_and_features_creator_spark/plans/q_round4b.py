@@ -2426,3 +2426,69 @@ def label_future_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id",
                     F.coalesce(flag.cast("long"), F.lit(0))
                      .alias("converts_within_7d"))
+
+
+# ---------------------------------------------------------------------------
+# Training-set builder composite (backward features + forward labels)
+# ---------------------------------------------------------------------------
+
+_D7_US = 7 * 24 * 3_600_000_000
+
+
+@query("ml_training_set_build", oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+  FROM events),
+rowsx AS (
+  SELECT event_id, user_id, event_type, us,
+         CAST(COUNT(*) OVER past AS BIGINT) AS n_events_7d,
+         CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                       THEN CAST(value AS DECIMAL(38,12))
+                       ELSE CAST(0 AS DECIMAL(38,12)) END)
+              OVER past AS DOUBLE) AS value_sum_7d,
+         COALESCE(CAST(MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END)
+              OVER fut AS BIGINT), 0) AS label_converts_7d
+  FROM e
+  WINDOW past AS (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN {_D7_US} PRECEDING AND 1 PRECEDING),
+         fut AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 1 FOLLOWING AND {_D7_US} FOLLOWING))
+SELECT event_id, n_events_7d, value_sum_7d, label_converts_7d
+FROM rowsx WHERE event_type = 'click'
+""")
+def ml_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SET BUILDER — the leakage-safe composite the label
+    family exists for: at every CLICK decision point, BACKWARD 7-day
+    features (event count, decimal-exact value sum over the RANGE
+    frame [-7d, -1µs]) and the FORWARD 7-day conversion label
+    ([+1µs, +7d]) in ONE plan. The two frames share one (user, time)
+    sort — a single Exchange feeds features AND labels — and the
+    1-µs exclusions on BOTH sides mean the current instant can leak
+    into neither direction: point-in-time correctness enforced by
+    frame boundaries instead of by review. This is the batch shape a
+    feature store materializes nightly; swap the feature expressions
+    freely, the frames do the correctness."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type", "value",
+                  F.unix_micros("ts").alias("us"))
+    past = (W.partitionBy("user_id").orderBy("us")
+             .rangeBetween(-_D7_US, -1))
+    fut = (W.partitionBy("user_id").orderBy("us")
+            .rangeBetween(1, _D7_US))
+    ok = F.col("value").isNotNull() & ~F.isnan("value")
+    vdec = (F.when(ok, F.col("value")).otherwise(0.0)
+             .cast("decimal(38,12)"))
+    out = (e.withColumn("n_events_7d",
+                        F.count(F.lit(1)).over(past))
+            .withColumn("value_sum_7d",
+                        F.sum(vdec).over(past).cast("double"))
+            .withColumn("label_converts_7d",
+                        F.coalesce(
+                            F.max(F.when(F.col("event_type") == "purchase",
+                                         1).otherwise(0)).over(fut)
+                             .cast("long"),
+                            F.lit(0))))
+    return (out.filter(F.col("event_type") == "click")
+               .select("event_id", "n_events_7d", "value_sum_7d",
+                       "label_converts_7d"))

@@ -639,3 +639,11 @@ def test_analytics_pipeline_single_user_exchange(spark, sf_dir):
     plan = _physical(QUERIES["analytics_pipeline_full"](spark, sf_dir))
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_training_set_single_user_exchange(spark, sf_dir):
+    """Backward features and forward labels must share ONE (user, time)
+    sort — a single user_id Exchange feeds both frames."""
+    plan = _physical(QUERIES["ml_training_set_build"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
