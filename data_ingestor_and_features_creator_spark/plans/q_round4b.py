@@ -2492,3 +2492,46 @@ def ml_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.filter(F.col("event_type") == "click")
                .select("event_id", "n_events_7d", "value_sum_7d",
                        "label_converts_7d"))
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-corrected categorical feature)
+# ---------------------------------------------------------------------------
+
+@query("feature_target_encoding_loo", oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id % 16 AS cat,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+g AS (SELECT cat, CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY cat)
+SELECT e.event_id, e.cat, e.y,
+       {r6_sql('CAST(g.sum_y - e.y AS DOUBLE) / (g.n - 1)')}
+         AS te_loo,
+       {r6_sql('CAST(g.sum_y AS DOUBLE) / g.n')} AS te_naive
+FROM e JOIN g USING (cat)
+""")
+def feature_target_encoding_loo(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the categorical feature that
+    tops every tabular-ML recipe AND its most famous leakage trap:
+    the naive per-category label mean INCLUDES each row's own label
+    (emitted here as te_naive so the difference is visible); the LOO
+    form subtracts it — (Σy − y)/(n−1) — from the SAME one-pass
+    group sums, broadcast back onto the rows. Integer label sums make
+    both encodings exact-rational; no per-row regrouping, no k-fold
+    re-aggregation (data_kfold_split composes on top when out-of-fold
+    encoding is wanted). One shuffle on the category key."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", (F.col("user_id") % 16).alias("cat"),
+                  F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0).alias("y"))
+    g = e.groupBy("cat").agg(F.sum("y").alias("sum_y"),
+                             F.count(F.lit(1)).alias("n"))
+    return (e.join(F.broadcast(g), "cat")
+             .select("event_id", "cat", "y",
+                     r6((F.col("sum_y") - F.col("y")).cast("double")
+                        / (F.col("n") - 1)).alias("te_loo"),
+                     r6(F.col("sum_y").cast("double") / F.col("n"))
+                      .alias("te_naive")))
