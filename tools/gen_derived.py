@@ -112,9 +112,36 @@ def gen_sf1ish_orders() -> None:
     print("wrote", path)
 
 
+def gen_sf1ish_events() -> None:
+    """10x events blow-up as INDEPENDENT replicas: replica k shifts
+    time by k*40 days (beyond the fixture's ~31-day span, so no
+    window/session/label frame can reach across replicas) and offsets
+    user/event ids into disjoint ranges - every per-user operator
+    scales 10x with bit-identical per-replica semantics."""
+    sf1 = os.path.join(OUT, "sf1ish")
+    os.makedirs(sf1, exist_ok=True)
+    path = os.path.join(sf1, "events.parquet")
+    if os.path.islink(path):
+        os.unlink(path)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT event_id + r.k * 10000000 AS event_id,
+                 ts + to_days(CAST(r.k * 40 AS INT)) AS ts,
+                 user_id + r.k * 1000000 AS user_id,
+                 event_type, value, props
+          FROM '/root/testdata/sf0.1/events.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS k) r
+        ) TO '{path}' (FORMAT PARQUET)
+    """)
+    print("wrote", path)
+
+
 if __name__ == "__main__":
     import sys as _sys
-    if "--sf1ish" in _sys.argv:
+    if "--sf1ish-events" in _sys.argv:
+        gen_sf1ish_events()
+    elif "--sf1ish" in _sys.argv:
         gen_sf1ish_documents()
     elif "--sf1ish-lineitem" in _sys.argv:
         gen_sf1ish_lineitem()
