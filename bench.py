@@ -55,6 +55,10 @@ HEADLINE = [
     # conversion stats → daily KPIs, one user_id exchange) — the
     # analytics twin of llm_prep_pipeline_full
     "analytics_pipeline_full",
+    # round-4 close: the leakage-safe training-set builder (backward
+    # RANGE features + forward RANGE label, one user exchange) — the
+    # supervised-label family's representative
+    "ml_training_set_build",
 ]
 
 
