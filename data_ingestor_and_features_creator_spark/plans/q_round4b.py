@@ -2535,3 +2535,107 @@ def feature_target_encoding_loo(spark: SparkSession,
                         / (F.col("n") - 1)).alias("te_loo"),
                      r6(F.col("sum_y").cast("double") / F.col("n"))
                       .alias("te_naive")))
+
+
+# ---------------------------------------------------------------------------
+# Rolling min/max envelope + breakout flags (Donchian channel)
+# ---------------------------------------------------------------------------
+
+@query("win_rolling_envelope", oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value, ts
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+SELECT event_id,
+       MIN(value) OVER w AS env_lo,
+       MAX(value) OVER w AS env_hi,
+       COALESCE(CAST(value > MAX(value) OVER w AS BOOLEAN), false)
+         AS breakout_hi,
+       COALESCE(CAST(value < MIN(value) OVER w AS BOOLEAN), false)
+         AS breakout_lo
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+""")
+def win_rolling_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MIN/MAX ENVELOPE with breakout flags (the Donchian
+    channel / new-high detector): per event, the 50-observation PRIOR
+    envelope and whether the current value breaks it. The frame ends
+    at 1 PRECEDING — the current value must not be inside its own
+    envelope or every point trivially 'touches' the band (the same
+    strictly-prior discipline as the label family's leakage frames).
+    min/max are order-statistics — no float accumulation at all, so
+    the envelope is hash-exact; first rows have NULL envelopes (no
+    history yet) and their flags COALESCE to false (the registry's
+    nullable-boolean house rule — Spark None vs DuckDB NaN
+    canonicalize differently). Contrast with
+    win_drawdown's unbounded running peak: this one FORGETS, which is
+    what makes it a regime detector. One user shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-50, -1))
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    return e.select(
+        "event_id", lo.alias("env_lo"), hi.alias("env_hi"),
+        F.coalesce(F.col("value") > hi, F.lit(False))
+         .alias("breakout_hi"),
+        F.coalesce(F.col("value") < lo, F.lit(False))
+         .alias("breakout_lo"))
+
+
+# ---------------------------------------------------------------------------
+# Within-document segment dedup (page-local boilerplate removal)
+# ---------------------------------------------------------------------------
+
+@query("dedup_segments_within_doc", oracle=f"""
+WITH segs AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+         array_to_string(string_split(text, ' ')
+           [u.i * 20 + 1 : u.i * 20 + 20], ' ') AS seg
+  FROM documents,
+       UNNEST(generate_series(0,
+         CAST(CEIL(len(string_split(text, ' ')) / 20.0) AS INT) - 1))
+         AS u(i)),
+first_occ AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, seg
+                            ORDER BY seg_idx) AS occ
+  FROM segs WHERE seg <> '')
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM first_occ WHERE occ = 1
+GROUP BY doc_id
+""")
+def dedup_segments_within_doc(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT segment dedup — the page-LOCAL cleaning step
+    (repeated nav blocks, duplicated paragraphs inside one page) that
+    text_segment_dedup's corpus-wide pass deliberately does not do:
+    split into 20-token segments, keep each segment's FIRST occurrence
+    within its own document, reassemble in original order. All
+    grouping keys carry doc_id, so the shuffle is (doc, segment) —
+    embarrassingly parallel across documents, no cross-document state
+    at any scale. Reassembly via ordered listagg (the house ordered-
+    aggregation rule); n_kept vs original segment count measures the
+    within-page redundancy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nseg = F.ceil(F.size(toks) / F.lit(20.0)).cast("int")
+    segs = (d.select("doc_id", toks.alias("toks"), nseg.alias("n"))
+             .select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.col("n") - 1))
+                      .alias("seg_idx"))
+             .join(d.select("doc_id", toks.alias("toks")), "doc_id")
+             .select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"),
+                     F.concat_ws(" ", F.slice(
+                         "toks", F.col("seg_idx") * 20 + 1, 20))
+                      .alias("seg"))
+             .filter(F.col("seg") != ""))
+    w = W.partitionBy("doc_id", "seg").orderBy("seg_idx")
+    first = (segs.withColumn("occ", F.row_number().over(w))
+                 .filter(F.col("occ") == 1))
+    return (first.groupBy("doc_id")
+                 .agg(F.expr("listagg(seg, ' ') WITHIN GROUP"
+                             " (ORDER BY seg_idx)").alias("dedup_text"),
+                      F.count(F.lit(1)).alias("n_kept")))
