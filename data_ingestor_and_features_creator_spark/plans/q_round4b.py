@@ -2639,3 +2639,77 @@ def dedup_segments_within_doc(spark: SparkSession,
                  .agg(F.expr("listagg(seg, ' ') WITHIN GROUP"
                              " (ORDER BY seg_idx)").alias("dedup_text"),
                       F.count(F.lit(1)).alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Total-variation drift between adjacent weeks (libm-free PSI stand-in)
+# ---------------------------------------------------------------------------
+
+@query("agg_tvd_drift", oracle=f"""
+WITH c AS (
+  SELECT date_trunc('week', ts) AS week, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY week, event_type),
+t AS (SELECT week, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY week),
+p AS (SELECT c.week, c.event_type,
+             CAST(c.n AS DOUBLE) / t.tot AS frac
+      FROM c JOIN t USING (week)),
+wk AS (SELECT DISTINCT week FROM p),
+pairs AS (
+  SELECT w1.week AS week_prev, w2.week AS week_cur
+  FROM wk w1 JOIN wk w2 ON w2.week = w1.week + INTERVAL 7 DAY),
+j AS (
+  SELECT pr.week_cur,
+         COALESCE(a.frac, 0.0) AS fa, COALESCE(b.frac, 0.0) AS fb
+  FROM pairs pr
+  JOIN (SELECT DISTINCT event_type FROM c) et ON true
+  LEFT JOIN p a ON a.week = pr.week_prev
+    AND a.event_type = et.event_type
+  LEFT JOIN p b ON b.week = pr.week_cur
+    AND b.event_type = et.event_type)
+SELECT week_cur AS week, {r6_sql('0.5 * SUM(ABS(fa - fb))')} AS tvd
+FROM j GROUP BY week_cur
+""")
+def agg_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOTAL-VARIATION DISTANCE between adjacent weeks' event-type
+    mixes — the category-drift gate run before every retrain. PSI and
+    KL need logarithms (libm → cross-engine drift, banned by the
+    house rules) and blow up on empty cells; TVD = ½·Σ|p−q| is
+    RATIONAL, bounded [0,1], and zero-cell-safe — the drift metric
+    that survives both engines and sparse categories. Weekly mix
+    tables are category-domain-sized, so the pair join is
+    dim×dim-cheap at any event volume; missing categories COALESCE to
+    0 on both sides. Fractions divide exact integer counts — IEEE
+    deterministic; r6 on the final sum."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy(F.date_trunc("week", "ts").alias("week"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("week").agg(F.sum("n").alias("tot"))
+    p = (c.join(t, "week")
+          .select("week", "event_type",
+                  (F.col("n").cast("double") / F.col("tot"))
+                  .alias("frac")))
+    wk = p.select("week").distinct()
+    pairs = (wk.alias("w1")
+               .join(wk.alias("w2"),
+                     F.col("w2.week")
+                     == F.col("w1.week") + F.expr("INTERVAL 7 DAYS"))
+               .select(F.col("w1.week").alias("week_prev"),
+                       F.col("w2.week").alias("week_cur")))
+    et = c.select("event_type").distinct()
+    a = p.select(F.col("week").alias("wa"),
+                 F.col("event_type").alias("ea"),
+                 F.col("frac").alias("fa"))
+    b = p.select(F.col("week").alias("wb"),
+                 F.col("event_type").alias("eb"),
+                 F.col("frac").alias("fb"))
+    j = (pairs.crossJoin(F.broadcast(et))
+              .join(F.broadcast(a), (F.col("wa") == F.col("week_prev"))
+                    & (F.col("ea") == F.col("event_type")), "left_outer")
+              .join(F.broadcast(b), (F.col("wb") == F.col("week_cur"))
+                    & (F.col("eb") == F.col("event_type")), "left_outer"))
+    diff = F.abs(F.coalesce(F.col("fa"), F.lit(0.0))
+                 - F.coalesce(F.col("fb"), F.lit(0.0)))
+    return (j.groupBy(F.col("week_cur").alias("week"))
+             .agg(r6(0.5 * F.sum(diff)).alias("tvd")))
