@@ -135,8 +135,14 @@ def dec12_sum_py(vals) -> float:
     ties-to-even adjustment) — equivalent to Decimal.quantize
     HALF_EVEN (property-tested incl. negatives and exact ties) and
     ~3× faster, which matters in the per-key streaming-state kernel
-    where this runs over every value."""
-    from decimal import Decimal
+    where this runs over every value.
+
+    The final DECIMAL→DOUBLE conversion goes through ``Fraction`` so
+    it is correctly rounded at ANY magnitude: float(Decimal(total)/P)
+    under the default 28-digit context would double-round once the
+    scaled sum exceeds 28 digits (~1e16 totals) and could pick a
+    different nearest double than the engines' direct cast."""
+    from fractions import Fraction
 
     P = 10**12
     total = 0
@@ -147,4 +153,4 @@ def dec12_sum_py(vals) -> float:
         if r2 > d or (r2 == d and q & 1):
             q += 1
         total += q
-    return float(Decimal(total) / P)
+    return float(Fraction(total, P))

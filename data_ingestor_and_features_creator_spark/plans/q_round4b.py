@@ -91,6 +91,7 @@ WITH s AS (
          {dsum_sql(f"CASE WHEN event_type = '{_TT_B}' THEN value * value"
                    " ELSE 0 END")} AS q2
   FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+    AND value IS NOT NULL AND NOT isnan(value)
   GROUP BY user_id % 8)
 SELECT cohort, n1, n2,
        {r6_sql('(s1 / n1 - s2 / n2) / SQRT('
@@ -113,7 +114,7 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.col("event_type") == _TT_A
     b = F.col("event_type") == _TT_B
     v = F.col("value")
-    s = (ev.filter(a | b)
+    s = (ev.filter((a | b) & v.isNotNull() & ~F.isnan(v))
            .groupBy((F.col("user_id") % 8).alias("cohort"))
            .agg(F.sum(F.when(a, 1).otherwise(0)).alias("n1"),
                 F.sum(F.when(b, 1).otherwise(0)).alias("n2"),
@@ -141,6 +142,7 @@ WITH vc AS (
               AS BIGINT) AS c1,
          CAST(COUNT(*) AS BIGINT) AS cv
   FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+    AND value IS NOT NULL AND NOT isnan(value)
   GROUP BY user_id % 8, value),
 r AS (
   SELECT cohort, c1, cv,
@@ -169,7 +171,9 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     total); one shuffle on (cohort, value), one on cohort."""
     ev = load_table(spark, sf_dir, "events")
     a = F.col("event_type") == _TT_A
-    vc = (ev.filter(a | (F.col("event_type") == _TT_B))
+    v = F.col("value")
+    vc = (ev.filter((a | (F.col("event_type") == _TT_B))
+                    & v.isNotNull() & ~F.isnan(v))
             .groupBy((F.col("user_id") % 8).alias("cohort"), "value")
             .agg(F.sum(F.when(a, 1).otherwise(0)).alias("c1"),
                  F.count(F.lit(1)).alias("cv")))
@@ -198,6 +202,7 @@ WITH vc AS (
          CAST(SUM(CASE WHEN event_type = '{_TT_B}' THEN 1 ELSE 0 END)
               AS BIGINT) AS c2
   FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+    AND value IS NOT NULL AND NOT isnan(value)
   GROUP BY user_id % 8, value),
 cum AS (
   SELECT cohort,
@@ -228,7 +233,8 @@ def agg_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = F.col("event_type") == _TT_A
     b = F.col("event_type") == _TT_B
-    vc = (ev.filter(a | b)
+    v = F.col("value")
+    vc = (ev.filter((a | b) & v.isNotNull() & ~F.isnan(v))
             .groupBy((F.col("user_id") % 8).alias("cohort"), "value")
             .agg(F.sum(F.when(a, 1).otherwise(0)).alias("c1"),
                  F.sum(F.when(b, 1).otherwise(0)).alias("c2")))
@@ -410,12 +416,19 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the scan, the split-the-line-yourself contract raw text
     implies. At 100 TB text files split by line ranges across tasks
     exactly like any other splittable source. The committed
-    tab-separated sample mirrors the sf0.001 documents table."""
+    tab-separated sample mirrors the sf0.001 documents table.
+    Malformed-line behavior: a line with no TAB is DROPPED (the
+    instr guard below), and the id parse is try_cast so a non-numeric
+    head yields NULL instead of an ANSI fault — raw crawl text always
+    contains garbage lines and a scan op must not abort on them."""
     lines = spark.read.text(_DOCS_TXT)
     tab = F.instr("value", "\t")
-    return (lines.select(
-        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
-        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"))
+    return (lines.filter(tab > 0)
+        .select(
+            F.expr("try_cast(substring_index(value, '\t', 1) AS LONG)")
+             .alias("doc_id"),
+            F.expr("substring(value, instr(value, '\t') + 1)")
+             .alias("text"))
         .withColumn("n_chars", F.length("text").cast("long")))
 
 
