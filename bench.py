@@ -85,11 +85,29 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # Round 5 (VERDICT r4 item 6): the 22-query TPC-H power total rides
+    # along as a committed metric so SQL-suite regressions are visible
+    # round-over-round, not just in BASELINE.md prose. One untimed
+    # warmup + min-of-2 per query keeps the added wall bounded (~2×
+    # the quiet power-run total).
+    tpch_ids = sorted((n for n in qs if n.startswith("sql_tpch_q")),
+                      key=lambda n: int(n.rsplit("q", 1)[1]))
+    tpch: dict[str, float] = {}
+    for name in tpch_ids:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        tpch[name] = round(best, 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tpch_power_total": round(sum(tpch.values()), 3),
+        "tpch_queries": tpch,
         "sf": sf,
     }))
     spark.stop()

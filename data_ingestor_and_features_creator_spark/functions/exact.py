@@ -32,9 +32,17 @@ four e10 sums differ by 1 ulp ≈ 4e-6 — and even the plain
 sum_base_price with no products diverges, proving the cast, not the
 summation, is the limit). No double-typed output can beat this bound
 — the information exceeds the type; the robust form at that scale is
-a DECIMAL-typed output column end-to-end, which today's pandas
-compare path degrades to float64. At the driver's sf0.01 correctness
-scale every oracle is ~100× inside the bound and stays green.
+a DECIMAL-typed output column end-to-end. ROUND 5 BUILT THAT PATH:
+sql_tpch_q1 now emits its four e10 sums as DECIMAL(38,12) (per-row
+cast routed through STRING so both engines quantize the same shortest
+round-trip representation — their DIRECT double→decimal casts
+disagree at ~1e-12/row), and the compare path keeps decimals exact
+(tests/oracle_compare.py duck_fetch fetches decimal-emitting oracles
+through Arrow; norm_cell compares >16-significant-digit decimals by
+their exact digits). Result: 22/22 TPC-H ORACLE MATCH at the 6M-row
+sf1-ish scale — the bound is closed for any op that opts into
+decimal-typed outputs. At the driver's sf0.01 correctness scale every
+double-typed oracle remains ~100× inside the bound and stays green.
 """
 
 from __future__ import annotations
@@ -71,6 +79,22 @@ def dvar_samp(col: Column | str) -> Column:
 
 def dstd_samp(col: Column | str) -> Column:
     return F.sqrt(dvar_samp(col))
+
+
+def dsum_dec(col: Column | str) -> Column:
+    """SCALE-ROBUST exact sum: DECIMAL(38,12)-typed OUTPUT (round 5).
+    Use instead of ``dsum`` when a sum can exceed a double's ~16
+    significant digits (e10 magnitude with 6 meaningful dp — see the
+    scale-limit note above): the double-typed form then diverges
+    between engines at the final DECIMAL→DOUBLE cast, while the
+    decimal-typed form compares digit-exactly at any magnitude. The
+    per-row cast routes through STRING because the engines' direct
+    double→decimal casts disagree (Spark quantizes the shortest
+    round-trip representation, DuckDB the exact binary expansion,
+    ~1e-12/row) — both engines PRINT a double as its shortest
+    round-trip form, so summing the string-cast decimals is
+    bit-identical cross-engine. Pair with ``dsum_dec_sql``."""
+    return F.sum(_c(col).cast("string").cast(DEC)).cast(DEC)
 
 
 def r6(col: Column) -> Column:
@@ -112,6 +136,12 @@ def dvar_samp_sql(expr: str) -> str:
 
 def dstd_samp_sql(expr: str) -> str:
     return f"SQRT({dvar_samp_sql(expr)})"
+
+
+def dsum_dec_sql(expr: str) -> str:
+    """DuckDB twin of ``dsum_dec`` (decimal-typed, string-routed)."""
+    return (f"CAST(SUM(CAST(CAST(({expr}) AS STRING) AS DECIMAL(38,12)))"
+            f" AS DECIMAL(38,12))")
 
 
 def r6_sql(expr: str) -> str:

@@ -185,9 +185,9 @@ pk AS (SELECT record_id, period,
               unnest(generate_series(0, 1023 // period)) * period AS peak_idx
        FROM p)
 SELECT record_id, peak_idx,
-       peak_idx * 7.8125 AS peak_ms,
-       CASE WHEN peak_idx = 0 THEN NULL
-            ELSE period * 7.8125 END AS rr_ms
+       CAST(peak_idx * 7.8125 AS DOUBLE) AS peak_ms,
+       CAST(CASE WHEN peak_idx = 0 THEN NULL
+            ELSE period * 7.8125 END AS DOUBLE) AS rr_ms
 FROM pk
 """)
 def signal_rpeak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:

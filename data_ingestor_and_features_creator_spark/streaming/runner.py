@@ -275,3 +275,97 @@ def run_tws_distinct_types(spark: SparkSession, events: DataFrame) -> DataFrame:
     return _run_tws(spark, events.select("user_id", "event_type"),
                     "tws_feed_distinct", _make_distinct_types_processor(),
                     "user_id long, n_types long")
+
+
+def run_tws_soak(spark: SparkSession, events: DataFrame,
+                 cycles: int = 4) -> list[dict]:
+    """SOAK: N kill/resume cycles over the RocksDB transformWithState
+    path — the least-exercised scale surface (VERDICT r4 item 7).
+
+    Each cycle appends one slice of the feed, then starts a FRESH
+    streaming query object (a restart: nothing from the previous
+    query survives in memory) against the SAME checkpointLocation.
+    Exactly-once across restarts requires two recoveries to compose:
+    the commit log must skip every already-processed file, and the
+    RocksDB snapshot must restore each user's ValueState so running
+    aggregates CONTINUE rather than restart from zero (undercount) or
+    re-absorb old batches (overcount). The caller asserts the latest
+    per-user emission after every cycle equals the batch answer over
+    everything fed so far — that equality is violated by either
+    failure mode.
+
+    Returns one dict per cycle: rows fed so far, latest per-user
+    snapshot rows, and the on-disk RocksDB checkpoint size (logged so
+    state growth across cycles is visible — bounded state is the
+    100 TB deployability criterion)."""
+    feed = events.select("user_id", "value", "event_id")
+    base = scratch_dir("tws_soak")
+    feed_dir = os.path.join(base, "feed")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+
+    from ..pbcompat import ensure_protobuf
+    if ensure_protobuf():
+        pp = os.environ.get("PYTHONPATH", "")
+        if pp and spark.sparkContext.environment.get("PYTHONPATH") != pp:
+            spark.sparkContext.environment["PYTHONPATH"] = pp
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    out: list[dict] = []
+    try:
+        for cycle in range(cycles):
+            (feed.filter(F.col("event_id") % cycles == cycle)
+                 .drop("event_id").coalesce(1)
+                 .write.mode("append").parquet(feed_dir))
+            stream = (spark.readStream
+                           .schema("user_id long, value double")
+                           .option("maxFilesPerTrigger", 1)
+                           .option("pathGlobFilter", "*.parquet")
+                           .parquet(feed_dir))
+            tws = (stream.groupBy("user_id")
+                         .transformWithStateInPandas(
+                             statefulProcessor=_make_running_max_processor(),
+                             outputStructType=TWS_SCHEMA,
+                             outputMode="Update",
+                             timeMode="None"))
+
+            def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(sink)
+
+            q = (tws.writeStream.foreachBatch(write_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+            from pyspark.sql import Window as W
+            w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+            latest = (spark.read.parquet(sink)
+                      .withColumn("rn", F.row_number().over(w))
+                      .filter(F.col("rn") == 1)
+                      .select("user_id", "n_events", "max_value").collect())
+            state_bytes = 0
+            state_dir = os.path.join(ckpt, "state")
+            for root, _dirs, files in os.walk(state_dir):
+                for f in files:
+                    try:
+                        state_bytes += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            out.append({
+                "cycle": cycle,
+                "rows_fed": int(feed.filter(
+                    F.col("event_id") % cycles <= cycle).count()),
+                "latest": latest,
+                "state_bytes": state_bytes,
+            })
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+    return out

@@ -12,7 +12,46 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import re
 from typing import Any
+
+_DEC_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+
+
+def duck_fetch(con, sql: str):
+    """Fetch an oracle result as pandas the way the driver does —
+    ``.df()``, where HUGEINT and DECIMAL degrade to float64 — EXCEPT
+    when the statement produces true decimal columns (scale > 0):
+    those queries fetch ONCE through Arrow so the decimal cells stay
+    exact ``decimal.Decimal`` (the pandas float64 degradation is the
+    thing that hid the DECIMAL→DOUBLE last-ulp divergence at e10
+    magnitudes, functions/exact.py). Inside the Arrow path, scale-0
+    decimal128 columns (DuckDB's HUGEINT image) are cast back to
+    float64 to keep the driver-faithful HUGEINT degradation. One
+    execution either way — two executions could interleave rows
+    differently under DuckDB's parallel hash aggregate and corrupt a
+    column-patch. Only decimal-emitting oracles see the Arrow dtype
+    mapping (dates come back as datetime.date, NULL booleans as None);
+    norm_cell canonicalizes both mappings identically for every type
+    the house rules allow in results."""
+    dec_cols = []
+    try:
+        for name, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+            m = _DEC_RE.match(typ or "")
+            if m and int(m.group(2)) > 0:
+                dec_cols.append(name)
+    except Exception:
+        dec_cols = []
+    if not dec_cols:
+        return con.execute(sql).df()
+    import pyarrow as pa
+
+    tbl = con.execute(sql).arrow()
+    pdf = tbl.to_pandas()
+    for field in tbl.schema:
+        if pa.types.is_decimal(field.type) and field.type.scale == 0:
+            pdf[field.name] = pdf[field.name].astype("float64")
+    return pdf
 
 
 def norm_cell(v: Any) -> str:
@@ -29,7 +68,23 @@ def norm_cell(v: Any) -> str:
     if isinstance(v, np.floating):
         v = float(v)
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # Exact-decimal path (round 5): a decimal whose value survives
+        # the float round-trip compares through the float pipeline (so
+        # a DECIMAL on one side can match a float64 of the same value
+        # on the other); one that does NOT fit a double (>~16
+        # significant digits — the whole point of DECIMAL-typed
+        # outputs, see functions/exact.py scale-limit note) compares
+        # by its exact normalized fixed-point digits, so engines must
+        # agree to the last decimal digit, not the last ulp.
+        # Faithful iff the float's shortest round-trip repr reproduces
+        # the decimal's value (NOT Decimal(f) == v — a double's exact
+        # binary expansion almost never equals a nice decimal like
+        # 0.025 even though the float carries full information).
+        f = float(v)
+        if math.isfinite(f) and decimal.Decimal(repr(f)) == v:
+            v = f
+        else:
+            return format(v.normalize(), "f")
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"

@@ -1,0 +1,67 @@
+"""Pins for the round-5 DECIMAL-typed output path (functions/exact.py
+scale note): decimals beyond double precision must compare by exact
+digits, while everything else keeps the driver-faithful float64
+degradation. These are the invariants that make the 22/22 sf1-ish
+TPC-H gate trustworthy."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from .oracle_compare import duck_fetch, norm_cell
+
+
+def test_norm_cell_decimal_beyond_double_is_digit_exact():
+    # 22 significant digits — a double cannot hold this; the two cells
+    # differ only past digit 16, and MUST normalize differently.
+    a = Decimal("12345678901.234567000001")
+    b = Decimal("12345678901.234567000002")
+    assert norm_cell(a) != norm_cell(b)
+    assert norm_cell(a) == "12345678901.234567000001"
+
+
+def test_norm_cell_decimal_scale_insensitive():
+    # Equal values at different declared scales normalize identically.
+    assert norm_cell(Decimal("12345678901234567.890000")) == norm_cell(
+        Decimal("12345678901234567.89"))
+
+
+def test_norm_cell_small_decimal_matches_float_pipeline():
+    # A decimal that fits a double takes the float path, so a DECIMAL
+    # on one engine can still match a float64 on the other (the mixed
+    # case every double-typed oracle relies on).
+    assert norm_cell(Decimal("5.00")) == norm_cell(5.0)
+    assert norm_cell(Decimal("123.456789")) == norm_cell(123.456789)
+
+
+def test_duck_fetch_keeps_decimal_exact_and_degrades_hugeint():
+    con = duckdb.connect()
+    sql = ("SELECT CAST('12345678901.234567000001' AS DECIMAL(38,12)) AS d,"
+           " SUM(x) AS h FROM (SELECT CAST(3 AS INTEGER) AS x) GROUP BY ALL")
+    pdf = duck_fetch(con, sql)
+    # scale>0 decimal survives as exact Decimal …
+    assert pdf["d"].iloc[0] == Decimal("12345678901.234567000001")
+    assert isinstance(pdf["d"].iloc[0], Decimal)
+    # … while the HUGEINT image (decimal128(38,0)) degrades to float64
+    # exactly like the driver's .df() path.
+    assert pdf["h"].dtype.kind == "f"
+
+
+def test_duck_fetch_plain_query_uses_df_path():
+    con = duckdb.connect()
+    pdf = duck_fetch(con, "SELECT SUM(x) AS h FROM (SELECT 3 AS x)")
+    assert pdf["h"].dtype.kind == "f"  # HUGEINT → float64 via .df()
+
+
+@pytest.mark.usefixtures()
+def test_tpch_q1_output_is_decimal_typed(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark import plans
+
+    plans.load_all()
+    df = plans.queries()["sql_tpch_q1"](spark, sf_dir)
+    types = dict(df.dtypes)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        assert types[c] == "decimal(38,12)", (c, types[c])

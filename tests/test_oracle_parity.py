@@ -7,7 +7,7 @@ import pytest
 
 from data_ingestor_and_features_creator_spark import plans
 
-from .oracle_compare import assert_same_result
+from .oracle_compare import assert_same_result, duck_fetch
 
 plans.load_all()
 _ORACLES = plans.oracles()
@@ -24,7 +24,7 @@ def test_sql_oracle_parity(name, spark, duck, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     spark_pdf = df.toPandas()
     spark_rows = list(spark_pdf.itertuples(index=False, name=None))
-    duck_pdf = duck.execute(_ORACLES[name]).df()
+    duck_pdf = duck_fetch(duck, _ORACLES[name])
     duck_cols = list(duck_pdf.columns)
     duck_rows = list(duck_pdf.itertuples(index=False, name=None))
     assert_same_result(name, list(spark_pdf.columns), spark_rows,

@@ -11,7 +11,7 @@ import duckdb
 
 from data_ingestor_and_features_creator_spark import plans
 from data_ingestor_and_features_creator_spark.session import get_spark
-from tests.oracle_compare import assert_same_result
+from tests.oracle_compare import assert_same_result, duck_fetch
 
 plans.load_all()
 sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
@@ -32,7 +32,7 @@ for name in sys.argv[1:]:
         print(f"{name}: rows-only, {n} rows, schema={df.columns}")
         continue
     spark_pdf = df.toPandas()
-    duck_pdf = duck.execute(plans.ORACLES[name]).df()
+    duck_pdf = duck_fetch(duck, plans.ORACLES[name])
     try:
         assert_same_result(
             name, list(spark_pdf.columns),

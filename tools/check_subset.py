@@ -17,7 +17,7 @@ import duckdb
 
 import __spark_entry__ as e
 from data_ingestor_and_features_creator_spark.session import get_spark
-from tests.oracle_compare import assert_same_result
+from tests.oracle_compare import assert_same_result, duck_fetch
 
 
 def main() -> int:
@@ -40,11 +40,12 @@ def main() -> int:
             spdf = sdf.toPandas()
             srows = list(spdf.itertuples(index=False, name=None))
             if name in os_:
-                # .df() (pandas), NOT fetchall(): the driver canonicalizes
-                # through pandas, where DuckDB HUGEINT becomes float64 —
-                # fetchall masks that drift (bitten twice: round-1 SUM(CASE),
-                # round-3 windowed SUM island ids).
-                dpdf = con.execute(os_[name]).df()
+                # duck_fetch = .df() (pandas), NOT fetchall(): the driver
+                # canonicalizes through pandas, where DuckDB HUGEINT becomes
+                # float64 — fetchall masks that drift (bitten twice: round-1
+                # SUM(CASE), round-3 windowed SUM island ids). Decimal-typed
+                # oracle columns alone route through Arrow to stay exact.
+                dpdf = duck_fetch(con, os_[name])
                 assert_same_result(name, list(spdf.columns), srows,
                                    list(dpdf.columns),
                                    list(dpdf.itertuples(index=False,
