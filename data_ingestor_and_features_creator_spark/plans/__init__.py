@@ -24,6 +24,10 @@ def load_all() -> None:
     from . import q_round4  # noqa: F401  (tail of the priority order)
     from . import q_tpch  # noqa: F401  (tail of the priority order)
     from . import q_round4b  # noqa: F401  (tail of the priority order)
+    # round-5 hygiene split of q_round4b (same ops, family files):
+    from . import q_cohort_stats  # noqa: F401
+    from . import q_labels_training  # noqa: F401
+    from . import q_scalar_formats  # noqa: F401
 
 
 # The driver verifies queries in dict order with a bounded per-round

@@ -395,7 +395,7 @@ def _events_pairs(spark, sf_dir):
 def test_welch_t_matches_numpy(spark, sf_dir):
     """The decimal-sum construction must agree with a straight numpy
     Welch t (ddof=1) to the emitted 6-dp round."""
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_welch_ttest)
     got = {r["cohort"]: r["t_stat"]
            for r in agg_welch_ttest(spark, sf_dir).collect()}
@@ -411,7 +411,7 @@ def test_welch_t_matches_numpy(spark, sf_dir):
 def test_mannwhitney_u_matches_naive_midranks(spark, sf_dir):
     """The tie-group cumsum construction must equal the textbook
     midrank computation done row-at-a-time in numpy."""
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_mannwhitney_u)
     got = {r["cohort"]: (r["n1"], r["n2"], r["u1"])
           for r in agg_mannwhitney_u(spark, sf_dir).collect()}
@@ -435,7 +435,7 @@ def test_mannwhitney_u_matches_naive_midranks(spark, sf_dir):
 
 def test_ks_2sample_matches_naive(spark, sf_dir):
     """D must equal the brute-force max |F1-F2| over observed values."""
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_ks_2sample)
     got = {r["cohort"]: r["ks_d"]
            for r in agg_ks_2sample(spark, sf_dir).collect()}
@@ -451,7 +451,7 @@ def test_pareto_head_boundary_is_tight(spark, sf_dir):
     """docs_to_half must be the MINIMAL head: top-k chars >= half the
     total, top-(k-1) strictly under half."""
     from data_ingestor_and_features_creator_spark.catalog import load_table
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_pareto_head)
     docs = (load_table(spark, sf_dir, "documents")
             .select("source", "n_chars", "doc_id").collect())
@@ -470,7 +470,7 @@ def test_pareto_head_boundary_is_tight(spark, sf_dir):
 def test_benford_digit_partition(spark, sf_dir):
     """Digits partition the orders; PPM shares sum to <= 1e6 (floor
     division) and within 9 ulps of it."""
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_benford_digits)
     rows = agg_benford_digits(spark, sf_dir).collect()
     assert all(1 <= r["digit"] <= 9 for r in rows)
@@ -512,7 +512,7 @@ def test_pca_top_component_matches_eigh(spark, sf_dir):
     """Power iteration must align with numpy's exact top eigenvector
     (|cos| > 0.999) and reproduce its eigenvalue."""
     from data_ingestor_and_features_creator_spark.catalog import load_table
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         vec_pca_power_iteration)
     rows = vec_pca_power_iteration(spark, sf_dir).collect()
     v = np.array([r["loading"] for r in
@@ -542,7 +542,7 @@ def test_family_histogram_accounts_for_every_doc(spark, sf_dir):
 def test_scorecard_internal_consistency(spark, sf_dir):
     """The fixture's n_chars metadata must match length(text) (drift
     count 0), and totals must be coherent."""
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_labels_training import (
         data_quality_scorecard)
     r = data_quality_scorecard(spark, sf_dir).first()
     assert r["n_len_mismatch"] == 0
@@ -553,7 +553,7 @@ def test_scorecard_internal_consistency(spark, sf_dir):
 def test_cooccurrence_lift_matches_driver_computation(spark, sf_dir):
     """Lift PPM recomputed driver-side from raw distinct sets."""
     from data_ingestor_and_features_creator_spark.catalog import load_table
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_cooccurrence_lift)
     rows = (load_table(spark, sf_dir, "events")
             .select("user_id", "event_type").distinct().collect())
@@ -622,7 +622,7 @@ def test_equiheight_histogram_invariants(spark, sf_dir):
     group row count, bins are centroid-ordered, centroids lie within
     the group's [min, max]."""
     from data_ingestor_and_features_creator_spark.catalog import load_table
-    from data_ingestor_and_features_creator_spark.plans.q_round4b import (
+    from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_histogram_equiheight)
     rows = agg_histogram_equiheight(spark, sf_dir).collect()
     ev = (load_table(spark, sf_dir, "events")
