@@ -137,9 +137,48 @@ def gen_sf1ish_events() -> None:
     print("wrote", path)
 
 
+def gen_sf3ish() -> None:
+    """30x fact blow-up (18M lineitem / 4.5M orders, FK-consistent,
+    dims shared with sf0.1 via symlink) — the THIRD point of the
+    scaling curve (sf0.1 → 10× → 30×): two decades of data growth let
+    the power-run wall be fit for super-linear terms a single blow-up
+    can hide. Same key scheme as sf1ish with stride 30. Generated,
+    not committed (testdata_derived/ is gitignored beyond samples)."""
+    sf3 = os.path.join(OUT, "sf3ish")
+    os.makedirs(sf3, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey * 30 + r.k AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus,
+                 l_shipdate
+          FROM '/root/testdata/sf0.1/lineitem.parquet',
+               (SELECT unnest(generate_series(0, 29)) AS k) r
+        ) TO '{sf3}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey * 30 + r.k AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM '/root/testdata/sf0.1/orders.parquet',
+               (SELECT unnest(generate_series(0, 29)) AS k) r
+        ) TO '{sf3}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        dst = os.path.join(sf3, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    print("wrote", sf3, "lineitem x30 / orders x30")
+
+
 if __name__ == "__main__":
     import sys as _sys
-    if "--sf1ish-events" in _sys.argv:
+    if "--sf3ish" in _sys.argv:
+        gen_sf3ish()
+    elif "--sf1ish-events" in _sys.argv:
         gen_sf1ish_events()
     elif "--sf1ish" in _sys.argv:
         gen_sf1ish_documents()
