@@ -256,3 +256,143 @@ def agg_rollup_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("l_linestatus", F.lit("ALL"))
                      .alias("linestatus"),
                     "n_items", "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation-recall audit (embedding dim-reduction quality)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+_MRL_K = 10
+
+
+def _mrl_dot_sql(a: str, b: str) -> str:
+    """Sequential-fold dot product (the q_llm._dot_sql pattern: fold
+    order fixed left-to-right on both engines → bit-identical)."""
+    return (f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+@query("vec_matryoshka_eval", oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+                  embedding[1:{_MRL_DIMS}] AS qt
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cid, embedding AS ce,
+             embedding[1:{_MRL_DIMS}] AS ct
+      FROM embeddings),
+p AS (SELECT qid, cid,
+             {_mrl_dot_sql('qe', 'ce')}
+               / (SQRT({_mrl_dot_sql('qe', 'qe')})
+                  * SQRT({_mrl_dot_sql('ce', 'ce')})) AS cos_full,
+             {_mrl_dot_sql('qt', 'ct')}
+               / (SQRT({_mrl_dot_sql('qt', 'qt')})
+                  * SQRT({_mrl_dot_sql('ct', 'ct')})) AS cos_trunc
+      FROM q, c WHERE qid <> cid),
+r AS (SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_full DESC, cid) AS rk_full,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_trunc DESC, cid) AS rk_trunc
+      FROM p)
+SELECT a.qid,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       COALESCE(MAX(a.rk_full = 1 AND b.rk_trunc = 1), false) AS top1_same
+FROM r a JOIN r b ON a.qid = b.qid AND a.cid = b.cid
+WHERE a.rk_full <= {_MRL_K} AND b.rk_trunc <= {_MRL_K}
+GROUP BY a.qid
+""")
+def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION-RECALL AUDIT — the measurement behind
+    shipping truncated (MRL-style) embeddings: for each query vector,
+    how much of the exact full-dimension cosine top-{_MRL_K} survives
+    when vectors are truncated to their first {_MRL_DIMS} dims
+    (recall@k overlap count, plus whether the top-1 neighbor is
+    preserved)? Both rankings use the sequential-fold dot product
+    (bit-identical cross-engine) with a (score desc, cid) total-order
+    tiebreak, and the OUTPUT is pure integers/booleans — overlap
+    counts — so the oracle hash never touches a float. Scale shape:
+    query side broadcast over one corpus scan (|Q|·|C| scored rows,
+    |Q| tiny), both rankings derived from the SAME scored pass; at
+    100 TB the corpus streams once and the audit costs one extra
+    column per candidate. Decide the truncation dim from THIS table,
+    not from hope."""
+    from ..operators.similarity import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") % 100 == 0)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"),
+                    F.slice("embedding", 1, _MRL_DIMS).alias("qt")))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("ce"),
+                   F.slice("embedding", 1, _MRL_DIMS).alias("ct"))
+    p = (c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+          .withColumn("cos_full",
+                      dot("qe", "ce") / (l2_norm("qe") * l2_norm("ce")))
+          .withColumn("cos_trunc",
+                      dot("qt", "ct") / (l2_norm("qt") * l2_norm("ct"))))
+    r = (p.withColumn("rk_full", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("cos_full"), F.col("cid"))))
+          .withColumn("rk_trunc", F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("cos_trunc"),
+                                         F.col("cid")))))
+    return (r.filter((F.col("rk_full") <= _MRL_K)
+                     & (F.col("rk_trunc") <= _MRL_K))
+             .groupBy("qid")
+             .agg(F.count(F.lit(1)).alias("n_overlap"),
+                  F.coalesce(F.max((F.col("rk_full") == 1)
+                                   & (F.col("rk_trunc") == 1)),
+                             F.lit(False)).alias("top1_same")))
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection (pretraining corpus routing heuristic)
+# ---------------------------------------------------------------------------
+
+_CODE_SYM_PPM = 20000  # ≥2% code-ish symbol mass → route as code
+
+
+@query("text_code_detect", oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(LENGTH(text) AS BIGINT) AS n,
+         CAST(LENGTH(text)
+              - LENGTH(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g'))
+              AS BIGINT) AS n_sym,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit
+  FROM documents WHERE LENGTH(text) > 0)
+SELECT doc_id, lang, n,
+       CAST(n_sym * 1000000 // n AS BIGINT) AS sym_ppm,
+       CAST(n_digit * 1000000 // n AS BIGINT) AS digit_ppm,
+       (n_sym * 1000000 // n) >= {_CODE_SYM_PPM} AS is_code
+FROM m
+""")
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE DETECTION — the routing heuristic a pretraining
+    pipeline applies before tokenization (code and prose want
+    different tokenizers, dedup thresholds, and mixing weights):
+    per-doc mass of code-ish symbols ({{}}()[];=<>) and digits, in
+    integer PPM (length-difference trick: LENGTH(x) − LENGTH(strip) —
+    both engines count occurrences identically, no regex-dialect
+    drift beyond the shared character class), thresholded into an
+    is_code flag. Pure scan→project→integer-arithmetic: stays inside
+    whole-stage codegen, embarrassingly parallel, and the PPM shares
+    are hash-exact by construction. The fixture corpus is prose, so
+    the gate bites on the NEGATIVE class — flags, shares, and counts
+    must all agree, not just the rare positives."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+    n_sym = (n - F.length(F.regexp_replace(
+        "text", r"[{}()\[\];=<>]", ""))).cast("long")
+    n_digit = (n - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("long")
+    m = (d.filter(F.length("text") > 0)
+          .select("doc_id", "lang", n.alias("n"),
+                  n_sym.alias("n_sym"), n_digit.alias("n_digit")))
+    sym_ppm = F.expr("BIGINT(n_sym * 1000000 div n)")
+    return m.select(
+        "doc_id", "lang", "n",
+        sym_ppm.alias("sym_ppm"),
+        F.expr("BIGINT(n_digit * 1000000 div n)").alias("digit_ppm"),
+        (sym_ppm >= _CODE_SYM_PPM).alias("is_code"))

@@ -647,3 +647,40 @@ def test_training_set_single_user_exchange(spark, sf_dir):
     plan = _physical(QUERIES["ml_training_set_build"](spark, sf_dir))
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_session_paths_single_user_exchange(spark, sf_dir):
+    """win_session_paths: sessionize -> cumsum -> rank -> per-session
+    path must all ride ONE user_id exchange; only the final path
+    rollup adds a second (tiny-key) exchange."""
+    plan = _physical(QUERIES["win_session_paths"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_snapshot_diff_is_single_join_no_python(spark, sf_dir):
+    """snapshot_diff: one FULL OUTER join on the key, pure JVM."""
+    plan = _physical(QUERIES["snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_merges_partials_map_side(spark, sf_dir):
+    """maintain_incremental_agg: both partials and the merge must be
+    hash aggregates with map-side partials (no sort-based agg, no
+    Python), and the fact is scanned with its filter pushed down."""
+    plan = _physical(QUERIES["maintain_incremental_agg"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan
+    f = _formatted(QUERIES["maintain_incremental_agg"](spark, sf_dir))
+    assert "PushedFilters: [" in f  # o_orderdate split reaches the scan
+
+
+def test_rollup_decimal_single_scan(spark, sf_dir):
+    """agg_rollup_decimal_exact: ROLLUP must expand AFTER one scan of
+    the fact (Expand node above a single parquet scan), decimal sums
+    inside hash aggregates."""
+    plan = _physical(QUERIES["agg_rollup_decimal_exact"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
