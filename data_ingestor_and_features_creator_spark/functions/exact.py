@@ -93,7 +93,17 @@ def dsum_dec(col: Column | str) -> Column:
     round-trip representation, DuckDB the exact binary expansion,
     ~1e-12/row) — both engines PRINT a double as its shortest
     round-trip form, so summing the string-cast decimals is
-    bit-identical cross-engine. Pair with ``dsum_dec_sql``."""
+    bit-identical cross-engine. Pair with ``dsum_dec_sql``.
+
+    DOMAIN BOUND (probed with 5,000 adversarial doubles,
+    tests/test_decimal_path.py): per-row values must lie in
+    ~[1e-11, 1e16]. Above ~1e17 Java 17's legacy Double.toString
+    emits non-minimal digits ('1.9999999999999998E23' where Ryu
+    prints '2e+23' — both round-trip, different decimals), and below
+    the 1e-12 quantum the engines' sub-quantum rounding differs; both
+    regimes are orders of magnitude outside any per-row fixture value
+    (prices ≤ 1e6). The SUM may exceed 1e16 freely — only the per-row
+    cast has the bound."""
     return F.sum(_c(col).cast("string").cast(DEC)).cast(DEC)
 
 

@@ -65,3 +65,39 @@ def test_tpch_q1_output_is_decimal_typed(spark, sf_dir):
     types = dict(df.dtypes)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
         assert types[c] == "decimal(38,12)", (c, types[c])
+
+
+def test_string_routed_cast_agrees_in_domain(spark, duck):
+    """The dsum_dec STRING-routed per-row cast (functions/exact.py)
+    must agree between Spark (Java 17 Double.toString) and DuckDB
+    (Ryu-style shortest repr) across the per-row domain the bound
+    documents (~[1e-11, 1e16]) — probed with deterministic
+    fixture-magnitude and adversarial values. Outside the domain the
+    KNOWN divergences are pinned (legacy toString's non-minimal
+    digits at ≥1e17; sub-quantum rounding below 1e-12) so a JDK or
+    DuckDB upgrade that moves the boundary fails loudly here."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    in_domain = ([rng.uniform(0.0001, 200000.0) for _ in range(500)]
+                 + [rng.uniform(0.9, 1.1) * 10 ** rng.randint(-6, 9)
+                    for _ in range(500)]
+                 + [0.001, 0.3, 0.1 + 0.2, 123456789.123456789,
+                    42034.26, 0.9999999999999999])
+    out_domain = [2e23, 1e23]  # legacy-toString non-minimal digits
+    vals = in_domain + out_domain
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, x double")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", F.col("x").cast("string").cast("decimal(38,12)").alias("d")
+    ).collect()}
+    mismatch = []
+    for i, v in enumerate(vals):
+        dd = duck.execute(
+            "SELECT CAST(CAST(CAST(? AS DOUBLE) AS STRING)"
+            " AS DECIMAL(38,12))", [v]).fetchone()[0]
+        if dd != got[i]:
+            mismatch.append(v)
+    assert all(v >= 1e17 for v in mismatch), mismatch[:5]
+    assert set(mismatch) == set(out_domain)  # boundary pinned
