@@ -396,3 +396,61 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym_ppm.alias("sym_ppm"),
         F.expr("BIGINT(n_digit * 1000000 div n)").alias("digit_ppm"),
         (sym_ppm >= _CODE_SYM_PPM).alias("is_code"))
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted quantiles (cumulative-weight pick; Spark has no builtin)
+# ---------------------------------------------------------------------------
+
+@query("agg_weighted_quantile", oracle="""
+WITH w AS (
+  SELECT event_type, value,
+         CAST(user_id % 5 + 1 AS BIGINT) AS wt
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+g AS (SELECT event_type, value, CAST(SUM(wt) AS BIGINT) AS wv
+      FROM w GROUP BY event_type, value),
+c AS (
+  SELECT event_type, value, wv,
+         CAST(SUM(wv) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumw,
+         CAST(SUM(wv) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+  FROM g)
+SELECT event_type,
+       CAST(MAX(totw) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cumw >= totw THEN value END) AS w_median,
+       MIN(CASE WHEN 10 * cumw >= 9 * totw THEN value END) AS w_p90
+FROM c GROUP BY event_type
+""")
+def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED QUANTILES per group — the primitive Spark has no
+    builtin for (percentile() weighs rows equally; production wants
+    importance-, duration-, or count-weighted medians): sort the
+    distinct values, window-cumsum the integer weights, and pick the
+    first value whose cumulative weight crosses q·W (the weighted
+    lower-median convention, a VALUE from the data — hash-exact, no
+    interpolation). The threshold compare is integer-only
+    (2·cumw ≥ totw, 10·cumw ≥ 9·totw) so no float division touches
+    the pick. Scalable shape: pre-aggregate per (group, value) — the
+    tie groups — so the window runs over distinct values, never raw
+    rows; shuffles on (group, value) then group, the Mann-Whitney
+    construction reused for quantiles. Weights here derive
+    deterministically from user_id (the fixture carries no weight
+    column); swap in any integer weight expression."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    w = (ev.filter(v.isNotNull() & ~F.isnan(v))
+           .select("event_type", "value",
+                   (F.col("user_id") % 5 + 1).cast("long").alias("wt")))
+    g = w.groupBy("event_type", "value").agg(F.sum("wt").alias("wv"))
+    wc = (W.partitionBy("event_type").orderBy("value")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("event_type")
+    c = (g.withColumn("cumw", F.sum("wv").over(wc))
+          .withColumn("totw", F.sum("wv").over(wall)))
+    med = F.when(2 * F.col("cumw") >= F.col("totw"), F.col("value"))
+    p90 = F.when(10 * F.col("cumw") >= 9 * F.col("totw"), F.col("value"))
+    return (c.groupBy("event_type")
+             .agg(F.max("totw").alias("total_weight"),
+                  F.min(med).alias("w_median"),
+                  F.min(p90).alias("w_p90")))
