@@ -454,3 +454,65 @@ def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.max("totw").alias("total_weight"),
                   F.min(med).alias("w_median"),
                   F.min(p90).alias("w_p90")))
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram share per document (cross-doc duplicate mass signal)
+# ---------------------------------------------------------------------------
+
+_DUPGRAM_N = 5  # 5-gram shingles — the FineWeb-style dup-mass granularity
+
+
+@query("text_dup_ngram_share", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(1, len(ts) - {_DUPGRAM_N - 1})),
+             i -> md5(array_to_string(ts[i:i+{_DUPGRAM_N - 1}], ' ')))) AS h
+  FROM tok),
+df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ndocs FROM sh GROUP BY h)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_share_ppm
+FROM sh JOIN df USING (h)
+GROUP BY sh.doc_id
+""")
+def text_dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATED N-GRAM SHARE per document — the cross-document
+    duplicate-mass quality signal (the FineWeb/RefinedWeb
+    'fraction of duplicated n-grams' metric): what share of a doc's
+    distinct {_DUPGRAM_N}-gram shingles also appear in ANY other
+    document? Distinct from text_repetition_filter (within-doc
+    repetition) and text_contamination_ngram (vs an eval set) — this
+    is the corpus-internal near-dup mass that survives exact dedup
+    and predicts low-value boilerplate. Shape: one shingle pass,
+    digest-keyed (md5 — uniform, unskewable) df count, join-back,
+    integer PPM share. At 100 TB the df table is the only shuffle
+    beyond the shingle explode, and the ndocs>=2 flag needs no
+    ordering — pure map-side-combinable counts. Docs shorter than
+    {_DUPGRAM_N} tokens contribute their single truncated shingle,
+    so every doc appears in the output (no silent drops)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_sh = F.greatest(F.lit(1), F.size("ts") - (_DUPGRAM_N - 1))
+    sh = (d.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+           .select("doc_id",
+                   F.explode(F.transform(
+                       F.sequence(F.lit(1), n_sh),
+                       lambda i: F.md5(F.concat_ws(
+                           " ", F.slice("ts", i, _DUPGRAM_N)))))
+                    .alias("h"))
+           .distinct())
+    df = sh.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (sh.join(df, "h")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   dup.alias("n_dup_grams"),
+                   F.expr(
+                       "BIGINT(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)"
+                       " * 1000000 div COUNT(*))").alias("dup_share_ppm")))
