@@ -516,3 +516,108 @@ def text_dup_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr(
                        "BIGINT(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)"
                        " * 1000000 div COUNT(*))").alias("dup_share_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MV maintenance (foreachBatch partial-merge)
+# ---------------------------------------------------------------------------
+
+@query("stream_incremental_mv", oracle=f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY o_custkey
+""")
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental materialized-view maintenance (§2.10 twin
+    of maintain_incremental_agg): 4 sequential micro-batches, each
+    merged into a versioned per-customer state table by foreachBatch —
+    prev ∪ batch partials → re-agg, decimal partials parquet-round-
+    tripped between batches so no float re-accumulation occurs. The
+    oracle is the one-shot full recompute; equality proves offset
+    bookkeeping, partial mergeability, AND the decimal-exact contract
+    survive micro-batch replay. Implementation in
+    streaming/runner.py:run_incremental_mv."""
+    from ..streaming import runner
+
+    orders = load_table(spark, sf_dir, "orders")
+    return runner.run_incremental_mv(spark, orders)
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial nearest join (bounded radius, bucket + refine)
+# ---------------------------------------------------------------------------
+
+_GRID = 50          # cell edge == search radius → 3×3 neighborhood exact
+_GRID_R2 = _GRID * _GRID
+
+
+@query("join_spatial_grid", oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS cid,
+         CAST(c_custkey * 37 % 1000 AS BIGINT) AS x,
+         CAST(c_custkey * 91 % 1000 AS BIGINT) AS y
+  FROM customer),
+qs AS (
+  SELECT s_suppkey AS qid,
+         CAST(s_suppkey * 53 % 1000 AS BIGINT) AS qx,
+         CAST(s_suppkey * 71 % 1000 AS BIGINT) AS qy
+  FROM supplier),
+cand AS (
+  SELECT qid, cid,
+         (qx - x) * (qx - x) + (qy - y) * (qy - y) AS d2
+  FROM qs JOIN pts
+    ON abs(qx // {_GRID} - x // {_GRID}) <= 1
+   AND abs(qy // {_GRID} - y // {_GRID}) <= 1
+  WHERE (qx - x) * (qx - x) + (qy - y) * (qy - y) <= {_GRID_R2}),
+r AS (SELECT qid, cid, CAST(d2 AS BIGINT) AS d2,
+             row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+      FROM cand)
+SELECT qid, cid AS nearest_cid, d2 FROM r WHERE rn = 1
+""")
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL NEAREST JOIN — the bucket-then-refine
+    shape every geo/embedding-space join uses at scale: points land
+    in {_GRID}-unit grid cells, each query probes only its 3×3 cell
+    neighborhood (cell edge == search radius {_GRID}, so any neighbor
+    within the radius is AT MOST one cell away — the correctness
+    proof of the blocking), and the exact integer squared distance
+    re-ranks candidates with a (d2, cid) total-order tiebreak.
+    Bounded-radius semantics (no match within {_GRID} → no row) is
+    the honest contract blocking can guarantee; coordinates derive
+    deterministically from the fixture keys (integer lattice — dist²
+    is exact integer arithmetic, hash-stable). Spark side joins on
+    the EXPLODED 9-cell probe list (equi-join on cell id — shuffles
+    on a uniform key) rather than the oracle's |Δcell|≤1 theta form:
+    same semantics, but the equi-join scales (the theta form would
+    BNLJ). At 100 TB: cells are the partition key; density skew is
+    handled like any hot key — split cells or salt."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pts = cust.select(
+        F.col("c_custkey").alias("cid"),
+        (F.col("c_custkey") * 37 % 1000).cast("long").alias("x"),
+        (F.col("c_custkey") * 91 % 1000).cast("long").alias("y"))
+    pts = pts.withColumn(
+        "cell", F.concat_ws(":", F.expr(f"x div {_GRID}"),
+                            F.expr(f"y div {_GRID}")))
+    qs = supp.select(
+        F.col("s_suppkey").alias("qid"),
+        (F.col("s_suppkey") * 53 % 1000).cast("long").alias("qx"),
+        (F.col("s_suppkey") * 71 % 1000).cast("long").alias("qy"))
+    probe = qs.select(
+        "qid", "qx", "qy",
+        F.explode(F.expr(
+            f"flatten(transform(sequence(-1, 1), dx -> "
+            f"transform(sequence(-1, 1), dy -> "
+            f"concat_ws(':', qx div {_GRID} + dx, qy div {_GRID} + dy))))"
+        )).alias("cell"))
+    d2 = ((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+          + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y")))
+    cand = (probe.join(pts, "cell")
+                 .withColumn("d2", d2.cast("long"))
+                 .filter(F.col("d2") <= _GRID_R2))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy("d2", "cid"))
+    return (cand.withColumn("rn", rn).filter(F.col("rn") == 1)
+                .select("qid", F.col("cid").alias("nearest_cid"), "d2"))

@@ -369,3 +369,52 @@ def run_tws_soak(spark: SparkSession, events: DataFrame,
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
     return out
+
+
+def run_incremental_mv(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """STREAMING INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the
+    streaming twin of plans.q_round5.maintain_incremental_agg: the
+    orders feed replays as 4 sequential micro-batches
+    (maxFilesPerTrigger=1) and foreachBatch merges each batch's
+    per-customer partials (count + DECIMAL(38,12) sum) into a
+    versioned state table — prev state ∪ batch partials → re-agg.
+    Decimal partials round-trip through parquet between batches, so
+    no float re-accumulation ever happens: after the last batch the
+    state equals the one-shot batch aggregate EXACTLY (the SQL oracle
+    checks the same full recompute). At scale the state table is
+    ~|keys| rows re-aggregated per batch — the rolling-rollup shape
+    with streaming progress tracking and restart-offset bookkeeping
+    for free."""
+    feed_dir = scratch_dir("mv_feed")
+    state_root = scratch_dir("mv_state")
+    o = orders.select("o_custkey", "o_totalprice")
+    o.repartition(4, "o_custkey").write.mode("overwrite").parquet(feed_dir)
+    stream = (spark.readStream.schema(o.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .option("pathGlobFilter", "*.parquet")
+                   .parquet(feed_dir))
+    holder: dict[str, str | None] = {"prev": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = (batch_df.groupBy("o_custkey")
+                     .agg(F.count(F.lit(1)).alias("pn"),
+                          F.sum(F.col("o_totalprice")
+                                 .cast("decimal(38,12)")).alias("ps")))
+        if holder["prev"] is not None:
+            prev = spark.read.parquet(holder["prev"])
+            b = (prev.unionByName(b)
+                     .groupBy("o_custkey")
+                     .agg(F.sum("pn").alias("pn"),
+                          F.sum("ps").cast("decimal(38,12)").alias("ps")))
+        path = os.path.join(state_root, f"v{batch_id}")
+        b.write.mode("overwrite").parquet(path)
+        holder["prev"] = path
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+               .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert holder["prev"] is not None
+    return (spark.read.parquet(holder["prev"])
+            .select("o_custkey",
+                    F.col("pn").alias("n_orders"),
+                    F.col("ps").cast("double").alias("total_price")))
