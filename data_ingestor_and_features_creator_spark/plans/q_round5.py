@@ -690,3 +690,62 @@ def hrv_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                   *by_alias(csi_cvi_exprs(), ["csi"])))
     tri = triangular_index(rr_from_events(spark, sf_dir))
     return agg.join(F.broadcast(tri), "record_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring decontamination (strictest eval-leak membership test)
+# ---------------------------------------------------------------------------
+
+_SUB_LEN = 40  # verbatim eval snippet length
+
+
+@query("text_decontaminate_substring", oracle=f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id,
+         substr(text, 21, {_SUB_LEN}) AS snippet
+  FROM documents
+  WHERE doc_id % 250 = 0 AND LENGTH(text) >= 20 + {_SUB_LEN}),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS n_hits
+  FROM documents d JOIN ev ON contains(d.text, ev.snippet)
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""")
+def text_decontaminate_substring(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DECONTAMINATION — the STRICTEST eval-leak test,
+    completing the three-level family: data_decontaminate catches
+    whole-document digest equality, text_contamination_ngram catches
+    shingle overlap, and THIS catches a verbatim {_SUB_LEN}-char eval
+    snippet quoted ANYWHERE inside a training doc (the form benchmark
+    answers actually leak in). Eval snippets derive deterministically
+    from every 250th doc's text (so planted positives exist: each
+    snippet's own SOURCE doc counts as a hit — real eval/train are
+    different tables, so self-exclusion is artificial, and keeping it
+    makes the positive class non-empty at EVERY scale; at the 50k-doc
+    blow-up the near-duplicate replicas add 1,983 true cross-doc
+    hits, hash-matched). Shape: the snippet table is tiny and
+    BROADCAST — the corpus never shuffles; each doc runs |evals|
+    contains() probes inside codegen (at real scale, compile the
+    snippet set into one Aho-Corasick pass via a mapInPandas kernel —
+    the plumbing is this same broadcast+scan). Every doc is emitted
+    with its hit count (negatives included — no vacuous-empty
+    oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = (d.filter((F.col("doc_id") % 250 == 0)
+                   & (F.length("text") >= 20 + _SUB_LEN))
+           .select(F.col("doc_id").alias("eval_id"),
+                   F.substring("text", 21, _SUB_LEN).alias("snippet")))
+    hits = (d.join(F.broadcast(ev),
+                   F.contains(F.col("text"), F.col("snippet")))
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (d.join(hits, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("n_hits", F.lit(0)).cast("long")
+                      .alias("n_hits"),
+                     (F.coalesce("n_hits", F.lit(0)) > 0)
+                      .alias("contaminated")))
