@@ -749,3 +749,136 @@ def text_decontaminate_substring(spark: SparkSession,
                       .alias("n_hits"),
                      (F.coalesce("n_hits", F.lit(0)) > 0)
                       .alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# Scalable exact percentile: histogram-bin pass + tiny exact refine
+# ---------------------------------------------------------------------------
+
+_PCT_BINS = 1000
+
+
+@query("agg_percentile_exact_scalable", oracle="""
+WITH v AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN 2 * rn >= n THEN value END) AS median,
+       MIN(CASE WHEN 100 * rn >= 99 * n THEN value END) AS p99
+FROM r GROUP BY event_type
+""")
+def agg_percentile_exact_scalable(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """SCALABLE EXACT PERCENTILE — the two-pass algorithm that
+    computes an EXACT median/p99 at 100 TB without ever sorting or
+    collecting the column (Spark's exact percentile() materializes
+    the group's values; this never holds more than a bin's worth):
+    PASS 1 bins values into 1000 equi-width buckets per group and
+    cumulative-sums the bin counts to locate the bucket containing
+    the target rank; PASS 2 re-scans ONLY that bucket's values (a
+    ~1/1000 sliver, filter pushed to the scan) and picks the exact
+    rank-th value by per-group rank. The oracle is the naive global
+    sort — equality proves the two-pass refinement IS the exact
+    lower-quantile (rank ⌈qN⌉, a value from the data, hash-exact).
+    Both passes are plain aggregates/filters: map-side-combinable,
+    no window over raw rows in pass 1, and pass 2's candidate set is
+    bounded by the densest bin, not the group size."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select("event_type", "value"))
+    # pass 0: per-group min/max + n (one agg) — defines the bin grid
+    g = (v.groupBy("event_type")
+          .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+               F.count(F.lit(1)).alias("n")))
+    vg = v.join(F.broadcast(g), "event_type")
+    binw = (F.col("hi") - F.col("lo")) / _PCT_BINS
+    bin_ = F.least(F.lit(_PCT_BINS - 1),
+                   F.floor((F.col("value") - F.col("lo")) / binw)
+                    .cast("long"))
+    binned = vg.withColumn(
+        "bin", F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(bin_))
+    # pass 1: bin histogram + cumulative counts locate target bins
+    hist = (binned.groupBy("event_type", "bin")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    wcum = (W.partitionBy("event_type").orderBy("bin")
+             .rowsBetween(W.unboundedPreceding, -1))
+    cum = (hist.withColumn("before", F.coalesce(F.sum("c").over(wcum),
+                                                F.lit(0)))
+               .join(F.broadcast(g.select("event_type", "n")), "event_type"))
+    targets = []
+    for name, num, den in (("median", 1, 2), ("p99", 99, 100)):
+        rank = F.ceil(F.col("n") * num / den).cast("long")
+        tb = (cum.filter((F.col("before") < rank)
+                         & (F.col("before") + F.col("c") >= rank))
+                 .select("event_type", F.col("bin").alias("tbin"),
+                         (rank - F.col("before")).alias("krank")))
+        # pass 2: exact k-th value INSIDE the one target bin per group
+        b2 = binned.select(F.col("event_type").alias("et"),
+                           F.col("bin").alias("b2bin"), "value")
+        cand = (b2.join(F.broadcast(tb),
+                        (b2.et == tb.event_type) & (b2.b2bin == tb.tbin))
+                  .select("et", "value", "krank"))
+        wr = W.partitionBy("et").orderBy("value")
+        picked = (cand.withColumn("rn", F.row_number().over(wr))
+                      .filter(F.col("rn") == F.col("krank"))
+                      .select(F.col("et").alias("event_type"),
+                              F.col("value").alias(name)))
+        targets.append(picked)
+    out = g.select("event_type", F.col("n").cast("long").alias("n"))
+    for t in targets:
+        out = out.join(t, "event_type")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic class rebalancing (cap the majority classes)
+# ---------------------------------------------------------------------------
+
+_BAL_CAP = 400
+
+
+@query("data_balanced_resample", oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(rk) AS BIGINT) AS min_rk,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+FROM r WHERE rk <= {_BAL_CAP}
+GROUP BY lang
+""")
+def data_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC CLASS REBALANCING — cap every class (language) at
+    {_BAL_CAP} docs by keeping the lowest-{_BAL_CAP} rows under a
+    HASH-derived ranking (md5 of the id: a fixed random-but-seedless
+    permutation, so the kept set is reproducible across runs, engines,
+    and cluster sizes — the RNG-free house substitute for
+    sampleBy-style class downsampling, which would differ per
+    execution). Minority classes below the cap pass through whole —
+    exactly the majority-downsampling used to de-bias a training mix.
+    The summary emitted (count + kept-id checksum per class) pins the
+    EXACT membership of the kept set, not just its size. Shape: one
+    shuffle on the class key for the rank window; at 100 TB prefer
+    the two-pass variant when classes exceed one partition's memory —
+    histogram hash-prefixes, find the cap's prefix threshold, filter
+    (the agg_percentile_exact_scalable construction applied to
+    ranks)."""
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    kept = (d.select("doc_id", "lang").withColumn("rk", rk)
+             .filter(F.col("rk") <= _BAL_CAP))
+    return (kept.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.min("rk").cast("long").alias("min_rk"),
+                     F.sum("doc_id").alias("kept_id_sum")))
