@@ -882,3 +882,107 @@ def data_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n_kept"),
                      F.min("rk").cast("long").alias("min_rk"),
                      F.sum("doc_id").alias("kept_id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: session variables / EXECUTE IMMEDIATE / scripting
+# ---------------------------------------------------------------------------
+
+@query("sql_session_variables", oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+""")
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION VARIABLES (Spark 4 `DECLARE VARIABLE` / `SET VAR`) —
+    the parameterization surface that replaces string-pasted literals
+    in orchestrated SQL: a threshold is declared once per session,
+    set, and referenced by NAME inside the query text (constant-folded
+    by Catalyst at plan time, so pushdown sees the literal). The
+    oracle inlines the same literal — equality proves variable
+    resolution is semantically invisible. DECLARE OR REPLACE keeps
+    the op idempotent in a shared session."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_price_thr DOUBLE "
+              "DEFAULT 0.0")
+    spark.sql("SET VAR sg_price_thr = 150000.0")
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               {dsum_sql('o_totalprice')} AS total_price
+        FROM orders WHERE o_totalprice > sg_price_thr
+        GROUP BY o_orderpriority""")
+
+
+@query("sql_execute_immediate", oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_orderdate >= CAST('1997-06-01' AS DATE)
+GROUP BY o_orderstatus
+""")
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL) with a USING parameter
+    — the safe form of runtime-assembled queries (the parameter rides
+    a bind marker, never string concatenation: no injection surface,
+    and the plan caches by template). The oracle runs the same query
+    with the parameter inlined; equality proves the bind path changes
+    nothing semantically. The statement text itself stays a constant
+    — only the cutoff date is late-bound."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) "
+        "AS total_price "
+        "FROM orders WHERE o_orderdate >= CAST(? AS DATE) "
+        "GROUP BY o_orderstatus' "
+        "USING '1997-06-01'")
+
+
+@query("sql_scripting_loop", oracle="""
+WITH i AS (SELECT unnest(generate_series(1, 7)) AS k)
+SELECT CAST(SUM(c) AS BIGINT) AS total
+FROM (SELECT k, (SELECT COUNT(*) FROM orders WHERE o_orderkey % k = 0)
+              AS c
+      FROM i)
+""")
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN…END procedural blocks): a WHILE
+    loop with declared local variables accumulates Σ_{k=1..7}
+    count(orders where orderkey % k = 0) — control flow lives in the
+    SQL layer itself (the orchestration-free form of driver-side
+    loops; each iteration is still a full distributed query). The
+    oracle computes the same total set-wise with a correlated
+    subquery over the k series, so the gate proves the procedural and
+    relational forms agree. Scripting is gated behind its conf, set
+    and restored around the block."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql("""
+            BEGIN
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE k INT DEFAULT 1;
+              WHILE k <= 7 DO
+                SET total = total +
+                    (SELECT COUNT(*) FROM orders WHERE o_orderkey % k = 0);
+                SET k = k + 1;
+              END WHILE;
+              SELECT total;
+            END""").toDF("total")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
