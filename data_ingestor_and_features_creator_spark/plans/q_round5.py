@@ -986,3 +986,42 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1 WITH RECURSIVE) — hierarchy closure
+# ---------------------------------------------------------------------------
+
+_RCTE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, CAST(FLOOR(cur / 10) AS BIGINT) AS cur, depth + 1
+  FROM anc WHERE cur >= 10)
+SELECT node,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(CASE WHEN cur < 10 THEN cur END) AS BIGINT) AS root
+FROM anc GROUP BY node
+"""
+
+
+@query("sql_recursive_cte", oracle=_RCTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.1 `WITH RECURSIVE`) — the LITERALLY
+    identical ANSI text runs on both engines (the sql_tpch_q1
+    dialect-pin pattern applied to recursion): every customer walks
+    its decimal-digit ancestor chain (parent = ⌊k/10⌋, a synthetic
+    but data-driven hierarchy with depth = digit count) to its
+    single-digit root, emitting per-node depth and root. Termination
+    is structural (cur strictly shrinks; recursion depth = max key
+    width ≈ 7). Engine-level recursion replaces the driver-looped
+    iterate-until-fixpoint pattern (graph_bfs_levels,
+    dedup_cluster_cc) for hierarchy walks whose depth is small and
+    uniform — each iteration is one distributed join, planned inside
+    ONE query. Integer step via CAST(FLOOR(x/10)) because Spark '/'
+    is double division and a bare CAST would round half-even in
+    DuckDB — FLOOR pins truncation on both."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL)
