@@ -1025,3 +1025,57 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return spark.sql(_RCTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Same-text SQL surface: LATERAL correlated join, GROUP BY ALL
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_mktsegment, o.o_orderkey, l.top_price
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey,
+LATERAL (SELECT MAX(o2.o_totalprice) AS top_price
+         FROM orders o2 WHERE o2.o_custkey = c.c_custkey) l
+WHERE o.o_totalprice = l.top_price
+"""
+
+
+@query("sql_lateral_join", oracle=_LATERAL_SQL)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table — one identical ANSI text on
+    both engines: for each customer, the LATERAL subquery computes
+    their max order price and the outer predicate keeps exactly the
+    argmax order rows (ties keep both — deterministic set either
+    way). Catalyst DE-CORRELATES the lateral into an aggregate +
+    join (no per-row re-execution — the plan the 100 TB run needs);
+    the dialect pin matters because LATERAL is the standard way
+    analysts express per-row top-N intent before an optimizer
+    rewrites it."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_GBA_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GBA_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the DuckDB-pioneered, Spark-4-adopted shorthand
+    that infers grouping keys from the non-aggregate select items;
+    one identical text on both engines pins that BOTH infer the same
+    key set (a silent divergence here would corrupt every downstream
+    rollup). Semantically identical plan to the explicit GROUP BY —
+    pure dialect surface."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    return spark.sql(_GBA_SQL)
