@@ -245,12 +245,18 @@ def agg_rollup_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel (the fixture flags are non-null, so the sentinel is
     unambiguous). Rollup is partial-aggregation-friendly: Spark
     expands the sets AFTER the map-side combine, so the fact is read
-    and pre-aggregated once."""
+    and pre-aggregated once — and the STRING→DECIMAL row cast is
+    PROJECTED BEFORE the rollup, so Expand replicates a computed
+    decimal value per grouping set, never the cast expression (the
+    ×|sets| recompute the first cut paid — sweep 7.3 s → warm 1.7 s
+    → this shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.rollup("l_returnflag", "l_linestatus")
+    pre = li.select("l_returnflag", "l_linestatus",
+                    rev.cast("string").cast(DEC).alias("rev_dec"))
+    return (pre.rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 dsum_dec(rev).alias("revenue"))
+                 F.sum("rev_dec").cast(DEC).alias("revenue"))
             .select(F.coalesce("l_returnflag", F.lit("ALL"))
                      .alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL"))
