@@ -1085,3 +1085,129 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir)
     return spark.sql(_GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Observation metrics / pandas-on-Spark / named params / collations
+# ---------------------------------------------------------------------------
+
+@query("api_observe_metrics", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted,
+       {dsum_sql('l_extendedprice')} AS total_price
+FROM lineitem
+""")
+def api_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVATION METRICS (`df.observe`) — Spark's built-in
+    data-quality instrumentation: named aggregate metrics piggyback
+    on a pass that is ALREADY running (here a noop materialization;
+    in production, the write job), costing zero extra scans — the
+    mechanism behind row-count/violation-count monitors on 100 TB
+    loads. The observed metrics are returned as a one-row DataFrame
+    and the oracle recomputes them as plain aggregates — equality
+    proves the observation channel reports exactly what a dedicated
+    aggregation would. The decimal-exact sum rides the same contract
+    as everywhere else (metrics that drift per run are worse than no
+    metrics)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("load_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+         .alias("n_discounted"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+         .alias("total_price"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_discounted"]),
+          float(m["total_price"]))],
+        "n_rows long, n_discounted long, total_price double")
+
+
+@query("api_pandas_on_spark", oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""")
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS API ON SPARK (`pyspark.pandas`) — the drop-in pandas
+    dialect data scientists port notebooks through: the same grouped
+    aggregation expressed as `psdf.groupby(...).agg(...)` and handed
+    back to SQL land via `to_spark()`. The oracle is the plain SQL
+    twin — equality pins that the pandas-dialect lowering produces
+    the same distributed plan semantics (integer count + sum: exact
+    in any fold order, so the API surface is tested without a float
+    wobble). One groupBy shuffle, same as the native form."""
+    import pyspark.pandas as ps
+
+    ev = load_table(spark, sf_dir, "events")
+    psdf = ev.select("event_type", "event_id").pandas_api()
+    out = (psdf.groupby("event_type", as_index=False)
+                .agg(n=("event_id", "count"), id_sum=("event_id", "sum")))
+    sdf = out.to_spark()
+    return sdf.select("event_type",
+                      F.col("n").cast("long").alias("n"),
+                      F.col("id_sum").cast("long").alias("id_sum"))
+
+
+@query("sql_named_parameters", oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_totalprice BETWEEN 100000.0 AND 200000.0
+GROUP BY o_orderpriority
+""")
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED PARAMETER MARKERS (`spark.sql(..., args={{...}})`) — the
+    API-level bind-parameter path next to EXECUTE IMMEDIATE's SQL-
+    level one: `:lo`/`:hi` markers resolve from a python dict, never
+    via string interpolation (no injection, no quoting bugs, plan
+    cached by template). Oracle inlines the same literals — the bind
+    path is semantically invisible."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE o_totalprice BETWEEN :lo AND :hi "
+        "GROUP BY o_orderpriority",
+        args={"lo": 100000.0, "hi": 200000.0})
+
+
+@query("str_collation_groupby", oracle="""
+WITH k AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+              ELSE lower(o_orderpriority) END AS pri
+  FROM orders)
+SELECT lower(pri) AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM k GROUP BY lower(pri)
+""")
+def str_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE GROUPING (Spark 4 `COLLATE UTF8_LCASE`) — the
+    engine-level answer to case-divergent keys (mixed-case priorities
+    synthesized from the fixture): grouping on a case-insensitive
+    COLLATED column merges 'URGENT' and 'urgent' WITHOUT rewriting
+    every expression through lower() — comparisons, joins, and
+    DISTINCT all follow the declared collation. The oracle is the
+    lower()-normalized twin (DuckDB's collation surface differs in
+    spelling, so the PIN is semantic: collated grouping ≡ normalized
+    grouping); the emitted key is lowercased on both sides for a
+    canonical hash."""
+    o = load_table(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderkey") % 2 == 0,
+                 F.upper("o_orderpriority")) \
+           .otherwise(F.lower("o_orderpriority"))
+    k = o.select(F.expr(
+        "CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority) "
+        "ELSE lower(o_orderpriority) END COLLATE UTF8_LCASE").alias("pri"))
+    return (k.groupBy("pri")
+             .agg(F.count(F.lit(1)).alias("n_orders"))
+             .select(F.lower(F.col("pri").cast("string"))
+                      .alias("priority"), "n_orders"))
