@@ -684,3 +684,40 @@ def test_rollup_decimal_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
     assert "HashAggregate" in plan
+
+
+def test_spatial_grid_is_equi_join_not_bnlj(spark, sf_dir):
+    """join_spatial_grid: the 3×3 probe must be a hash/SMJ equi-join
+    on the exploded cell key — never BroadcastNestedLoop/cartesian."""
+    plan = _physical(QUERIES["join_spatial_grid"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentile_scalable_refine_is_broadcast(spark, sf_dir):
+    """agg_percentile_exact_scalable: pass-2 refine joins the tiny
+    target-bin table broadcast — the corpus-side never reshuffles for
+    the refine."""
+    plan = _physical(
+        QUERIES["agg_percentile_exact_scalable"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_decontaminate_substring_broadcasts_snippets(spark, sf_dir):
+    """text_decontaminate_substring: the snippet table is broadcast;
+    the corpus never shuffles for the probe."""
+    plan = _physical(
+        QUERIES["text_decontaminate_substring"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rollup_decimal_cast_projected_before_expand(spark, sf_dir):
+    """agg_rollup_decimal_exact: the STRING→DECIMAL cast must appear
+    BELOW the Expand (projected once per row), so Expand replicates a
+    value, not the cast expression."""
+    plan = _physical(QUERIES["agg_rollup_decimal_exact"](spark, sf_dir))
+    expand_at = plan.index("Expand")
+    # the cast appears in a Project under the Expand (later in the
+    # bottom-up printed tree string = deeper operator)
+    assert "cast(" in plan[expand_at:].lower()
