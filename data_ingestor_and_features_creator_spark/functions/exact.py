@@ -43,6 +43,14 @@ their exact digits). Result: 22/22 TPC-H ORACLE MATCH at the 6M-row
 sf1-ish scale — the bound is closed for any op that opts into
 decimal-typed outputs. At the driver's sf0.01 correctness scale every
 double-typed oracle remains ~100× inside the bound and stays green.
+
+SECOND remedy (round 5, win_rolling_skew_kurt): when a >16-digit
+decimal must come back as a DOUBLE for downstream float arithmetic,
+route the DECIMAL→DOUBLE boundary through STRING as well —
+CAST(CAST(dec AS STRING) AS DOUBLE). A decimal printed to its exact
+digit string and re-parsed is correctly rounded on both engines
+(Java parseDouble and C strtod are required-correct; the direct
+casts are not — observed one ulp apart on a 17-digit x³ sum).
 """
 
 from __future__ import annotations

@@ -1211,3 +1211,149 @@ def str_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_orders"))
              .select(F.lower(F.col("pri").cast("string"))
                       .alias("priority"), "n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling skewness / kurtosis (distribution-shape drift over a window)
+# ---------------------------------------------------------------------------
+
+_RSK_W = 100  # trailing rows
+
+
+def _wsum_sql(expr: str) -> str:
+    """Windowed decimal-exact sum with STRING-routed casts on BOTH
+    boundaries (a stronger contract than dsum: the frame's power sums
+    exceed 16 significant digits at 12-dp scale, so the direct
+    DECIMAL→DOUBLE cast ALSO diverges cross-engine — observed on a
+    single-row frame: x³ at 17 digits came back one ulp apart. A
+    decimal printed to its exact digit string and re-parsed is
+    correctly rounded on both engines (Java parseDouble and C strtod
+    are both required-correct), which the direct casts are not)."""
+    return (f"CAST(CAST(SUM(CAST(CAST(({expr}) AS STRING)"
+            f" AS DECIMAL(38,12))) OVER win AS STRING) AS DOUBLE)")
+
+
+@query("win_rolling_skew_kurt", oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id, ts, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+p AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(value) OVER win AS DOUBLE) AS n,
+         {_wsum_sql('value')} AS s1,
+         {_wsum_sql('value*value')} AS s2,
+         {_wsum_sql('value*value*value')} AS s3,
+         {_wsum_sql('value*value*value*value')} AS s4
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_RSK_W - 1} PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT user_id, event_id, n,
+         s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+           * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n)
+           * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+           AS m4
+  FROM p)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+       {r6_sql('CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END')}
+         AS roll_skew,
+       {r6_sql('CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END')}
+         AS roll_kurt
+FROM m
+""")
+def win_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING SKEWNESS + EXCESS KURTOSIS over a trailing {_RSK_W}-row
+    frame per user — the distribution-SHAPE drift monitor beyond the
+    rolling mean/std pair (win_anomaly_zscore): a fattening tail or
+    growing asymmetry announces regime change before the mean moves.
+    Construction: four windowed DECIMAL-exact power sums (one Sort +
+    one frame evaluation serves all four — Spark computes them in one
+    window stage), central moments via the power-sum identities in
+    scalar double arithmetic (deterministic on identical inputs), and
+    m2^1.5 as m2·sqrt(m2) — POWER() is libm exp/ln and drifts
+    cross-engine; multiply+sqrt are IEEE-exact. Degenerate windows
+    (m2 ≤ 0: constant values) yield NULL per the house NULL-feature
+    policy. One (user) exchange; emits every row at 100 TB — thin the
+    output downstream, not the computation."""
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value")
+    v = (ev.filter(val.isNotNull() & ~F.isnan(val))
+           .select("user_id", "event_id", "ts", "value"))
+    win = (W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(-(_RSK_W - 1), W.currentRow))
+
+    def wsum(e):
+        return (F.sum(e.cast("string").cast(DEC)).over(win)
+                 .cast("string").cast("double"))
+
+    x = F.col("value")
+    p = v.select(
+        "user_id", "event_id",
+        F.count("value").over(win).cast("double").alias("n"),
+        wsum(x).alias("s1"), wsum(x * x).alias("s2"),
+        wsum(x * x * x).alias("s3"), wsum(x * x * x * x).alias("s4"))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
+    m4 = (s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n)
+          - 3 * m1 * m1 * m1 * m1)
+    from ..functions.exact import r6
+    return p.select(
+        "user_id", "event_id", n.cast("long").alias("n_window"),
+        r6(F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))).alias("roll_skew"),
+        r6(F.when(m2 > 0, m4 / (m2 * m2) - 3.0)).alias("roll_kurt"))
+
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest (WebDataset-style packaging index)
+# ---------------------------------------------------------------------------
+
+_SHARD_DOCS = 100  # docs per shard
+
+
+@query("data_shard_manifest", oracle=f"""
+WITH g AS (
+  SELECT doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+           AS global_idx
+  FROM documents)
+SELECT CAST(global_idx // {_SHARD_DOCS} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS member_digest
+FROM g GROUP BY shard_id
+""")
+def data_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD MANIFEST — the WebDataset-style packaging index
+    a loader consumes: contiguous doc ranges of {_SHARD_DOCS} docs per
+    shard (global index ÷ size — ranges, not hashes, so sequential
+    readers stream each shard with zero seeks), with per-shard counts,
+    boundary ids, byte-proxy totals, and an ORDER-PINNED member
+    digest (md5 of the comma-joined id list in doc order) that makes
+    the manifest verifiable: a loader can prove it read exactly the
+    intended members in the intended order. The global index reuses
+    the scalable two-pass construction (data_global_index) at real
+    scale; at fixture scale the window form is identical and the
+    oracle pins it. One sort-shuffle for the index, one tiny shard
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    gi = F.row_number().over(W.orderBy("doc_id")) - 1
+    g = d.select("doc_id", "n_chars", gi.cast("long").alias("global_idx"))
+    sid = F.expr(f"BIGINT(global_idx div {_SHARD_DOCS})")
+    return (g.groupBy(sid.alias("shard_id"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("doc_id").alias("first_doc"),
+                  F.max("doc_id").alias("last_doc"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.md5(F.concat_ws(",", F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("doc_id"))),
+                      lambda s: s["doc_id"].cast("string"))))
+                   .alias("member_digest")))
