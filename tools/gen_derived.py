@@ -174,9 +174,36 @@ def gen_sf3ish() -> None:
     print("wrote", sf3, "lineitem x30 / orders x30")
 
 
+def gen_sf3ish_events() -> None:
+    """30x events blow-up (3M rows) as INDEPENDENT replicas — same
+    scheme as gen_sf1ish_events (time shift beyond the fixture span +
+    disjoint id ranges per replica) with stride 30, written into the
+    sf3ish dir (replacing the symlinked sf0.1 copy) so the window /
+    session / label families get a third scale point."""
+    sf3 = os.path.join(OUT, "sf3ish")
+    os.makedirs(sf3, exist_ok=True)
+    path = os.path.join(sf3, "events.parquet")
+    if os.path.islink(path):
+        os.unlink(path)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT event_id + r.k * 10000000 AS event_id,
+                 ts + to_days(CAST(r.k * 40 AS INT)) AS ts,
+                 user_id + r.k * 1000000 AS user_id,
+                 event_type, value, props
+          FROM '/root/testdata/sf0.1/events.parquet',
+               (SELECT unnest(generate_series(0, 29)) AS k) r
+        ) TO '{path}' (FORMAT PARQUET)
+    """)
+    print("wrote", path, "events x30")
+
+
 if __name__ == "__main__":
     import sys as _sys
-    if "--sf3ish" in _sys.argv:
+    if "--sf3ish-events" in _sys.argv:
+        gen_sf3ish_events()
+    elif "--sf3ish" in _sys.argv:
         gen_sf3ish()
     elif "--sf1ish-events" in _sys.argv:
         gen_sf1ish_events()
