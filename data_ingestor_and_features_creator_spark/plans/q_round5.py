@@ -1444,3 +1444,40 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("dist", dist.cast("long"))
                 .filter(F.col("dist") <= _ED_MAX)
                 .select("a", "b", "dist"))
+
+
+# ---------------------------------------------------------------------------
+# Pipe SQL syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+@query("sql_pipe_syntax", oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-01' AS DATE) AND l_discount > 0.02
+GROUP BY l_returnflag
+""")
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE SQL SYNTAX (Spark 4 `|>` operators, the GoogleSQL-style
+    linear query form): FROM … |> WHERE … |> EXTEND … |> AGGREGATE —
+    each stage reads top-to-bottom in dataflow order instead of the
+    inside-out nesting of classic SELECT. The oracle is the classic
+    form of the same query; equality pins that the pipe parser lowers
+    to identical semantics (same filters reach the scan, same
+    decimal-exact aggregate). This is a PARSER surface — the plan is
+    the plan either way."""
+    from .q_round3 import _register_views
+
+    _register_views(spark, sf_dir)
+    return spark.sql("""
+FROM lineitem
+|> WHERE l_shipdate <= CAST('1998-09-01' AS DATE) AND l_discount > 0.02
+|> EXTEND CAST(CAST(l_extendedprice * (1 - l_discount) AS STRING)
+               AS STRING) AS _unused
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n_items, revenue
+""")
