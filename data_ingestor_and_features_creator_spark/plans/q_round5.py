@@ -1481,3 +1481,86 @@ FROM lineitem
    GROUP BY l_returnflag
 |> SELECT l_returnflag, n_items, revenue
 """)
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (state-space smoothing; Arrow kernel + recursive oracle)
+# ---------------------------------------------------------------------------
+
+_KAL_Q, _KAL_R, _KAL_P0 = 0.5, 4.0, 1.0
+
+
+def _kalman_kernel(pdf):
+    """Per-user scalar Kalman recursion (random-walk state model):
+    predict p += q; gain k = p/(p+r); update x̂ += k(z − x̂);
+    p = (1−k)p. Sequential by construction — a python loop over the
+    group's numpy arrays inside one Arrow batch (the Holt pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    z = pdf["value"].to_numpy()
+    xs = np.empty(len(z))
+    ks = np.empty(len(z))
+    if len(z):
+        x, p = z[0], _KAL_P0
+        xs[0], ks[0] = x, 0.0
+        for i in range(1, len(z)):
+            p = p + _KAL_Q
+            k = p / (p + _KAL_R)
+            x = x + k * (z[i] - x)
+            p = (1.0 - k) * p
+            xs[i], ks[i] = x, k
+    return pd.DataFrame({
+        "user_id": pdf["user_id"].to_numpy(),
+        "event_id": pdf["event_id"].to_numpy(),
+        "x_hat": xs,
+        "gain": ks,
+    })
+
+
+_KALMAN_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS z,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+k AS (
+  SELECT user_id, event_id, rn, z AS x_hat,
+         CAST({_KAL_P0} AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS gain
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         k.x_hat + ((k.p + {_KAL_Q}) / ((k.p + {_KAL_Q}) + {_KAL_R}))
+           * (b.z - k.x_hat) AS x_hat,
+         (1.0 - ((k.p + {_KAL_Q}) / ((k.p + {_KAL_Q}) + {_KAL_R})))
+           * (k.p + {_KAL_Q}) AS p,
+         ((k.p + {_KAL_Q}) / ((k.p + {_KAL_Q}) + {_KAL_R})) AS gain
+  FROM k JOIN base b ON b.user_id = k.user_id AND b.rn = k.rn + 1)
+SELECT user_id, event_id, x_hat, gain FROM k
+"""
+
+
+@query("win_kalman_filter", oracle=_KALMAN_ORACLE)
+def win_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER per user over event values (random-walk state
+    model, fixed process/measurement noise) — the state-space smoother
+    next to EWMA (fixed gain) and Holt (level+trend): the gain ADAPTS
+    over the series as the error covariance converges, which is what
+    production telemetry smoothing actually runs. Coupled (x̂, p)
+    recursion with no closed form → the honest Arrow-kernel case
+    (pre-selected 4 columns, one applyInPandas per user group), and
+    the oracle is a DuckDB RECURSIVE CTE computing the identical
+    recursion — every arithmetic step is IEEE +,·,/ in a FIXED order,
+    so the emitted floats are bit-identical cross-engine and emitted
+    UNROUNDED (the Holt house pattern). Gain sequence is emitted too:
+    its convergence to the steady-state Riccati value is the
+    filter-health signal dashboards track."""
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value")
+    return (ev.filter(val.isNotNull() & ~F.isnan(val))
+              .select("user_id", "event_id", "ts", "value")
+              .groupBy("user_id")
+              .applyInPandas(_kalman_kernel,
+                             "user_id long, event_id long, "
+                             "x_hat double, gain double"))
