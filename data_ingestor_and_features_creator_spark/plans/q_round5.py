@@ -1564,3 +1564,77 @@ def win_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
               .applyInPandas(_kalman_kernel,
                              "user_id long, event_id long, "
                              "x_hat double, gain double"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup scorecard (every dedup level's yield on one corpus, one result)
+# ---------------------------------------------------------------------------
+
+@query("dedup_scorecard", oracle=f"""
+WITH exact_d AS (
+  SELECT COUNT(*) - COUNT(DISTINCT sha256(lower(trim(text)))) AS extra
+  FROM documents),
+pfx AS (
+  SELECT COUNT(*) AS flagged FROM (
+    SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS p,
+           COUNT(*) AS n
+    FROM documents GROUP BY p HAVING COUNT(*) >= 2)),
+pfx_docs AS (
+  SELECT SUM(n) AS docs_in_families FROM (
+    SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS p,
+           COUNT(*) AS n
+    FROM documents GROUP BY p HAVING COUNT(*) >= 2)),
+sub AS (
+  SELECT COUNT(DISTINCT d.doc_id) AS flagged
+  FROM documents d
+  JOIN (SELECT doc_id AS eval_id, substr(text, 21, 40) AS snippet
+        FROM documents
+        WHERE doc_id % 250 = 0 AND LENGTH(text) >= 60) ev
+    ON contains(d.text, ev.snippet))
+SELECT 'exact_extra_copies' AS level, CAST(extra AS BIGINT) AS n
+FROM exact_d
+UNION ALL
+SELECT 'prefix_families', CAST(flagged AS BIGINT) FROM pfx
+UNION ALL
+SELECT 'prefix_family_docs', CAST(COALESCE(docs_in_families, 0) AS BIGINT)
+FROM pfx_docs
+UNION ALL
+SELECT 'substring_contaminated', CAST(flagged AS BIGINT) FROM sub
+""")
+def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP SCORECARD — the one-result summary a data lead reads
+    before choosing thresholds: how many documents would each dedup
+    level remove from THIS corpus? Levels: exact extra copies
+    (normalized sha), 10-token prefix families (count + docs
+    covered), and verbatim-snippet contamination hits — each level's
+    counting logic is the SAME construction as its dedicated operator
+    (dedup_exact / text_prefix_dup / text_decontaminate_substring),
+    so the scorecard doubles as a cross-check that the levels compose
+    on one scan pipeline. All counts integer-exact; the corpus is
+    scanned once per level (at 100 TB, fuse the digests into one
+    projection pass — each level is a different aggregate of the same
+    projected row)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact_extra = (d.select(
+        (F.count(F.lit(1))
+         - F.countDistinct(F.sha2(F.lower(F.trim("text")), 256)))
+        .alias("n")).withColumn("level", F.lit("exact_extra_copies")))
+    pfx_g = (d.select(F.md5(F.concat_ws(
+                " ", F.slice(F.split("text", " "), 1, 10))).alias("p"))
+              .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= 2))
+    pfx_fam = (pfx_g.agg(F.count(F.lit(1)).alias("n"))
+                    .withColumn("level", F.lit("prefix_families")))
+    pfx_docs = (pfx_g.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+                     .withColumn("level", F.lit("prefix_family_docs")))
+    ev = (d.filter((F.col("doc_id") % 250 == 0)
+                   & (F.length("text") >= 60))
+           .select(F.substring("text", 21, 40).alias("snippet")))
+    sub = (d.join(F.broadcast(ev),
+                  F.contains(F.col("text"), F.col("snippet")))
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .withColumn("level", F.lit("substring_contaminated")))
+    out = exact_extra
+    for part in (pfx_fam, pfx_docs, sub):
+        out = out.unionByName(part)
+    return out.select("level", F.col("n").cast("long").alias("n"))
