@@ -1638,3 +1638,73 @@ def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (pfx_fam, pfx_docs, sub):
         out = out.unionByName(part)
     return out.select("level", F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series cross-validation folds (expanding window + embargo gap)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 4
+_CV_TEST_DAYS = 3
+_CV_GAP_DAYS = 1
+
+
+@query("data_cv_time_folds", oracle=f"""
+WITH b AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events),
+f AS (SELECT unnest(generate_series(1, {_CV_FOLDS})) AS fold),
+bounds AS (
+  SELECT fold,
+         t0 + to_days(CAST(7 * fold AS INT)) AS train_end,
+         t0 + to_days(CAST(7 * fold + {_CV_GAP_DAYS} AS INT))
+           AS test_start,
+         t0 + to_days(CAST(7 * fold + {_CV_GAP_DAYS} + {_CV_TEST_DAYS}
+                           AS INT)) AS test_end
+  FROM f, b)
+SELECT fold,
+       CAST(epoch_us(train_end) AS BIGINT) AS train_end_us,
+       CAST((SELECT COUNT(*) FROM events e
+             WHERE e.ts < bounds.train_end) AS BIGINT) AS n_train,
+       CAST((SELECT COUNT(*) FROM events e
+             WHERE e.ts >= bounds.test_start
+               AND e.ts < bounds.test_end) AS BIGINT) AS n_test
+FROM bounds
+""")
+def data_cv_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES CROSS-VALIDATION FOLDS — expanding-window splits
+    with an EMBARGO gap (the walk-forward protocol that replaces
+    random k-fold whenever rows are temporally dependent: a random
+    fold leaks the future into training; the gap additionally embargos
+    rows whose label windows straddle the boundary — the
+    label_future_conversion ops here look {_CV_GAP_DAYS}+ days ahead,
+    so the gap must cover the label horizon). Fold k trains on
+    everything before t0+7k days and tests on a {_CV_TEST_DAYS}-day
+    window after the gap; emitted per fold: the boundary (µs) and
+    train/test row counts — the manifest a training loop consumes.
+    Plan: one min/max scan broadcast into a {_CV_FOLDS}-row fold
+    table, then ONE pass over the fact with per-fold conditional
+    counts (the correlated-count oracle form decorrelates to the same
+    aggregate) — never one scan per fold at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    folds = spark.range(1, _CV_FOLDS + 1).select(
+        F.col("id").cast("int").alias("fold"))
+    bounds = (folds.crossJoin(F.broadcast(b))
+              .select("fold",
+                      F.expr("t0 + make_dt_interval(7 * fold)")
+                       .alias("train_end"),
+                      F.expr(f"t0 + make_dt_interval(7 * fold"
+                             f" + {_CV_GAP_DAYS})").alias("test_start"),
+                      F.expr(f"t0 + make_dt_interval(7 * fold"
+                             f" + {_CV_GAP_DAYS} + {_CV_TEST_DAYS})")
+                       .alias("test_end")))
+    # ONE fact pass: cross the tiny fold table over events and count
+    # conditionally (broadcast side is 4 rows; Catalyst plans a BNLJ
+    # over the broadcast — |facts|·4 cheap predicate evaluations).
+    j = ev.crossJoin(F.broadcast(bounds))
+    return (j.groupBy("fold")
+             .agg(F.max(F.unix_micros("train_end")).alias("train_end_us"),
+                  F.sum(F.when(F.col("ts") < F.col("train_end"), 1)
+                         .otherwise(0)).alias("n_train"),
+                  F.sum(F.when((F.col("ts") >= F.col("test_start"))
+                               & (F.col("ts") < F.col("test_end")), 1)
+                         .otherwise(0)).alias("n_test")))
