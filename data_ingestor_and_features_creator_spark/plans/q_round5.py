@@ -1708,3 +1708,54 @@ def data_cv_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.when((F.col("ts") >= F.col("test_start"))
                                & (F.col("ts") < F.col("test_end")), 1)
                          .otherwise(0)).alias("n_test")))
+
+
+# ---------------------------------------------------------------------------
+# Multiline quoted CSV scan (embedded newlines + escaped quotes)
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+_MULTI_CSV = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "testdata_derived", "docs_multiline.csv")
+
+
+@query("scan_csv_multiline", oracle=f"""
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(text) - LENGTH(replace(text, chr(10), ''))
+            AS BIGINT) AS n_newlines,
+       md5(text) AS text_md5
+FROM read_csv('{_MULTI_CSV}', header=true, quote='"', escape='"',
+              columns={{'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                        'text': 'VARCHAR'}})
+""")
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINE QUOTED CSV — the ingest edge case that silently
+    corrupts naive readers: RFC-4180 fields with EMBEDDED NEWLINES
+    and doubled-quote escapes (the committed sample plants both).
+    Spark needs `multiLine=true` (without it every embedded newline
+    starts a bogus record) plus quote/escape set to the RFC
+    convention; the md5-of-text output hash-pins byte-exact field
+    reconstruction against DuckDB's read_csv, newline counts prove
+    the newlines survived INSIDE fields. Scale note, honest:
+    multiLine CSV is NOT line-splittable (a newline no longer bounds
+    records), so each FILE is one task — at 100 TB keep multiline
+    sources as many medium files, or convert once to parquet at the
+    ingest edge (the real fix)."""
+    df = (spark.read
+          .option("header", True)
+          .option("multiLine", True)
+          .option("quote", '"')
+          .option("escape", '"')
+          .schema("doc_id long, lang string, text string")
+          .csv(_MULTI_CSV))
+    return df.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "\n", "")))
+         .cast("long").alias("n_newlines"),
+        F.md5("text").alias("text_md5"))
