@@ -1236,7 +1236,8 @@ def _wsum_sql(expr: str) -> str:
 @query("win_rolling_skew_kurt", oracle=f"""
 WITH v AS (
   SELECT user_id, event_id, ts, value
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    AND (value = 0 OR abs(value) >= 0.001)),
 p AS (
   SELECT user_id, event_id,
          CAST(COUNT(value) OVER win AS DOUBLE) AS n,
@@ -1280,7 +1281,14 @@ def win_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     output downstream, not the computation."""
     ev = load_table(spark, sf_dir, "events")
     val = F.col("value")
-    v = (ev.filter(val.isNotNull() & ~F.isnan(val))
+    # Domain guard (ADVICE r5): the highest power routed through
+    # DECIMAL(38,12) is value^4, so |value| must stay ≥ 1e-3 (or be
+    # exactly 0) for the per-row quantum 1e-12 to hold — below that,
+    # Spark's HALF_UP and DuckDB's HALF_EVEN round the string-cast
+    # differently (the documented out-of-domain regime of dsum_dec,
+    # functions/exact.py). Identical filter text in the oracle.
+    v = (ev.filter(val.isNotNull() & ~F.isnan(val)
+                   & ((val == 0) | (F.abs(val) >= 0.001)))
            .select("user_id", "event_id", "ts", "value"))
     win = (W.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(-(_RSK_W - 1), W.currentRow))

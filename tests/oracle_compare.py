@@ -40,8 +40,16 @@ def duck_fetch(con, sql: str):
             m = _DEC_RE.match(typ or "")
             if m and int(m.group(2)) > 0:
                 dec_cols.append(name)
-    except Exception:
-        dec_cols = []
+    except Exception as exc:
+        # A DESCRIBE failure would silently downgrade a decimal-emitting
+        # oracle to the float64 .df() path — exactly the masking the
+        # exact-decimal gate exists to remove. Every house-rule oracle is
+        # a DESCRIBE-able SELECT/WITH, so this is a hard error, not a
+        # fallback (ADVICE r5).
+        raise RuntimeError(
+            f"DESCRIBE failed for oracle (decimal detection would be "
+            f"silently skipped): {exc}\nSQL: {sql[:200]}"
+        ) from exc
     if not dec_cols:
         return con.execute(sql).df()
     import pyarrow as pa

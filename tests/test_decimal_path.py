@@ -81,9 +81,9 @@ def test_string_routed_cast_agrees_in_domain(spark, duck):
     from pyspark.sql import functions as F
 
     rng = random.Random(7)
-    in_domain = ([rng.uniform(0.0001, 200000.0) for _ in range(500)]
+    in_domain = ([rng.uniform(0.0001, 200000.0) for _ in range(2500)]
                  + [rng.uniform(0.9, 1.1) * 10 ** rng.randint(-6, 9)
-                    for _ in range(500)]
+                    for _ in range(2494)]
                  + [0.001, 0.3, 0.1 + 0.2, 123456789.123456789,
                     42034.26, 0.9999999999999999])
     out_domain = [2e23, 1e23]  # legacy-toString non-minimal digits

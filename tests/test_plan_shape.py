@@ -718,6 +718,15 @@ def test_rollup_decimal_cast_projected_before_expand(spark, sf_dir):
     value, not the cast expression."""
     plan = _physical(QUERIES["agg_rollup_decimal_exact"](spark, sf_dir))
     expand_at = plan.index("Expand")
-    # the cast appears in a Project under the Expand (later in the
-    # bottom-up printed tree string = deeper operator)
-    assert "cast(" in plan[expand_at:].lower()
+    # The Expand node's OWN projection lists (printed inline on its
+    # line) must reference the precomputed rev_dec column — and must
+    # NOT contain the string→decimal cast expression itself; the cast
+    # lives in a Project strictly below Expand. This pins the
+    # 7.3 s → 1.7 s shape structurally (ADVICE r5): if the cast
+    # regresses to being replicated inside Expand, the Expand line
+    # grows a "cast(" and this fails.
+    expand_line = plan[expand_at:].splitlines()[0]
+    assert "rev_dec" in expand_line, expand_line
+    assert "cast(" not in expand_line.lower(), expand_line
+    below = plan[expand_at + len(expand_line):].lower()
+    assert "cast(" in below and "rev_dec" in below
