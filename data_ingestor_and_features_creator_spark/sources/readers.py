@@ -63,7 +63,18 @@ def parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and events_ts_is_nanos(sf_dir):
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    # Hive-partitioned layouts (testdata_derived/sf1p: the fact tables
+    # are month-partitioned directories, the realistic 100 TB landing
+    # shape) surface the partition column even when the explicit schema
+    # omits it — Spark appends discovered partition columns. Project
+    # back to the declared schema so every plan sees one table shape
+    # regardless of layout; queries that exploit the partition column
+    # (join_dpp_partitioned) read the directory directly instead.
+    declared = [f.name for f in SCHEMAS[name].fields]
+    if df.columns != declared:
+        df = df.select(*declared)
+    return df
 
 
 def csv_with_schema(spark: SparkSession, path: str, schema: T.StructType,

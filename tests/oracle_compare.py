@@ -146,3 +146,127 @@ def assert_same_result(name: str,
             f"first paired diffs: {diffs}\n"
             f"only in spark: {only_s}\nonly in duck: {only_d}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Distributed (in-engine) digest compare — the UNBOUNDED check path
+# ---------------------------------------------------------------------------
+#
+# The pandas path above routes the full result through the driver
+# (spark.driver.maxResultSize bounds it: time_bucket_gapfill's 125.8M-row
+# grid at the 30x blow-up exceeded it, BASELINE.md round-5 row). This path
+# instead computes an ORDER-INSENSITIVE 64-bit-per-row digest INSIDE each
+# engine and compares three scalars (row count, digest sum, column set):
+#
+#   row_str  = canonical VARCHAR per cell (identical formatting rules in
+#              Spark SQL and DuckDB SQL), cells joined with chr(31),
+#              columns in sorted-name order, NULL -> '<NULL>'
+#   digest   = SUM over rows of lower-64-bits(md5(row_str))
+#              - DuckDB: md5_number_lower(row_str)       (UBIGINT -> HUGEINT sum)
+#              - Spark:  conv(byte-swapped hex[17..32] of md5(row_str), 16, 10)
+#                        cast DECIMAL(20,0)              (DECIMAL(30,0) sum)
+#              byte order verified identical (probe test in
+#              tests/test_digest_compare.py); sums are exact in both engines
+#              up to ~5e10 rows (DECIMAL(30,0) / 2^64) — far beyond any
+#              fixture — so the compare never truncates or degrades.
+#
+# Both aggregations reduce to ONE row per engine; nothing scales with the
+# result size on the driver, so the check is bounded only by the engines
+# themselves. Canonicalization mirrors norm_cell: floats at 6 dp (house
+# rule: queries emit 6-dp-rounded or exact-decimal floats — ties at the
+# 7th digit cannot survive the 6-dp pre-round, so HALF_UP-vs-HALF_EVEN
+# formatter differences are unreachable), -0.0 collapsed, NaN/Inf
+# sentinels, decimals at full declared scale, dates ISO, booleans
+# lowercase. Complex types (array/map/struct) and raw timestamps raise —
+# those results are small-by-construction in the registry and use the
+# pandas path.
+
+_CHR_SEP = 31  # unit separator; cannot appear in house-rule string outputs
+
+
+def _canon_spark(col: str, dtype: str) -> str:
+    c = f"`{col}`"
+    base = dtype.split("(")[0]
+    if base in ("tinyint", "smallint", "int", "bigint", "boolean",
+                "date", "decimal"):
+        return f"CAST({c} AS STRING)"
+    if base == "string":
+        return c
+    if base in ("float", "double"):
+        d = f"CAST({c} AS DOUBLE)"
+        return (f"CASE WHEN {c} IS NULL THEN '<NULL>' "
+                f"WHEN isnan({d}) THEN '<NaN>' "
+                f"WHEN {d} = double('Infinity') THEN '<Inf>' "
+                f"WHEN {d} = double('-Infinity') THEN '<-Inf>' "
+                f"WHEN {d} = 0.0D THEN '0.000000' "
+                f"ELSE format_string('%.6f', {d}) END")
+    raise ValueError(f"digest compare: unsupported Spark type {dtype} "
+                     f"for column {col} (use the pandas path)")
+
+
+def _canon_duck(col: str, typ: str) -> str:
+    c = f'"{col}"'
+    t = typ.upper().split("(")[0].strip()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "BOOLEAN",
+             "DATE", "DECIMAL"):
+        return f"CAST({c} AS VARCHAR)"
+    if t == "VARCHAR":
+        return c
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        d = f"CAST({c} AS DOUBLE)"
+        return (f"CASE WHEN {c} IS NULL THEN '<NULL>' "
+                f"WHEN isnan({d}) THEN '<NaN>' "
+                f"WHEN {d} = 'infinity'::DOUBLE THEN '<Inf>' "
+                f"WHEN {d} = '-infinity'::DOUBLE THEN '<-Inf>' "
+                f"WHEN {d} = 0.0 THEN '0.000000' "
+                f"ELSE printf('%.6f', {d}) END")
+    raise ValueError(f"digest compare: unsupported DuckDB type {typ} "
+                     f"for column {col} (use the pandas path)")
+
+
+def spark_digest(sdf) -> tuple[int, int, list[str]]:
+    """(row_count, digest_sum, sorted_columns) computed fully in-engine;
+    only two scalars come back to the driver."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf.columns)
+    dtypes = dict(sdf.dtypes)
+    cells = [f"COALESCE({_canon_spark(c, dtypes[c])}, '<NULL>')"
+             for c in cols]
+    row = "concat_ws(chr(31), " + ", ".join(cells) + ")"
+    pairs = "||".join(f"substring(md5({row}), {i}, 2)"
+                      for i in range(31, 15, -2))
+    lo64 = f"CAST(conv(upper({pairs}), 16, 10) AS DECIMAL(20,0))"
+    out = sdf.select(F.expr(lo64).alias("h")) \
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("h").cast("decimal(38,0)").alias("d")) \
+             .collect()[0]
+    return int(out["n"]), int(out["d"] or 0), cols
+
+
+def duck_digest(con, sql: str) -> tuple[int, int, list[str]]:
+    desc = con.execute("DESCRIBE " + sql).fetchall()
+    cols = sorted(name for name, *_ in desc)
+    types = {name: typ for name, typ, *_ in desc}
+    cells = [f"COALESCE({_canon_duck(c, types[c])}, '<NULL>')"
+             for c in cols]
+    row = "concat_ws(chr(31), " + ", ".join(cells) + ")"
+    n, d = con.execute(
+        f"SELECT COUNT(*), CAST(COALESCE(SUM(md5_number_lower({row})), 0)"
+        f" AS VARCHAR) FROM ({sql}) __q"
+    ).fetchone()
+    return int(n), int(d), cols
+
+
+def assert_same_digest(name: str, sdf, con, oracle_sql: str) -> int:
+    """Unbounded order-insensitive compare; returns the row count."""
+    sn, sd, scols = spark_digest(sdf)
+    dn, dd, dcols = duck_digest(con, oracle_sql)
+    assert scols == dcols, (
+        f"{name}: column mismatch spark={scols} duck={dcols}")
+    assert sn == dn, f"{name}: row count spark={sn} duck={dn}"
+    assert sd == dd, (
+        f"{name}: digest mismatch over {sn} rows "
+        f"(spark={sd} duck={dd}) — values differ")
+    return sn

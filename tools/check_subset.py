@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """Driver-style oracle check for a subset of query ids (fast iteration).
 
-Usage: python tools/check_subset.py [sf_dir] id1 id2 ...
+Usage: python tools/check_subset.py [--digest] [sf_dir] id1 id2 ...
        python tools/check_subset.py /root/testdata/sf0.01 agg_bitmap_distinct
 If the first arg is not a path, sf_dir defaults to /root/testdata/sf0.001.
+
+--digest switches to the UNBOUNDED in-engine compare (tests/
+oracle_compare.py assert_same_digest): each engine reduces its result to
+(row count, order-insensitive md5-lo64 sum) and only those scalars reach
+the driver — nothing scales with result size, so a 125.8M-row grid
+(time_bucket_gapfill at the 30x blow-up) checks without touching
+spark.driver.maxResultSize. The default pandas path stays the
+driver-faithful one (it exercises the same .df() degradations the driver
+sees); --digest is for results too large to collect.
 """
 
 from __future__ import annotations
@@ -17,11 +26,14 @@ import duckdb
 
 import __spark_entry__ as e
 from data_ingestor_and_features_creator_spark.session import get_spark
-from tests.oracle_compare import assert_same_result, duck_fetch
+from tests.oracle_compare import (assert_same_digest, assert_same_result,
+                                  duck_fetch)
 
 
 def main() -> int:
     args = sys.argv[1:]
+    digest = "--digest" in args
+    args = [a for a in args if a != "--digest"]
     sf = "/root/testdata/sf0.001"
     if args and os.path.isdir(args[0]):
         sf, args = args[0], args[1:]
@@ -37,6 +49,13 @@ def main() -> int:
             print(name, "UNKNOWN"); fails.append(name); continue
         try:
             sdf = qs[name](spark, sf)
+            if digest:
+                if name in os_:
+                    n = assert_same_digest(name, sdf, con, os_[name])
+                    print(name, "DIGEST MATCH", n)
+                else:
+                    print(name, "rows-only", sdf.count())
+                continue
             spdf = sdf.toPandas()
             srows = list(spdf.itertuples(index=False, name=None))
             if name in os_:

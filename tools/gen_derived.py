@@ -199,6 +199,73 @@ def gen_sf3ish_events() -> None:
     print("wrote", path, "events x30")
 
 
+def gen_sf1p() -> None:
+    """sf1-equivalent fixture in the REALISTIC 100 TB landing layout:
+    the fact tables are Hive-style month-partitioned DIRECTORIES with
+    multiple files per partition, instead of one monolithic parquet
+    file per table.
+
+    - lineitem.parquet/  l_shipmonth=YYYY-MM/  (83 months x 2 slots
+      ~166 files, 6M rows total — same data as sf1ish's 10x blow-up)
+    - orders.parquet/    month=YYYY-MM/        (~80 months, 1.5M rows)
+      partition column named `month` so join_dpp_partitioned can read
+      the landing layout directly (no per-run scratch rewrite)
+    - dims + the non-TPC-H tables symlink to the sf0.1 fixtures.
+
+    Partition values travel as 'yyyy-MM' strings; the source date
+    columns stay IN the data files, so plans that never touch the
+    partition column see the exact sf1ish table shape (parquet_table
+    projects the declared schema). Written with Spark because the
+    layout (partitionBy + multi-file slots via repartition on
+    (partition, slot)) IS the thing under test: scan parallelism and
+    partition pruning must come from the directory tree, not from the
+    AQE split of one huge file. Generated, not committed
+    (testdata_derived/sf1p/ is gitignored)."""
+    import shutil
+
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys as _s
+    if sys_path_root not in _s.path:
+        _s.path.insert(0, sys_path_root)
+    from pyspark.sql import functions as F
+
+    from data_ingestor_and_features_creator_spark.session import get_spark
+
+    sf1 = os.path.join(OUT, "sf1ish")
+    for t in ("lineitem", "orders"):
+        if not os.path.exists(os.path.join(sf1, f"{t}.parquet")):
+            raise SystemExit(f"run --sf1ish-{t} first (missing {sf1}/{t})")
+    sfp = os.path.join(OUT, "sf1p")
+    if os.path.isdir(sfp):
+        shutil.rmtree(sfp)
+    os.makedirs(sfp)
+    spark = get_spark("gen_sf1p", cpus=16)
+    li = spark.read.parquet(os.path.join(sf1, "lineitem.parquet"))
+    # slot splits each month across 2 writer tasks (dropped after the
+    # repartition: a projection keeps the child's distribution, so the
+    # helper never lands in the files)
+    (li.withColumn("l_shipmonth", F.date_format("l_shipdate", "yyyy-MM"))
+       .withColumn("slot", (F.col("l_orderkey") % 2).cast("int"))
+       .repartition(64, "l_shipmonth", "slot")
+       .drop("slot")
+       .write.partitionBy("l_shipmonth")
+       .mode("overwrite").parquet(os.path.join(sfp, "lineitem.parquet")))
+    od = spark.read.parquet(os.path.join(sf1, "orders.parquet"))
+    (od.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+       .repartition(32, "month")
+       .write.partitionBy("month")
+       .mode("overwrite").parquet(os.path.join(sfp, "orders.parquet")))
+    spark.stop()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        os.symlink(f"/root/testdata/sf0.1/{t}.parquet",
+                   os.path.join(sfp, f"{t}.parquet"))
+    n_li_files = sum(len([f for f in files if f.endswith(".parquet")])
+                     for _, _, files in os.walk(
+                         os.path.join(sfp, "lineitem.parquet")))
+    print("wrote", sfp, f"lineitem files={n_li_files}")
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--sf3ish-events" in _sys.argv:
