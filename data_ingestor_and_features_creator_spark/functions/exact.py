@@ -65,21 +65,40 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _not_nan(col: Column) -> Column:
+    """NaN≡missing guard (round 6, found by the nulls fixture): the
+    engines DISAGREE on NaN meeting a decimal cast — Spark's
+    CAST(NaN AS DECIMAL) yields NULL (row silently skipped), DuckDB's
+    FAULTS the whole query. Neither is a usable semantic at 100 TB, so
+    the exact-sum family pins one explicitly: NaN is excluded like
+    NULL, on both engines, in the sum AND the matching count. The
+    guard double-casts first so int-typed inputs stay legal."""
+    return F.when(~F.isnan(col.cast("double")), col)
+
+
 def dsum(col: Column | str) -> Column:
-    """Exact sum of a double column, returned as double."""
-    return F.sum(_c(col).cast(DEC)).cast("double")
+    """Exact sum of a double column, returned as double (NaN rows
+    excluded as missing — see _not_nan)."""
+    return F.sum(_not_nan(_c(col)).cast(DEC)).cast("double")
+
+
+def dcount(col: Column | str) -> Column:
+    """COUNT matching dsum's missing-data semantics: NULL and NaN rows
+    both excluded, so mean/variance assembled from (dsum, dcount) stay
+    consistent."""
+    return F.count(_not_nan(_c(col)))
 
 
 def dmean(col: Column | str) -> Column:
     """AVG built from an exact sum (bit-stable across engines)."""
     c = _c(col)
-    return dsum(c) / F.count(c)
+    return dsum(c) / dcount(c)
 
 
 def dvar_samp(col: Column | str) -> Column:
     """Sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1)."""
     c = _c(col)
-    n = F.count(c).cast("double")
+    n = dcount(c).cast("double")
     sx = dsum(c)
     sxx = dsum(c * c)
     return (sxx - sx * sx / n) / (n - F.lit(1.0))
@@ -111,8 +130,9 @@ def dsum_dec(col: Column | str) -> Column:
     the 1e-12 quantum the engines' sub-quantum rounding differs; both
     regimes are orders of magnitude outside any per-row fixture value
     (prices ≤ 1e6). The SUM may exceed 1e16 freely — only the per-row
-    cast has the bound."""
-    return F.sum(_c(col).cast("string").cast(DEC)).cast(DEC)
+    cast has the bound. NaN rows are excluded as missing (_not_nan),
+    same as dsum."""
+    return F.sum(_not_nan(_c(col)).cast("string").cast(DEC)).cast(DEC)
 
 
 def r6(col: Column) -> Column:
@@ -138,18 +158,32 @@ def safe_div(num: Column, den: Column) -> Column:
 
 # --- DuckDB SQL twins (string builders used inside oracle queries) ---
 
+def _nn_sql(expr: str) -> str:
+    """DuckDB twin of _not_nan: NaN → NULL before any decimal cast
+    (DuckDB faults casting NaN to DECIMAL; Spark silently NULLs —
+    both engines now share the explicit NaN≡missing semantic)."""
+    return (f"CASE WHEN NOT isnan(CAST(({expr}) AS DOUBLE)) "
+            f"THEN ({expr}) END")
+
+
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE)"
+    return (f"CAST(SUM(CAST(({_nn_sql(expr)}) AS DECIMAL(38,12)))"
+            f" AS DOUBLE)")
+
+
+def dcount_sql(expr: str) -> str:
+    return f"COUNT({_nn_sql(expr)})"
 
 
 def dmean_sql(expr: str) -> str:
-    return f"({dsum_sql(expr)} / COUNT({expr}))"
+    return f"({dsum_sql(expr)} / {dcount_sql(expr)})"
 
 
 def dvar_samp_sql(expr: str) -> str:
     e = expr
+    n = f"CAST({dcount_sql(e)} AS DOUBLE)"
     return (f"(({dsum_sql(f'({e})*({e})')} - {dsum_sql(e)} * {dsum_sql(e)}"
-            f" / CAST(COUNT({e}) AS DOUBLE)) / (CAST(COUNT({e}) AS DOUBLE) - 1.0))")
+            f" / {n}) / ({n} - 1.0))")
 
 
 def dstd_samp_sql(expr: str) -> str:
@@ -157,9 +191,10 @@ def dstd_samp_sql(expr: str) -> str:
 
 
 def dsum_dec_sql(expr: str) -> str:
-    """DuckDB twin of ``dsum_dec`` (decimal-typed, string-routed)."""
-    return (f"CAST(SUM(CAST(CAST(({expr}) AS STRING) AS DECIMAL(38,12)))"
-            f" AS DECIMAL(38,12))")
+    """DuckDB twin of ``dsum_dec`` (decimal-typed, string-routed,
+    NaN≡missing)."""
+    return (f"CAST(SUM(CAST(CAST(({_nn_sql(expr)}) AS STRING)"
+            f" AS DECIMAL(38,12))) AS DECIMAL(38,12))")
 
 
 def r6_sql(expr: str) -> str:
@@ -192,9 +227,13 @@ def dec12_sum_py(vals) -> float:
     different nearest double than the engines' direct cast."""
     from fractions import Fraction
 
+    import math
+
     P = 10**12
     total = 0
     for x in vals:
+        if math.isnan(x):
+            continue  # NaN≡missing, matching dsum/_not_nan
         n, d = float(x).as_integer_ratio()
         q, r = divmod(n * P, d)
         r2 = r * 2

@@ -28,8 +28,15 @@ ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (fixture texts are single-space joined)."""
-    return F.split(col, r"\s+")
+    """Whitespace tokenization — SINGLE-SPACE split, the exact twin of
+    every oracle's ``string_split(text, ' ')``. The round-5 form split
+    on ``\\s+``, which agrees with the oracles only while the corpus is
+    single-space joined; the nulls fixture's whitespace-only documents
+    exposed the divergence (2 vs 6 pieces on ``'   \\n\\t  '``). Real
+    corpora normalize whitespace upstream (text_normalize /
+    llm_prep_pipeline_full do) — the tokenizer itself must mirror the
+    oracle bit-for-bit on ANY input."""
+    return F.split(col, " ")
 
 
 def shingles(tok: Column, k: int = 3) -> Column:

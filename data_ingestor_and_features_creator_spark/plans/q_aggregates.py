@@ -16,9 +16,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import (DEC, dmean, dmean_sql, dstd_samp, dstd_samp_sql,
-                               dsum, dsum_sql, dvar_samp, dvar_samp_sql, r6,
-                               r6_sql)
+from ..functions.exact import (DEC, dcount, dcount_sql, dmean, dmean_sql,
+                               dstd_samp, dstd_samp_sql, dsum, dsum_sql,
+                               dvar_samp, dvar_samp_sql, r6, r6_sql)
 from .registry import query
 
 
@@ -88,25 +88,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_percentile", oracle=f"""
 SELECT event_type,
-       {r6_sql('quantile_cont(value, 0.25)')} AS p25,
-       {r6_sql('quantile_cont(value, 0.50)')} AS p50,
-       {r6_sql('quantile_cont(value, 0.75)')} AS p75
+       {r6_sql('quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.25)')} AS p25,
+       {r6_sql('quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.50)')} AS p50,
+       {r6_sql('quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.75)')} AS p75
 FROM events GROUP BY event_type
 """)
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentile (median_nni analog). At 100 TB use
-    percentile_approx (t-digest) instead — exact percentile needs a
-    per-group sort; the approx form is single-pass mergeable."""
+    """Exact interpolated percentile (median_nni analog). NaN is
+    mapped to NULL inside the quantile argument (round 6, nulls
+    fixture): the engines ORDER NaN differently (Spark sorts it
+    greatest, DuckDB's quantile_cont propagates it), while both skip
+    NULLs identically — and the group row survives even if every value
+    is NaN. At 100 TB use percentile_approx (t-digest) instead — exact
+    percentile needs a per-group sort; the approx form is single-pass
+    mergeable."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        r6(F.expr("percentile(value, 0.25)")).alias("p25"),
-        r6(F.expr("percentile(value, 0.50)")).alias("p50"),
-        r6(F.expr("percentile(value, 0.75)")).alias("p75"),
+        r6(F.expr("percentile(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.25)")).alias("p25"),
+        r6(F.expr("percentile(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.50)")).alias("p50"),
+        r6(F.expr("percentile(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.75)")).alias("p75"),
     )
 
 
 def _moments(x: Column) -> dict[str, Column]:
-    n = F.count(x).cast("double")
+    n = dcount(x).cast("double")
     s1, s2 = dsum(x), dsum(x * x)
     s3, s4 = dsum(x * x * x), dsum(x * x * x * x)
     mu = s1 / n
@@ -117,7 +122,7 @@ def _moments(x: Column) -> dict[str, Column]:
 
 
 def _moments_sql(x: str) -> dict[str, str]:
-    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    n = f"CAST({dcount_sql(x)} AS DOUBLE)"
     s1, s2 = dsum_sql(x), dsum_sql(f"({x})*({x})")
     s3 = dsum_sql(f"({x})*({x})*({x})")
     s4 = dsum_sql(f"({x})*({x})*({x})*({x})")
@@ -210,10 +215,15 @@ _MX = _moments_sql("value")
 _CORR_N = "CAST(COUNT(*) AS DOUBLE)"
 
 @query("agg_corr_covar", oracle=f"""
-WITH j AS (
+WITH j0 AS (
   SELECT event_type, value,
          CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
   FROM events
+),
+j AS (
+  SELECT * FROM j0
+  WHERE value IS NOT NULL AND k IS NOT NULL
+    AND NOT isnan(value) AND NOT isnan(k)
 )
 SELECT event_type,
   {r6_sql(f"(({dsum_sql('value * k')} - {dsum_sql('value')} * {dsum_sql('k')} / {_CORR_N})"
@@ -224,11 +234,19 @@ FROM j GROUP BY event_type
 """)
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation / sample covariance (Poincaré-geometry
-    dependency, SURVEY.md §2.4) from exact sums."""
+    dependency, SURVEY.md §2.4) from exact sums. PAIRWISE-COMPLETE
+    semantics (round 6, nulls fixture): a row enters the statistics
+    only when BOTH coordinates are present and finite — the mixed
+    regime (NaN v against a counted k) made the marginal sums and the
+    shared n inconsistent between engines. Identical filter text in
+    the oracle."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value",
         F.get_json_object("props", "$.k").cast("double").alias("k"),
     )
+    v, k = F.col("value"), F.col("k")
+    ev = ev.filter(v.isNotNull() & k.isNotNull()
+                   & ~F.isnan(v) & ~F.isnan(k))
     n = F.count(F.lit(1)).cast("double")
     sv, sk, svk = dsum("value"), dsum("k"), dsum(F.col("value") * F.col("k"))
     mv = _moments(F.col("value"))["m2"]

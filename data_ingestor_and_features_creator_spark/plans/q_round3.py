@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import DEC, dsum
+from ..functions.exact import DEC, dsum, dsum_dec, dsum_dec_sql
 from .registry import query, scratch_dir
 
 
@@ -383,12 +383,12 @@ def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dynamic partition pruning over a partitioned fact table
 # ---------------------------------------------------------------------------
 
-@query("join_dpp_partitioned", oracle="""
+@query("join_dpp_partitioned", oracle=f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS revenue
+       {dsum_dec_sql('o_totalprice')} AS revenue
 FROM orders
-WHERE strftime(o_orderdate, '%Y-%m') <= '2024-03'
+WHERE strftime(o_orderdate, '%Y-%m') <= '1996-12'
 GROUP BY month
 """)
 def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,24 +398,33 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim side's month filter is turned into a subquery predicate on the
     fact's partition column, so unneeded months are never read even
     though the month list is only known after planning. The dim here is
-    the distinct-month table filtered to Q1; the plan-shape test
-    asserts `dynamicpruning` appears in the physical plan and the scan
-    reads ≤ the selected partitions. The oracle computes the same
-    monthly rollup straight from raw orders — a hash match proves
+    the distinct-month table filtered to the first two fixture years
+    (24 of ~80 months — a REAL prune: the scan reads ≤30% of the
+    partitions; the round-5 cutoff of '2024-03' was vacuous against the
+    1995–2001 order span and pruned nothing). When the sf_dir already
+    ships the landing layout (testdata_derived/sf1p: orders.parquet/ is
+    a month=YYYY-MM directory tree), it is read DIRECTLY — no per-run
+    scratch rewrite; single-file fixtures fall back to writing the
+    partitioned copy once into scratch. The plan-shape test asserts
+    `dynamicpruning` appears in the physical plan; the oracle computes
+    the same rollup straight from raw orders — a hash match proves
     pruning dropped no qualifying rows. Partition values travel as
     'yyyy-MM' strings (stable across engines and directory encoding)."""
-    orders = load_table(spark, sf_dir, "orders")
-    fact_dir = os.path.join(scratch_dir("dpp"), "orders_by_month")
-    (orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
-           .write.partitionBy("month").mode("overwrite").parquet(fact_dir))
-    fact = spark.read.parquet(fact_dir)
+    fixture_dir = os.path.join(sf_dir, "orders.parquet")
+    if os.path.isdir(fixture_dir):
+        fact = spark.read.parquet(fixture_dir)
+    else:
+        orders = load_table(spark, sf_dir, "orders")
+        fact_dir = os.path.join(scratch_dir("dpp"), "orders_by_month")
+        (orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+               .write.partitionBy("month").mode("overwrite").parquet(fact_dir))
+        fact = spark.read.parquet(fact_dir)
     months = (fact.select("month").distinct()
-                  .filter(F.col("month") <= "2024-03"))
+                  .filter(F.col("month") <= "1996-12"))
     joined = fact.join(F.broadcast(months), "month")
     return (joined.groupBy("month")
                   .agg(F.count(F.lit(1)).alias("n_orders"),
-                       F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
-                        .cast("double").alias("revenue")))
+                       dsum_dec("o_totalprice").alias("revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -1206,11 +1215,12 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_mad_robust", oracle="""
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type
 ), dev AS (
   SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
   FROM events e JOIN med m ON e.event_type = m.event_type
-  WHERE e.value IS NOT NULL
+  WHERE e.value IS NOT NULL AND NOT isnan(e.value)
 )
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        MAX(med) AS median_value,
@@ -1231,7 +1241,7 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx (agg_percentile_approx's t-digest path) — the
     plan shape is unchanged."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"))
     dev = (ev.join(F.broadcast(med), "event_type")
@@ -2031,7 +2041,8 @@ WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rk
-  FROM events WHERE value IS NOT NULL AND value >= 0
+  FROM events
+  WHERE value IS NOT NULL AND value >= 0 AND NOT isnan(value)
 ), s AS (
   SELECT event_type,
          CAST(COUNT(*) AS DOUBLE) AS n,
@@ -2057,7 +2068,8 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     published at 6 dp. One window + one aggregate on the same
     event_type partitioning."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull() & (F.col("value") >= 0)))
+          .filter(F.col("value").isNotNull() & (F.col("value") >= 0)
+                  & ~F.isnan("value")))
     w = W.partitionBy("event_type").orderBy("value", "event_id")
     r = ev.select("event_type", "value",
                   F.row_number().over(w).alias("rk"))
@@ -2142,7 +2154,8 @@ def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins at scale. Non-overlap makes each row match exactly one band,
     so counts partition the input; DECIMAL-exact value sums."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull() & (F.col("value") >= 0)))
+          .filter(F.col("value").isNotNull() & (F.col("value") >= 0)
+                  & ~F.isnan("value")))
     tiers = spark.createDataFrame(
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
         "tier string, lo double, hi double")
@@ -2379,7 +2392,7 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          AS harmonic_mean,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS arithmetic_mean
-FROM events WHERE value > 0 GROUP BY event_type
+FROM events WHERE value > 0 AND NOT isnan(value) GROUP BY event_type
 """)
 def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARMONIC MEAN per group — the correct average for RATES, and the
@@ -2392,7 +2405,8 @@ def agg_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles — emitted beside the arithmetic mean so the Jensen gap
     (harmonic ≤ arithmetic) is visible in the result. One hash
     aggregate, map-side partials."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") > 0) & ~F.isnan("value"))
     n = F.count(F.lit(1))
     sr = F.sum((F.lit(1.0) / F.col("value")).cast(DEC)).cast("double")
     sx = F.sum(F.col("value").cast(DEC)).cast("double")

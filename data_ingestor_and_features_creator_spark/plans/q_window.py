@@ -506,6 +506,7 @@ WITH f AS (
          CAST(SUM(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
          CAST(COUNT(value) OVER w AS DOUBLE) AS n
   FROM events
+  WHERE value IS NULL OR NOT isnan(value)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
 SELECT event_id, user_id,
@@ -533,6 +534,10 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB .df() turns it into float NaN — observed mismatch), and
     'not yet enough baseline' is honestly 'not an anomaly'."""
     ev, w = _w(spark, sf_dir)
+    # NaN readings are unscoreable and must not poison neighbors'
+    # baselines (round 6, nulls fixture); NULL rows keep their
+    # original pass-through behavior. Identical filter in the oracle.
+    ev = ev.filter(F.col("value").isNull() | ~F.isnan("value"))
     frame = w.rowsBetween(-20, -1)
     sx = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
     sxx = (F.sum((F.col("value") * F.col("value")).cast(DEC))

@@ -1,0 +1,101 @@
+"""NULL/NaN hardening gate (VERDICT r5 ask 5).
+
+Runs the float-aggregate, window, and text families against
+``testdata_derived/nulls`` — the sf0.01 tables with ~3% NULL and ~3%
+NaN planted in events.value and ~6% empty/whitespace-only document
+texts (tools/gen_derived.py --nulls) — through the same oracle compare
+the driver uses. These inputs exercise guards no standard fixture
+reaches; building this gate found and fixed four real divergences in
+round 6:
+
+1. NaN meeting a DECIMAL cast: Spark silently NULLs, DuckDB faults —
+   the whole exact-sum family now pins NaN≡missing on both engines
+   (functions/exact.py _not_nan/_nn_sql);
+2. NaN ordering inside exact percentiles: Spark sorts it greatest,
+   DuckDB propagates — NaN now maps to NULL inside the quantile
+   argument (agg_percentile) or is filtered with identical text
+   (agg_mad_robust, agg_harmonic_mean, agg_gini_concentration,
+   win_anomaly_zscore, agg_corr_covar pairwise-complete);
+3. mixed-pair statistics: corr/covar sums excluded a NaN coordinate
+   while the shared n still counted the row — now pairwise-complete;
+4. tokenizer divergence on whitespace-only docs: Spark split("\\s+")
+   vs oracle string_split(' ') gave 2 vs 6 pieces — textops.tokens is
+   now the oracle's exact single-space twin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.oracle_compare import assert_same_result, duck_fetch
+
+NULLS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "testdata_derived", "nulls")
+
+needs_nulls = pytest.mark.skipif(
+    not os.path.isdir(NULLS_DIR),
+    reason="generated fixture missing — run tools/gen_derived.py --nulls")
+
+# The gate: every id here must be ORACLE-green on the adversarial
+# fixture (≥15 required by VERDICT r5 ask 5; this list holds 24).
+GATE_IDS = [
+    # float-aggregate family
+    "agg_basic", "agg_stddev_var", "agg_skew_kurt", "agg_corr_covar",
+    "agg_percentile", "agg_mad_robust", "agg_harmonic_mean",
+    "agg_minmax_range", "agg_histogram_fixed_bins",
+    "agg_iqr_outlier_count", "agg_gini_concentration",
+    "agg_ks_2sample", "agg_welch_ttest",
+    # window family
+    "agg_time_weighted_avg", "win_rolling_skew_kurt",
+    "win_anomaly_zscore", "time_bucket_gapfill",
+    # text family over empty/whitespace docs
+    "text_quality_filter", "text_lang_id", "text_token_count",
+    "text_gopher_quality", "dedup_ngram_jaccard", "text_tfidf_topk",
+    "text_bm25_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_duck():
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{NULLS_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@needs_nulls
+def test_fixture_actually_plants_adversarial_values(nulls_duck):
+    """Guard the guard: the fixture must contain real NULLs, NaNs and
+    degenerate texts, or the gate below proves nothing."""
+    n_null, n_nan = nulls_duck.execute(
+        "SELECT count(*) FILTER (value IS NULL), "
+        "count(*) FILTER (isnan(value)) FROM events").fetchone()
+    n_empty, n_ws = nulls_duck.execute(
+        "SELECT count(*) FILTER (text = ''), "
+        "count(*) FILTER (text <> '' AND regexp_matches(text, '^\\s+$')) "
+        "FROM documents").fetchone()
+    assert n_null >= 100 and n_nan >= 100, (n_null, n_nan)
+    assert n_empty >= 5 and n_ws >= 5, (n_empty, n_ws)
+
+
+@needs_nulls
+@pytest.mark.parametrize("name", GATE_IDS)
+def test_nulls_gate(name, spark, nulls_duck):
+    import __spark_entry__ as e
+
+    qs, orc = e.queries(), e.oracle_sql()
+    sdf = qs[name](spark, NULLS_DIR)
+    spdf = sdf.toPandas()
+    dpdf = duck_fetch(nulls_duck, orc[name])
+    assert_same_result(
+        name, list(spdf.columns),
+        list(spdf.itertuples(index=False, name=None)),
+        list(dpdf.columns),
+        list(dpdf.itertuples(index=False, name=None)))

@@ -41,7 +41,19 @@ def main() -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            # Hive-partitioned directory layout (sf1p): glob the part
+            # files WITHOUT hive column synthesis, so the oracle sees
+            # the same declared table shape Spark's parquet_table
+            # projects (partition values are redundant with the source
+            # date columns kept in the files).
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{path}/**/*.parquet', hive_partitioning=false)")
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     qs, os_ = e.queries(), e.oracle_sql()
     fails = []
     for name in args or qs:

@@ -266,9 +266,100 @@ def gen_sf1p() -> None:
     print("wrote", sfp, f"lineitem files={n_li_files}")
 
 
+def gen_sf10ish() -> None:
+    """100x fact blow-up (60M lineitem / 15M orders, FK-consistent,
+    dims shared with sf0.1) — the FOURTH point of the scaling curve
+    (1x / 10x / 30x / 100x): three decades of fact growth. Same key
+    scheme as sf1ish/sf3ish with stride 100. ~1.2 GB lineitem parquet;
+    fits the sandbox comfortably. Generated, not committed
+    (testdata_derived/sf10ish/ is gitignored)."""
+    sf10 = os.path.join(OUT, "sf10ish")
+    os.makedirs(sf10, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey * 100 + r.k AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus,
+                 l_shipdate
+          FROM '/root/testdata/sf0.1/lineitem.parquet',
+               (SELECT unnest(generate_series(0, 99)) AS k) r
+        ) TO '{sf10}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey * 100 + r.k AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM '/root/testdata/sf0.1/orders.parquet',
+               (SELECT unnest(generate_series(0, 99)) AS k) r
+        ) TO '{sf10}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        dst = os.path.join(sf10, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    print("wrote", sf10, "lineitem x100 / orders x100")
+
+
+def gen_nulls() -> None:
+    """NULL/NaN hardening fixture (VERDICT r5 ask 5): the sf0.01
+    tables with adversarial missing-data planted deterministically —
+    - events.value: ~3% NULL, ~3% NaN (by event_id hash buckets; the
+      remaining rows keep their original value)
+    - documents.text: ~3% empty string, ~3% whitespace-only
+    so the float-aggregate, window, and text-quality families can be
+    oracle-gated against inputs that actually exercise their NULL/NaN
+    guards (the round-4 cohort-stats guards were added blind — no
+    fixture reached them). Other tables symlink to sf0.01 unchanged.
+    Deterministic: bucket = event_id % 100 (0,1,2→NULL; 3,4,5→NaN);
+    doc_id % 100 (0,1,2→''; 3,4,5→whitespace). Generated, not
+    committed (testdata_derived/nulls/ is gitignored)."""
+    nd = os.path.join(OUT, "nulls")
+    os.makedirs(nd, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN event_id % 100 IN (0, 1, 2) THEN NULL
+                      WHEN event_id % 100 IN (3, 4, 5) THEN 'nan'::DOUBLE
+                      ELSE value END AS value,
+                 props
+          FROM '{SF}/events.parquet'
+        ) TO '{nd}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 100 IN (0, 1, 2) THEN ''
+                      WHEN doc_id % 100 IN (3, 4, 5)
+                        THEN '   ' || chr(10) || chr(9) || '  '
+                      ELSE text END AS text,
+                 lang, source,
+                 CASE WHEN doc_id % 100 IN (0, 1, 2) THEN 0
+                      WHEN doc_id % 100 IN (3, 4, 5) THEN 6
+                      ELSE n_chars END AS n_chars
+          FROM '{SF}/documents.parquet'
+        ) TO '{nd}/documents.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        dst = os.path.join(nd, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"{SF}/{t}.parquet", dst)
+    print("wrote", nd)
+
+
 if __name__ == "__main__":
     import sys as _sys
-    if "--sf3ish-events" in _sys.argv:
+    if "--sf1p" in _sys.argv:
+        gen_sf1p()
+    elif "--nulls" in _sys.argv:
+        gen_nulls()
+    elif "--sf10ish" in _sys.argv:
+        gen_sf10ish()
+    elif "--sf3ish-events" in _sys.argv:
         gen_sf3ish_events()
     elif "--sf3ish" in _sys.argv:
         gen_sf3ish()
