@@ -303,6 +303,52 @@ def gen_sf10ish() -> None:
     print("wrote", sf10, "lineitem x100 / orders x100")
 
 
+def gen_skew() -> None:
+    """ZIPF-SKEWED fixture (VERDICT r5 ask 6): the 10x blow-ups with
+    ONE planted hot key holding ~20% of the rows —
+    - events (1M rows, independent time/user-shifted replicas like
+      sf1ish): every 5th event reassigned to user_id 9999999
+    - orders (1.5M rows): every 5th order reassigned to o_custkey
+      424242 (the key audit_join_key_skew audits)
+    Deterministic (event_id/o_orderkey % 5). Other tables symlink
+    sf0.1. Exercises: AQE skew-join split, the salting ops'
+    equal-results contract under real skew, the skew audit flagging
+    the hot key, and single-fat-partition window correctness.
+    Generated, not committed (testdata_derived/skew/ gitignored)."""
+    sk = os.path.join(OUT, "skew")
+    os.makedirs(sk, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT event_id + r.k * 10000000 AS event_id,
+                 ts + to_days(CAST(r.k * 40 AS INT)) AS ts,
+                 CASE WHEN (event_id + r.k * 10000000) % 5 = 0
+                      THEN 9999999
+                      ELSE user_id + r.k * 1000000 END AS user_id,
+                 event_type, value, props
+          FROM '/root/testdata/sf0.1/events.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS k) r
+        ) TO '{sk}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey * 10 + r.k AS o_orderkey,
+                 CASE WHEN (o_orderkey * 10 + r.k) % 5 = 0
+                      THEN 424242 ELSE o_custkey END AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM '/root/testdata/sf0.1/orders.parquet',
+               (SELECT unnest(generate_series(0, 9)) AS k) r
+        ) TO '{sk}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "documents", "embeddings"):
+        dst = os.path.join(sk, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    print("wrote", sk, "events x10 / orders x10, hot keys planted")
+
+
 def gen_nulls() -> None:
     """NULL/NaN hardening fixture (VERDICT r5 ask 5): the sf0.01
     tables with adversarial missing-data planted deterministically —
@@ -359,6 +405,8 @@ if __name__ == "__main__":
         gen_nulls()
     elif "--sf10ish" in _sys.argv:
         gen_sf10ish()
+    elif "--skew" in _sys.argv:
+        gen_skew()
     elif "--sf3ish-events" in _sys.argv:
         gen_sf3ish_events()
     elif "--sf3ish" in _sys.argv:
