@@ -29,6 +29,7 @@ def load_all() -> None:
     from . import q_labels_training  # noqa: F401
     from . import q_scalar_formats  # noqa: F401
     from . import q_round5  # noqa: F401  (tail of the priority order)
+    from . import q_round6  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round

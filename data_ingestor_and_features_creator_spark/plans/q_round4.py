@@ -702,14 +702,20 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q18 — large-volume customers (agg → HAVING → join back)
 # ---------------------------------------------------------------------------
 
-_Q18_QTY = 150.0
+# 300 is the TPC-H spec's substitution range (300..315): it passes
+# ~0.3% of orders on this fixture family at every scale (5 / 46 / 473
+# qualifying orders at sf0.001/0.01/0.1), which is what makes q18's
+# aggregate-before-join shape work — the round-5 value of 150 passed
+# ~20% of orders (2.9M at the 100x blow-up), quietly turning the
+# "filtered keys" side into a second fact table.
+_Q18_QTY = 300.0
 
 
 @query("sql_tpch_q18", oracle=f"""
 WITH big AS (
-  SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
-  HAVING {dsum_sql('l_quantity')} > {_Q18_QTY})
+  HAVING SUM(l_quantity) > {_Q18_QTY})
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
 FROM big
 JOIN orders   ON o_orderkey = l_orderkey
@@ -722,15 +728,27 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (lineitem → per-order quantity, map-side partials), filter
     with HAVING, and only the surviving order keys join back to
     orders/customer — the aggregate-before-join shape that at 100 TB
-    turns a lineitem-sized join into a filtered-keys join. DECIMAL
-    quantity sums; top-10 over (o_totalprice DESC, o_orderkey) — a
-    total order on scan-native values, hash-safe."""
+    turns a lineitem-sized join into a filtered-keys join. Round-6
+    plan pass (found at the 100x blow-up, 28.9 s → see BASELINE.md):
+    (1) quantity sums are PLAIN double — l_quantity is integer-valued
+    1..50 by the TPC-H spec (verified: zero fractional values at any
+    fixture scale), and sums of integer-valued doubles are exact below
+    2^53, bit-identical cross-engine, so the decimal detour was pure
+    cost on the 15M-group rollup; (2) the HAVING side is explicitly
+    broadcast — the static planner cannot estimate a post-aggregate
+    size, and at the blow-up its pruned-column estimate of ORDERS
+    (15M rows) slipped under autoBroadcastJoinThreshold, making the
+    driver build a 15M-row hash relation; declaring the selective side
+    keeps orders/lineitem un-shuffled at every scale. Top-10 over
+    (o_totalprice DESC, o_orderkey) — a total order on scan-native
+    values, hash-safe."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    big = (li.groupBy("l_orderkey")
-             .agg(dsum("l_quantity").alias("sum_qty"))
-             .filter(F.col("sum_qty") > _Q18_QTY))
+    big = F.broadcast(
+        li.groupBy("l_orderkey")
+          .agg(F.sum("l_quantity").alias("sum_qty"))
+          .filter(F.col("sum_qty") > _Q18_QTY))
     return (big.join(o, big.l_orderkey == o.o_orderkey)
                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
                .select("c_custkey", "c_name", "o_orderkey",

@@ -1,0 +1,276 @@
+"""Round-6 operator additions.
+
+Provenance note (SURVEY.md §0 applies — empty reference checkout):
+these extend the engine along the round-6 brief's scale themes —
+observable streaming loss, mixture scheduling for training data,
+order-of-magnitude profiling, trend detection, and the hidden
+file-metadata scan surface. All public-API constructions
+([SPARK]/[PK]); no reference code exists to cite.
+
+House rules throughout (plans/registry.py): no RNG, no libm
+transcendentals in aggregates, exact integer/rational outputs where
+possible, total orders before any LIMIT, aliases identical on both
+engines.
+
+Registered AFTER every earlier module so the driver-budget rotation
+(plans/__init__.py) keeps the existing never-sampled backlog ahead of
+these in the class-1 queue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+_HOUR_US = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# Order-of-magnitude histogram (exact, no libm)
+# ---------------------------------------------------------------------------
+
+@query("agg_magnitude_histogram", oracle="""
+WITH v AS (
+  SELECT event_type, abs(value) AS a FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value <> 0)
+SELECT event_type,
+       CASE WHEN a < 1 THEN -1
+            ELSE length(CAST(CAST(floor(a) AS BIGINT) AS VARCHAR)) - 1
+       END AS mag,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(a) AS lo, MAX(a) AS hi
+FROM v GROUP BY event_type, mag
+""")
+def agg_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude (decimal-exponent) histogram per event_type —
+    the observability profile for value columns whose range spans
+    decades (latencies, sizes, amounts). The bucket is floor(log10(|v|))
+    for |v| >= 1 computed EXACTLY as digits(floor(|v|)) - 1 — a string
+    length, not libm log10 (which drifts 1 ulp cross-engine at bucket
+    boundaries); |v| < 1 collapses to bucket -1. NULL/NaN/zero rows are
+    excluded per the engine's nulls-hardened missing-value semantics
+    (BASELINE.md nulls gate). Domain: |v| < 2^63 (the bigint floor) —
+     9.2e18, far above any fixture value. At scale this is one map-side
+    combined groupBy on a low-cardinality (type, mag) key — no skew
+    possible (≤ ~20 buckets per type)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.abs(F.col("value"))
+    v = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value")
+                   & (F.col("value") != 0))
+           .select("event_type", a.alias("a")))
+    mag = (F.when(F.col("a") < 1, F.lit(-1))
+            .otherwise(F.length(F.floor("a").cast("bigint").cast("string"))
+                       - 1))
+    return (v.withColumn("mag", mag)
+             .groupBy("event_type", "mag")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min("a").alias("lo"), F.max("a").alias("hi")))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend statistic per key (exact integer S, rational tau)
+# ---------------------------------------------------------------------------
+
+@query("win_mann_kendall", oracle="""
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+n AS (SELECT user_id, COUNT(*) AS c FROM v GROUP BY user_id),
+p AS (
+  SELECT a.user_id, CAST(SUM(sign(b.value - a.value)) AS BIGINT) AS s
+  FROM v a JOIN v b
+    ON a.user_id = b.user_id
+   AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+  GROUP BY a.user_id)
+SELECT n.user_id, CAST(n.c AS BIGINT) AS n,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS s_stat,
+       CASE WHEN n.c >= 2
+            THEN ROUND(COALESCE(p.s, 0) / (n.c * (n.c - 1) / 2.0), 6)
+       END AS tau
+FROM n LEFT JOIN p ON n.user_id = p.user_id
+""")
+def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per user: S = Σ_{i<j} sign(v_j - v_i)
+    over the (ts, event_id)-ordered series, and Kendall's tau-a
+    S / (n(n-1)/2) — the standard nonparametric monotone-trend
+    statistic (no distributional assumption, robust to outliers,
+    ties contribute 0). S is an exact integer (signum sums), tau an
+    exact rational rounded 6dp — no libm anywhere. NULL/NaN excluded
+    per the nulls-hardened semantics.
+
+    Scale shape: the pair set is built with a per-key equi-join
+    (shuffle on user_id, pairs generated only within a key), so cost
+    is Σ_k n_k² over BOUNDED per-key series — the grouped-series
+    regime this engine's sliding/HRV family already assumes (n_k ≈
+    tens-to-thousands of events per user). It is NOT an unbounded
+    all-pairs join; the O(n log n) inversion-count refinement only
+    pays when single keys reach millions of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select("user_id", F.unix_micros("ts").alias("t"),
+                   "event_id", "value"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & ((F.col("a.t") < F.col("b.t"))
+           | ((F.col("a.t") == F.col("b.t"))
+              & (F.col("a.event_id") < F.col("b.event_id")))))
+    s = (pairs.groupBy(F.col("a.user_id").alias("user_id"))
+              .agg(F.sum(F.signum(F.col("b.value") - F.col("a.value")))
+                    .cast("bigint").alias("s")))
+    n = v.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (n.join(s, "user_id", "left")
+             .select("user_id", F.col("n").cast("bigint").alias("n"),
+                     F.coalesce("s", F.lit(0)).cast("bigint")
+                      .alias("s_stat"),
+                     F.when(F.col("n") >= 2,
+                            F.round(F.coalesce("s", F.lit(0))
+                                    / (F.col("n") * (F.col("n") - 1) / 2.0),
+                                    6)).alias("tau")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming late-data accounting (registered, FULL SQL oracle)
+# ---------------------------------------------------------------------------
+
+@query("stream_late_data_accounting", oracle=f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+surv AS (
+  SELECT ts FROM events, b
+  WHERE NOT (epoch_us(ts) < b.lo + (b.hi - b.lo) // 2
+             AND event_id % 97 = 0))
+SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS ws_us,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM surv GROUP BY ws_us
+""")
+def stream_late_data_accounting(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL many-trigger streaming replay with late-data loss
+    accounting (the round-6 streaming-realism surface, BASELINE.md
+    rate-limited soak row): the events fixture replays as time-ordered
+    files under maxFilesPerTrigger=1 — one micro-batch per file, the
+    watermark advancing between triggers — with the deterministic
+    ~1% modular-gate subset (event_id % 97 = 0, first half of the
+    timeline) displaced to arrive half a timeline late. The 2 h
+    watermark rejects every displaced row, and the conservation law
+
+        rows_in == rows_aggregated_out + numRowsDroppedByWatermark
+        dropped == injected (exactly)
+
+    is ASSERTED inside the operator — a violation errors the query
+    rather than returning silently-lossy windows. The returned frame
+    is the emitted append-mode windows, which the SQL oracle can
+    reproduce EXACTLY because the late gate is plain arithmetic (no
+    hash): survivors' 1 h tumbling counts. The accounting grain is
+    (window, event_id) inside the stream — see
+    streaming/runner.run_watermark_drop_accounting for why partial
+    aggregation makes any coarser grain's drop counter count partials,
+    not rows."""
+    from ..streaming import runner
+    ev = load_table(spark, sf_dir, "events")
+    rep = runner.run_watermark_drop_accounting(spark, ev, n_files=6)
+    stats = rep["stats"]
+    if rep["dropped"] != stats["n_late"]:
+        raise AssertionError(
+            f"watermark drop accounting: dropped {rep['dropped']} != "
+            f"injected {stats['n_late']}")
+    if rep["out_rows"] + rep["dropped"] != stats["n_rows"]:
+        raise AssertionError(
+            f"conservation violated: {rep['out_rows']} out + "
+            f"{rep['dropped']} dropped != {stats['n_rows']} in")
+    return spark.createDataFrame(
+        [(r["ws_us"], r["cnt"]) for r in rep["result"]],
+        "ws_us long, cnt long")
+
+
+# ---------------------------------------------------------------------------
+# Round-robin source interleave (deterministic mixture schedule)
+# ---------------------------------------------------------------------------
+
+@query("data_interleave_sources", oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM documents)
+SELECT doc_id, source, rn,
+       CAST(ROW_NUMBER() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+FROM r
+""")
+def data_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave of the corpus's sources —
+    the mixture SCHEDULE complement of data_mix_temperature's mixture
+    RATIOS: position pos visits sources in rotation (rank-1 rows of
+    every source first, in source order, then rank-2, ...), the
+    classic alternating-dataset training order. The global position is
+    computed ARITHMETICALLY, not with a global sort: with per-source
+    counts c_s (a one-row broadcast array, |sources| entries),
+
+        pos(rn, s) = Σ_s' [ min(rn-1, c_s') + 1{s' < s AND c_s' >= rn} ] + 1
+
+    i.e. rows of other sources that precede this one in (rn, source)
+    lexicographic order — evaluated per row by a JVM-codegen
+    F.aggregate lambda over the broadcast array. The only shuffles are
+    the per-source ranking window and the 1-row count aggregate; no
+    single-partition global window anywhere (the data_global_index
+    house rule). The oracle reproduces pos as ROW_NUMBER over
+    (rn, source), which equals the formula because (rn, source) is
+    unique."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy("doc_id")).cast("bigint")
+    r = d.withColumn("rn", rn)
+    counts = (d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.sort_array(F.collect_list(F.struct("source", "c")))
+                     .alias("arr")))
+    pos = (F.aggregate(
+        "arr", F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.least(F.col("rn") - 1, x["c"])
+        + F.when((x["source"] < F.col("source"))
+                 & (x["c"] >= F.col("rn")), 1).otherwise(0)) + 1)
+    return (r.crossJoin(F.broadcast(counts))
+             .select("doc_id", "source", "rn", pos.alias("pos")))
+
+
+# ---------------------------------------------------------------------------
+# Hidden file-metadata scan surface (_metadata)
+# ---------------------------------------------------------------------------
+
+@query("scan_file_metadata", oracle="""
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(COUNT(*) AS BIGINT) AS min_file_rows,
+       CAST(COUNT(*) AS BIGINT) AS max_file_rows
+FROM lineitem
+""")
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's hidden `_metadata` scan columns (file_name / file_path /
+    file_size — the per-file provenance surface a 100 TB landing-zone
+    audit reads WITHOUT a separate file-listing job): per-file row
+    counts rolled up to (n_files, total, min/max per file). The oracle
+    pins the single-file fixture shape the driver runs at (every
+    sf0.* table is one parquet file); the multi-file behavior — 163
+    part files on the sf1p partitioned landing layout summing to the
+    same total — is pinned by tests/test_plan_shape.py::
+    test_scan_file_metadata_multifile_sf1p. At scale this is a pure
+    metadata projection: `_metadata` comes from the file index, no
+    data columns are read (ReadSchema shows only the requested
+    fields)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # file_path, not file_name: part-file BASENAMES collide across the
+    # partition directories of a Hive layout (found on sf1p: 163 part
+    # files → 60 distinct basenames); the full path is the identity.
+    per_file = (li.select(F.col("_metadata.file_path").alias("file_path"))
+                  .groupBy("file_path")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    return per_file.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.min("cnt").cast("bigint").alias("min_file_rows"),
+        F.max("cnt").cast("bigint").alias("max_file_rows"))

@@ -224,14 +224,16 @@ def _make_distinct_types_processor():
 
 
 def _run_tws(spark: SparkSession, feed: DataFrame, tag: str,
-             processor, out_schema: str) -> DataFrame:
-    """Replay `feed` as 4 micro-batches through
+             processor, out_schema: str, n_files: int = 4) -> DataFrame:
+    """Replay `feed` as `n_files` micro-batches through
     transformWithStateInPandas (RocksDB state store — required by the
     API and the production-scale choice: state lives off-heap/on-disk
     per executor, not in JVM heap) and return every per-batch
-    emission."""
+    emission. `n_files` > 4 is the rate-limited soak regime (round 6):
+    state survives many more store commits/restores per run."""
     feed_dir = scratch_dir(tag)
-    feed.repartition(4, "user_id").write.mode("overwrite").parquet(feed_dir)
+    (feed.repartition(n_files, "user_id")
+         .write.mode("overwrite").parquet(feed_dir))
     stream = (spark.readStream.schema(feed.schema)
                    .option("maxFilesPerTrigger", 1)
                    .option("pathGlobFilter", "*.parquet")
@@ -264,17 +266,20 @@ def _run_tws(spark: SparkSession, feed: DataFrame, tag: str,
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
-def run_transform_with_state(spark: SparkSession, events: DataFrame) -> DataFrame:
+def run_transform_with_state(spark: SparkSession, events: DataFrame,
+                             n_files: int = 4) -> DataFrame:
     """ValueState running (count, max) — see _run_tws."""
     return _run_tws(spark, events.select("user_id", "value"), "tws_feed",
-                    _make_running_max_processor(), TWS_SCHEMA)
+                    _make_running_max_processor(), TWS_SCHEMA,
+                    n_files=n_files)
 
 
-def run_tws_distinct_types(spark: SparkSession, events: DataFrame) -> DataFrame:
+def run_tws_distinct_types(spark: SparkSession, events: DataFrame,
+                           n_files: int = 4) -> DataFrame:
     """MapState running distinct-type count — see _run_tws."""
     return _run_tws(spark, events.select("user_id", "event_type"),
                     "tws_feed_distinct", _make_distinct_types_processor(),
-                    "user_id long, n_types long")
+                    "user_id long, n_types long", n_files=n_files)
 
 
 def run_tws_soak(spark: SparkSession, events: DataFrame,
@@ -369,6 +374,198 @@ def run_tws_soak(spark: SparkSession, events: DataFrame,
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
     return out
+
+
+# --- rate-limited multi-trigger replay (round 6, VERDICT r5 item 7) --------
+#
+# The availableNow replays above process the fixture in FEW large
+# micro-batches (one per feed file). Production streams instead see
+# MANY small triggers with the watermark advancing between them — and
+# late data arriving after the watermark passed is DROPPED, a loss
+# that must be accounted, never silent. The helpers below replay the
+# events fixture as n time-ordered files under maxFilesPerTrigger=1
+# (one trigger per file), inject genuinely-late rows, and read the
+# per-trigger `numRowsDroppedByWatermark` counters so the caller can
+# assert the exact conservation law:
+#
+#     rows_in == rows_aggregated_out + rows_dropped_by_watermark
+
+_LATE_MOD = 97  # deterministic modular gate: ~1% of first-half rows
+
+
+def _late_flag(late_mod: int = _LATE_MOD):
+    """Deterministic late-row predicate PIECE (needs mid_us bound):
+    a row is displaced iff it sits in the first half of the timeline
+    AND its event_id falls in the 1/late_mod modular gate. RNG-free
+    AND plain-SQL-expressible (`event_id % 97 = 0` — no hash function
+    needed), so both the batch expectation in tests and the DuckDB
+    oracle of the registered op can re-derive the exact same set."""
+    return F.pmod(F.col("event_id"), F.lit(late_mod)) == 0
+
+
+def _move_single_file(tmp_dir: str, feed_dir: str, idx: int,
+                      mtime: int) -> None:
+    """Move the single part file of a coalesce(1) write into the feed
+    dir under a sortable name with a strictly increasing mtime — the
+    file source orders pending files by modification time, so mtime IS
+    the arrival order."""
+    import glob
+    import shutil
+    part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+    assert len(part) == 1, part
+    dst = os.path.join(feed_dir, f"slice_{idx:04d}.parquet")
+    shutil.move(part[0], dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def write_time_sliced_feed(spark: SparkSession, events: DataFrame,
+                           tag: str, n_files: int,
+                           inject_late: bool) -> tuple[str, dict]:
+    """Write `events` as `n_files` contiguous time-range slices (file i
+    holds rows in the i-th fraction of [min_ts, max_ts] — range split,
+    no global sort), optionally displacing the deterministic ~1%
+    late-gate rows of the first half into a final late-arrival file,
+    plus a single far-future sentinel row whose trigger pushes the
+    watermark past every real window (so append-mode output is
+    complete over the real data; the sentinel's own window stays in
+    state by design). Returns (feed_dir, stats)."""
+    feed_dir = scratch_dir(tag)
+    ev = events.select("event_id", "user_id", "event_type", "ts", "value")
+    lo_us, hi_us = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))).first()
+    mid_us = lo_us + (hi_us - lo_us) // 2
+    is_late = (F.unix_micros("ts") < mid_us) & _late_flag()
+    on_time = ev.filter(~is_late) if inject_late else ev
+    late = ev.filter(is_late) if inject_late else None
+
+    base_mt = 1_000_000_000  # any fixed epoch; only the ORDER matters
+    span = (hi_us - lo_us) // n_files + 1
+    for i in range(n_files):
+        s, e = lo_us + i * span, lo_us + (i + 1) * span
+        tmp = scratch_dir(f"{tag}_tmp")
+        (on_time.filter((F.unix_micros("ts") >= s)
+                        & (F.unix_micros("ts") < e))
+                .coalesce(1).write.mode("overwrite").parquet(tmp))
+        _move_single_file(tmp, feed_dir, i, base_mt + i)
+    idx = n_files
+    n_late = 0
+    if late is not None:
+        n_late = late.count()
+        tmp = scratch_dir(f"{tag}_tmp")
+        late.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _move_single_file(tmp, feed_dir, idx, base_mt + idx)
+        idx += 1
+    # sentinel: one row 30 days past the end, on its own trigger
+    tmp = scratch_dir(f"{tag}_tmp")
+    (spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.timestamp_micros(F.lit(hi_us + 30 * 86_400_000_000)).alias("ts"),
+        F.lit(0.0).alias("value"))
+     .coalesce(1).write.mode("overwrite").parquet(tmp))
+    _move_single_file(tmp, feed_dir, idx, base_mt + idx)
+    return feed_dir, {
+        "n_rows": ev.count(), "n_late": n_late, "n_files": idx + 1,
+        "mid_us": mid_us,
+    }
+
+
+def run_watermark_drop_accounting(spark: SparkSession, events: DataFrame,
+                                  n_files: int = 8) -> dict:
+    """MANY-trigger watermarked windowed aggregation with late-data
+    injection: replay the time-sliced feed one file per trigger
+    (maxFilesPerTrigger=1 under availableNow — the rate limit is
+    honored, one micro-batch per file), aggregate 1 h tumbling counts
+    under a 2 h watermark in APPEND mode, and account every input row.
+    The displaced ~1% rows arrive ~half a timeline late — far beyond
+    the watermark — so the state store refuses them and the per-trigger
+    `numRowsDroppedByWatermark` counters must sum to EXACTLY the
+    injected count; every surviving row must land in an emitted window.
+
+    GRAIN: the stateful key is (window, event_id) — i.e. the streaming
+    ingest-audit/dedup grain — NOT the bare window. The reason is what
+    makes the counter trustworthy: Spark partial-aggregates each
+    micro-batch BEFORE the state operator, so with window-only keys a
+    late file's rows collapse into one partial per window and
+    `numRowsDroppedByWatermark` counts those PARTIALS (found at the
+    1M-row soak: 5,017 late rows → 2,711 counted). With the event-grain
+    key every input row is its own group, partial aggregation cannot
+    collapse anything, and the counter is exact per input row. The
+    per-window counts the caller compares are then derived by a batch
+    re-aggregation of the emitted audit rows — same numbers, exact
+    accounting. Returns {result rows (ws_us, cnt), out_rows, dropped,
+    n_triggers, stats} for the caller's conservation asserts."""
+    feed_dir, stats = write_time_sliced_feed(
+        spark, events, "wm_acct", n_files, inject_late=True)
+    schema = "event_id long, user_id long, event_type string, " \
+             "ts timestamp, value double"
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .option("pathGlobFilter", "*.parquet")
+                   .parquet(feed_dir))
+    audit = (stream.withWatermark("ts", "2 hours")
+                   .groupBy(F.window("ts", "1 hour"), "event_id")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .select(F.unix_micros(F.col("window.start"))
+                            .alias("ws_us"), "event_id"))
+    name = f"__wm_acct_{next(_run_counter)}_{os.getpid()}"
+    q = (audit.writeStream.format("memory").queryName(name)
+              .outputMode("append")
+              .trigger(availableNow=True).start())
+    q.awaitTermination()
+    import json as _json
+    progresses = [p if isinstance(p, dict) else _json.loads(p.json)
+                  for p in q.recentProgress if p is not None]
+    dropped = 0
+    for p in progresses:
+        for so in p.get("stateOperators", []):
+            dropped += so.get("numRowsDroppedByWatermark", 0)
+    sink = spark.table(name)
+    out_rows = sink.count()
+    result = (sink.groupBy("ws_us").agg(F.count(F.lit(1)).alias("cnt"))
+                  .collect())
+    return {
+        "result": result,
+        "out_rows": out_rows,
+        "dropped": dropped,
+        "n_triggers": sum(1 for p in progresses
+                          if p.get("numInputRows", 0) > 0),
+        "stats": stats,
+    }
+
+
+def run_stream_stream_rate_limited(spark: SparkSession,
+                                   events: DataFrame,
+                                   n_files: int = 8,
+                                   outer: bool = False) -> DataFrame:
+    """The purchase⋈click interval join replayed under
+    maxFilesPerTrigger=1 on BOTH sides (two independent readStream
+    handles over one time-sliced feed): state for each side builds and
+    EVICTS as the watermark advances trigger-by-trigger — the
+    steady-state regime a few big availableNow batches never reach.
+    In-order arrival means nothing is late, so the inner join must
+    equal the batch range join EXACTLY; the LEFT OUTER variant
+    (outer=True) must match on every pair and emit null-extended rows
+    only for genuine batch no-matches (the watermark-proved-absent
+    contract)."""
+    from . import transforms
+    feed_dir, _stats = write_time_sliced_feed(
+        spark, events, "ss_rate", n_files, inject_late=False)
+    schema = "event_id long, user_id long, event_type string, " \
+             "ts timestamp, value double"
+
+    def side() -> DataFrame:
+        return (spark.readStream.schema(schema)
+                     .option("maxFilesPerTrigger", 1)
+                     .option("pathGlobFilter", "*.parquet")
+                     .parquet(feed_dir)
+                     .withWatermark("ts", "2 hours"))
+
+    fn = (transforms.stream_stream_purchase_click_outer if outer
+          else transforms.stream_stream_purchase_click)
+    return run_available_now(fn(side(), side()))
 
 
 def run_incremental_mv(spark: SparkSession, orders: DataFrame) -> DataFrame:

@@ -582,6 +582,35 @@ def test_tpch_q21_single_fact_shuffle_no_self_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_tpch_q18_broadcasts_the_filtered_agg_side(spark, sf_dir):
+    """Q18's big-buyer side (the post-HAVING aggregate, ~0.3% of
+    orders) must be the broadcast BUILD side of the join back to
+    orders. At the 100x blow-up the static planner instead broadcast
+    ORDERS itself (its pruned-column estimate slipped under
+    autoBroadcastJoinThreshold → a driver-built 15M-row hash relation,
+    28.9 s). Pin: the BroadcastExchange feeding the orderkey join sits
+    over the HashAggregate, and the orders scan is probe-side (no
+    BroadcastExchange directly over the orders FileScan)."""
+    import re
+
+    plan = _physical(QUERIES["sql_tpch_q18"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # build side contains the aggregate: a BroadcastExchange whose
+    # subtree includes HashAggregate(keys=[l_orderkey ...)
+    assert re.search(
+        r"BroadcastExchange[\s\S]*?HashAggregate\(keys=\[l_orderkey", plan
+    ), "broadcast build side is not the filtered aggregate"
+    # orders must NOT be broadcast: between any BroadcastExchange and
+    # the first scan below it, either an aggregate intervenes (the big
+    # side) or the scan is not the orders table (customer is fine).
+    for block in plan.split("BroadcastExchange")[1:]:
+        to_first_scan = block.split("FileScan", 1)[0] + \
+            block.split("FileScan", 1)[-1].split("\n", 1)[0]
+        if "orders" in to_first_scan:
+            assert "HashAggregate" in block.split("FileScan", 1)[0], \
+                "orders table is the broadcast build side"
+
+
 def test_stats_batch_stays_in_codegen(spark, sf_dir):
     """The cohort statistics (t/U/KS) and Benford audit are pure
     JVM expression work — no Python evaluation anywhere."""
@@ -802,3 +831,16 @@ def test_sf1p_static_month_filter_prunes_partitions(spark):
     assert "PartitionFilters" in fmt
     assert (df.select(F.input_file_name()).distinct().count()
             < 10)  # one month's files, not ~80 months' worth
+
+
+@needs_sf1p
+def test_scan_file_metadata_multifile_sf1p(spark):
+    """scan_file_metadata's oracle pins the single-file driver fixture;
+    THIS pins the multi-file behavior on the partitioned landing
+    layout: 163 part files, per-file counts summing to the 6M-row
+    fact, every file non-empty."""
+    row = QUERIES["scan_file_metadata"](spark, SF1P).first()
+    assert row["n_files"] >= 64, row
+    assert row["total_rows"] == 6_000_000, row
+    assert row["min_file_rows"] >= 1
+    assert row["max_file_rows"] <= row["total_rows"]

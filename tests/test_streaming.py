@@ -264,3 +264,121 @@ def test_tws_soak_kill_resume_cycles(spark, sf_dir):
     # cycle stays within a small multiple of the first snapshot.
     sizes = [e["state_bytes"] for e in report]
     assert sizes[-1] < 10 * max(sizes[0], 1)
+
+
+# --- rate-limited multi-trigger replay (round 6, VERDICT r5 item 7) --------
+
+
+def test_watermark_drops_are_accounted_not_silent(spark, sf_dir, ev_batch):
+    """MANY-trigger replay (maxFilesPerTrigger=1 over time-ordered
+    slices) with genuinely-late rows injected: the deterministic ~1%
+    late-gate subset of the first-half rows arrives AFTER the watermark
+    passed half a timeline ago, so the windowed aggregate must drop
+    every one of them — and the per-trigger
+    `numRowsDroppedByWatermark` counters must account the loss exactly:
+
+        rows_in == sum(window counts out) + dropped    (conservation)
+        dropped == n_injected                          (only they drop)
+
+    plus the emitted windows must equal the batch aggregate over the
+    surviving rows window-for-window, and there must be one trigger per
+    feed file (the rate limit is real, not one big batch)."""
+    rep = runner.run_watermark_drop_accounting(spark, ev_batch, n_files=8)
+    stats = rep["stats"]
+    assert stats["n_late"] > 0, "fixture produced no late-gate rows"
+    # the rate limit produced one micro-batch per file
+    assert rep["n_triggers"] >= stats["n_files"]
+    # conservation: every input row is either aggregated or accounted
+    out_total = sum(r["cnt"] for r in rep["result"])
+    assert out_total + rep["dropped"] == stats["n_rows"]
+    # exactly the injected rows were dropped
+    assert rep["dropped"] == stats["n_late"]
+    # window-for-window equality against the batch agg over survivors
+    mid_us = stats["mid_us"]
+    surviving = ev_batch.filter(
+        ~((F.unix_micros("ts") < mid_us)
+          & (F.pmod(F.col("event_id"), F.lit(97)) == 0)))
+    exp = {(r["ws_us"], r["cnt"]) for r in
+           (surviving.groupBy(F.window("ts", "1 hour"))
+                     .agg(F.count(F.lit(1)).alias("cnt"))
+                     .select(F.unix_micros(F.col("window.start"))
+                              .alias("ws_us"), "cnt")).collect()}
+    got = {(r["ws_us"], r["cnt"]) for r in rep["result"]}
+    assert got == exp
+
+
+def test_stream_stream_join_rate_limited_many_triggers(spark, sf_dir,
+                                                       ev_batch):
+    """The purchase⋈click interval join under maxFilesPerTrigger=1 on
+    BOTH sides: join state builds and evicts trigger-by-trigger as the
+    watermark advances, and the in-order replay must still reproduce
+    the batch range join exactly."""
+    stream = _rows(runner.run_stream_stream_rate_limited(
+        spark, ev_batch, n_files=8))
+    batch = _rows(transforms.stream_stream_purchase_click(ev_batch))
+    assert stream == batch
+
+
+def test_tws_rate_limited_many_triggers(spark, sf_dir, ev_batch):
+    """ValueState + MapState transformWithState under a 12-file
+    rate-limited replay (3x the default trigger count): the final
+    per-user emission must equal the batch answer — state must survive
+    12 RocksDB commit/restore rounds, not 4. Auto-skips without a
+    usable protobuf runtime."""
+    from data_ingestor_and_features_creator_spark.pbcompat import (
+        ensure_protobuf)
+    if not ensure_protobuf():
+        pytest.skip("no usable google.protobuf runtime on this machine")
+    from pyspark.sql import Window as W
+    out = runner.run_transform_with_state(spark, ev_batch, n_files=12)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    latest = (out.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select("user_id", "n_events", "max_value"))
+    got = {tuple(r) for r in latest.collect()}
+    exp = {tuple(r) for r in
+           ev_batch.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.max("value").alias("mx")).collect()}
+    assert got == exp
+
+    out2 = runner.run_tws_distinct_types(spark, ev_batch, n_files=12)
+    w2 = W.partitionBy("user_id").orderBy(F.desc("n_types"))
+    latest2 = (out2.withColumn("rn", F.row_number().over(w2))
+                   .filter(F.col("rn") == 1)
+                   .select("user_id", "n_types"))
+    got2 = {tuple(r) for r in latest2.collect()}
+    exp2 = {tuple(r) for r in
+            ev_batch.groupBy("user_id")
+                    .agg(F.count_distinct("event_type").alias("n"))
+                    .collect()}
+    assert got2 == exp2
+
+
+def test_pbcompat_gate_status_is_explicit(spark):
+    """VERDICT r5 carry-forward risk 1 / ask 8: the transformWithState
+    trio's protobuf runtime comes from a machine-local SDK path outside
+    the repo's control, and a vanished SDK must surface as a VISIBLE
+    status change in pytest output — never as silently-absent registry
+    ids. Gate ON: both TWS ids must be registered (de-registration
+    with a live runtime is a bug). Gate OFF: skip loudly, naming the
+    de-registered ids, so the skip-count delta is the signal."""
+    from data_ingestor_and_features_creator_spark import plans
+    from data_ingestor_and_features_creator_spark.pbcompat import (
+        SDK_GAE, ensure_protobuf)
+    gated = ("stream_transform_with_state", "stream_tws_map_state_distinct")
+    registered = plans.queries().keys()
+    if ensure_protobuf():
+        missing = [i for i in gated if i not in registered]
+        assert not missing, \
+            f"protobuf runtime live but gated ids absent: {missing}"
+        print(f"pbcompat gate ON (runtime at {SDK_GAE}): "
+              f"{', '.join(gated)} registered")
+    else:
+        absent = [i for i in gated if i in registered]
+        assert not absent, \
+            f"no protobuf runtime but gated ids registered: {absent}"
+        pytest.skip(
+            "pbcompat gate OFF — google.protobuf runtime vanished from "
+            f"{SDK_GAE}; de-registered ids: {', '.join(gated)} "
+            "(coverage drop is THIS skip, not a silent absence)")
