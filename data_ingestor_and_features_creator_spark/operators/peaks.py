@@ -2,16 +2,23 @@
 (raw sampled signal → beat locations, SURVEY.md §3.1), feeding the RR
 series every downstream HRV feature consumes.
 
-STUB NOTICE — this container has no raw-ECG fixture and no scipy/wfdb,
-so the *signal source* is a deterministic synthetic stand-in rendered
-per record from the events table's user ids (seeded by Spark's stable
-murmur3 ``hash``; reproducible run-to-run). The *detector* is a real
-vectorized numpy kernel — adaptive-threshold local-maximum with a
-refractory period, the decision-stage shape of Pan–Tompkins (public
-algorithm) — running as an Arrow-batched ``applyInPandas`` per record.
-Swap ``synthetic_signal`` for a real waveform scan (parquet/WFDB) at
-deploy time; the detector, schema, partitioning and batch shape are
-the production plumbing and are what the tests pin.
+Two signal sources feed the same detectors:
+
+- ``synthetic_signal`` — a deterministic stand-in rendered per record
+  from the events table's user ids (seeded by Spark's stable murmur3
+  ``hash``; reproducible run-to-run). This path SCALES WITH SF, so it
+  carries the blow-up correctness evidence.
+- real EDF container decode (round 6) — ``scan_edf_rpeaks`` in
+  plans/q_media.py parses actual EDF files (operators/codecs.py, the
+  Kemp 1992 wire format) and explodes their int16 sample records into
+  the identical (record_id, k, amp) relation. Raw bytes on disk →
+  decoded samples → beats, end to end, no stubs.
+
+The *detectors* are real vectorized numpy kernels — adaptive-threshold
+local-maximum with a refractory period, and the full Pan–Tompkins
+chain (public algorithm) — running as Arrow-batched ``applyInPandas``
+per record; schema, partitioning and batch shape are the production
+plumbing and are what the tests pin.
 
 Scale notes: one group = one record's contiguous samples — the natural
 ECG sharding unit. The explode is bounded (n_samples per record), the

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dsum, dsum_sql
-from ..operators import graph, multimodal, similarity, textops
+from ..operators import graph, similarity, textops
 from .registry import query
 
 
@@ -737,54 +737,8 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy("qid", "rnk"))
 
 
-# ----------------------------------------------------------- multimodal
-
-@query("multimodal_table")  # rows-only: binary + pandas-UDF decode stage
-def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary content + typed metadata, decoded by an
-    Arrow-batched mapInPandas stage (deterministic stub decoder — see
-    operators/multimodal.py STUB NOTICE). Pre-select keeps the UDF
-    input to 3 columns so pruning reaches the scan."""
-    d = load_table(spark, sf_dir, "documents")
-    binary = d.select(
-        "doc_id",
-        F.lit("text/plain").alias("modality"),
-        F.encode("text", "utf-8").alias("content"),
-    )
-    return binary.mapInPandas(multimodal.fake_decode,
-                              schema=multimodal.DECODED_SCHEMA)
-
-
-@query("multimodal_resize")  # rows-only: pandas-UDF image-resize stage
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize analog over binary columns: mapInPandas block-average
-    to a fixed 8x8 thumbnail (deterministic stub kernel — see
-    operators/multimodal.py STUB NOTICE). Output is binary-in/binary-out
-    with size metadata; at scale the stage parallelizes by partition, so
-    skewed payload mixes get a size-based repartition first."""
-    d = load_table(spark, sf_dir, "documents")
-    binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    resized = binary.mapInPandas(multimodal.fake_resize,
-                                 schema=multimodal.RESIZED_SCHEMA)
-    return (resized.select("doc_id", "out_w", "out_h",
-                           F.length("content").alias("thumb_bytes"),
-                           F.hex(F.substring("content", 1, 4)).alias("head"))
-                   .orderBy("doc_id"))
-
-
-@query("multimodal_frame_sample")  # rows-only: fan-out pandas-UDF stage
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling analog: one binary row fans out to every-4th
-    fixed-size 'frame' row via mapInPandas (deterministic stub kernel —
-    see operators/multimodal.py STUB NOTICE). The fan-out happens
-    executor-side inside the Arrow batch, so output cardinality never
-    touches the driver."""
-    d = load_table(spark, sf_dir, "documents")
-    binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    frames = binary.mapInPandas(
-        multimodal.frame_sample(frame_bytes=64, every_nth=4),
-        schema=multimodal.FRAMES_SCHEMA)
-    return frames.orderBy("doc_id", "frame_idx")
+# multimodal ops moved to plans/q_media.py (round 6): real codecs
+# over real container files replaced the round-2 stub kernels.
 
 
 @query("feature_hashing", oracle="""
@@ -843,23 +797,6 @@ def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nrm, 6).alias("l2_norm"),
         F.array_join(unit, ",").alias("unit_csv"),
     )
-
-
-@query("multimodal_audio_features")  # rows-only: fan-out pandas-UDF stage
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio featurization analog completing the modality triple
-    (image=resize, video=frame_sample, audio=this): binary 'PCM' rows
-    fan out to per-frame (RMS energy, zero-crossing rate) rows via
-    mapInPandas (deterministic stub kernel — see operators/
-    multimodal.py STUB NOTICE). Per-frame math is vectorized numpy over
-    the reshaped (n_frames, frame_samples) matrix — no per-sample
-    Python loop even inside the stub."""
-    d = load_table(spark, sf_dir, "documents")
-    binary = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    feats = binary.mapInPandas(
-        multimodal.audio_features(frame_samples=64, sample_rate=8000),
-        schema=multimodal.AUDIO_SCHEMA)
-    return feats.orderBy("doc_id", "frame_idx")
 
 
 # ------------------------------------------------------ dataset splits

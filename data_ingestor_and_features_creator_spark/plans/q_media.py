@@ -1,0 +1,300 @@
+"""Multimodal operators over REAL container files (round 6).
+
+Provenance note (SURVEY.md §0 applies — empty reference checkout):
+round 2 shipped these five op ids with real Arrow plumbing but stub
+decode kernels (no Pillow/ffmpeg/wfdb in this container). Round 6
+replaces the stubs with genuine pure-numpy parsers for four PUBLIC
+self-describing formats (operators/codecs.py: uncompressed BMP, RIFF
+PCM WAVE, EDF — Kemp et al. 1992 — and YUV4MPEG2), running over real
+committed fixture files (tools/gen_derived.py ``--media``,
+testdata_derived/media/). Entropy-coded formats (JPEG/MP3/H.264) slot
+in at deploy time behind the same sniff-dispatch.
+
+Oracle strategy — the fixtures are GENERATED, so their ground truth is
+a closed-form formula the DuckDB oracle re-derives independently of
+the decoder, in pure integer arithmetic:
+
+- video frame stats: the oracle rebuilds each frame's luma sum from
+  the generator's gradient+moving-square formula over
+  ``generate_series`` — if the Y4M parser mis-reads a single byte of
+  any sampled plane, the sums diverge;
+- audio frame features: the fixture tone is an integer square wave
+  (period/fade closed-form), so per-frame Σx² and zero-crossing
+  counts are exact BIGINTs both engines derive from scratch;
+- EDF r-peaks: the planted beat grid (every ``70 + id % 30`` samples)
+  is the same contract the synthetic-signal r-peak ops verify — here
+  the samples come out of a real EDF container instead;
+- asset catalog: byte sizes come from DuckDB's ``read_blob`` over the
+  SAME files (byte-level disk truth) joined to the generator's
+  dimension table;
+- perceptual-hash dedup: the oracle is the PLANTED near-duplicate
+  pair list (generator truth). Blocking is provably complete: 4×16-bit
+  bands ⇒ hamming ≤ 3 collides on ≥1 band (pigeonhole), and the
+  verify threshold is 2.
+
+``multimodal_resize`` stays rows-only: its thumbnail values depend on
+seeded-RNG scene content no SQL can re-derive; its kernel is
+known-answer-tested against an independent reference implementation
+in tests/test_media_ops.py instead.
+
+Scale notes: binaryFile scan → mapInPandas decode parallelizes by
+partition exactly like any other scan; per-asset outputs are one row
+or a bounded executor-side fan-out (frames/samples); the near-dup join
+is banded (never all-pairs). At 100 TB the only change is the file
+listing (manifest-driven instead of directory glob).
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import media, peaks
+from ..operators.textops import simhash_pairs
+from .registry import query
+
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+_MEDIA = _os.path.join(_ROOT, "testdata_derived", "media")
+
+
+def _assets(spark: SparkSession, pattern: str = "*") -> DataFrame:
+    """binaryFile scan of the media fixtures → (file, content). The
+    basename is the asset key (paths differ per checkout)."""
+    return (spark.read.format("binaryFile")
+            .load(_os.path.join(_MEDIA, pattern))
+            .select(F.element_at(F.split("path", "/"), -1).alias("file"),
+                    "content"))
+
+
+# Generator ground truth for the asset catalog (tools/gen_derived.py
+# gen_media): BMP pairs use sizes[k] as (h, w); the 8 unique scenes
+# pass swapped dims to the renderer, so their decoded (w, h) flip.
+_SIZES = [(32, 32), (36, 48), (25, 25), (48, 64),
+          (32, 32), (40, 33), (32, 32), (36, 48)]
+
+
+def _expected_meta_values() -> str:
+    rows = []
+    for k in range(8):
+        h, w = _SIZES[k]
+        for idx in (2 * k, 2 * k + 1):
+            rows.append((f"img_{idx:03d}.bmp", "image/bmp",
+                         w, h, 1, 1, None, None))
+    for k in range(8):
+        h, w = _SIZES[k]
+        rows.append((f"img_{16 + k:03d}.bmp", "image/bmp",
+                     h, w, 1, 1, None, None))
+    for i in range(8):
+        rows.append((f"tone_{i:03d}.wav", "audio/wav",
+                     None, None, None, 1, 8000, 4000))
+    for i in range(4):
+        rows.append((f"clip_{i:03d}.y4m", "video/y4m",
+                     32, 24, 16, 1, 25, None))
+    for i in range(6):
+        rows.append((f"ecg_{i:03d}.edf", "signal/edf",
+                     None, None, 8, 2, 128, 1024))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return f"'{v}'"
+        return str(v)
+
+    return ",\n  ".join("(" + ", ".join(lit(v) for v in r) + ")"
+                        for r in rows)
+
+
+@query("multimodal_table", oracle=f"""
+WITH blobs AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+         CAST(size AS BIGINT) AS n_bytes
+  FROM read_blob('{_MEDIA}/*')
+), expected(file, modality, width, height, n_frames, n_channels,
+            sample_rate, n_samples) AS (VALUES
+  {_expected_meta_values()}
+)
+SELECT b.file, e.modality, b.n_bytes,
+       CAST(e.width AS INT) AS width, CAST(e.height AS INT) AS height,
+       CAST(e.n_frames AS INT) AS n_frames,
+       CAST(e.n_channels AS INT) AS n_channels,
+       CAST(e.sample_rate AS INT) AS sample_rate,
+       CAST(e.n_samples AS BIGINT) AS n_samples
+FROM blobs b JOIN expected e USING (file)
+ORDER BY file
+""")
+def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-modality asset CATALOG: binaryFile scan over real
+    BMP/WAV/Y4M/EDF files → magic-byte sniff → per-format header
+    decode → one typed metadata row per asset (operators/media.py
+    probe_media, a mapInPandas stage over real parsers). The oracle
+    joins DuckDB's read_blob over the SAME files (byte sizes from
+    disk) to the generator's dimension table — a decoder that misreads
+    any header field diverges."""
+    return (_assets(spark, "*")
+            .mapInPandas(media.probe_media, schema=media.PROBE_SCHEMA)
+            .orderBy("file"))
+
+
+@query("multimodal_resize")  # rows-only: thumbnail content is
+#   seeded-RNG scene data no SQL re-derives; known-answer-tested
+#   against an independent reference in tests/test_media_ops.py.
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize: decode BMP (24-bit BGR→luma and 8-bit
+    palettized, bottom-up and top-down row orders) → exact integer
+    8×8 block-average thumbnail via an integral image (operators/
+    media.py bmp_thumbnail). Binary-in/binary-out with size metadata;
+    at scale the stage parallelizes by partition, so skewed payload
+    mixes get a size-based repartition first."""
+    thumbs = (_assets(spark, "img_*.bmp")
+              .mapInPandas(media.bmp_thumbnail, schema=media.THUMB_SCHEMA))
+    return (thumbs.select("file", "in_w", "in_h", "out_w", "out_h",
+                          "thumb_sum",
+                          F.hex(F.substring("thumb", 1, 8)).alias("head"))
+                  .orderBy("file"))
+
+
+@query("multimodal_frame_sample", oracle="""
+WITH clips AS (SELECT unnest(generate_series(0, 3)) AS i),
+fr AS (SELECT i, unnest([0, 4, 8, 12]) AS f FROM clips),
+yy AS (SELECT unnest(generate_series(0, 23)) AS y),
+xx AS (SELECT unnest(generate_series(0, 31)) AS x),
+cell AS (
+  SELECT i, f,
+         CASE WHEN y >= (2 * f + 3 * i) % 16
+               AND y < (2 * f + 3 * i) % 16 + 8
+               AND x >= (3 * f + 5 * i) % 24
+               AND x < (3 * f + 5 * i) % 24 + 8
+              THEN 255 ELSE (y * 3 + x * 5 + 17 * i) % 200 END AS luma
+  FROM fr, yy, xx)
+SELECT printf('clip_%03d.y4m', i) AS file,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+       CAST(SUM(luma) AS BIGINT) AS luma_sum,
+       CAST(SUM(luma) AS DOUBLE) / 768 AS mean_luma
+FROM cell GROUP BY i, f ORDER BY file, frame_idx
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling: parse the YUV4MPEG2 stream header
+    (W/H/F tags), walk FRAME markers, keep every 4th luma plane, emit
+    per-frame stats (operators/media.py y4m_frames — executor-side
+    fan-out, output cardinality never touches the driver). The oracle
+    REBUILDS each sampled frame's luma sum from the generator's
+    gradient+moving-square closed form over generate_series — one
+    mis-read plane byte and the sums diverge. Timestamps derive from
+    the stream's own frame-rate tag (25 fps → 40 ms)."""
+    frames = (_assets(spark, "clip_*.y4m")
+              .mapInPandas(media.y4m_frames(every_nth=4),
+                           schema=media.FRAMES_SCHEMA))
+    return (frames.select(
+                "file", "frame_idx", "frame_ts_ms", "luma_sum",
+                (F.col("luma_sum").cast("double") / F.col("n_px"))
+                .alias("mean_luma"))
+            .orderBy("file", "frame_idx"))
+
+
+@query("multimodal_audio_features", oracle="""
+WITH files AS (SELECT unnest(generate_series(0, 7)) AS i),
+j AS (SELECT unnest(generate_series(0, 3967)) AS j),
+s AS (SELECT i, j, j // 64 AS frame_idx,
+             CAST(29000 - 7 * j + 125 * i AS BIGINT) AS a,
+             CASE WHEN (j % (50 * (i + 1))) < (25 * (i + 1))
+                  THEN 1 ELSE -1 END AS sg
+      FROM files, j),
+d AS (SELECT i, frame_idx, j, a, sg,
+             lag(sg) OVER (PARTITION BY i, frame_idx ORDER BY j)
+               AS prev_sg
+      FROM s)
+SELECT printf('tone_%03d.wav', i) AS file,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 8 AS BIGINT) AS frame_ts_ms,
+       CAST(SUM(a * a) AS BIGINT) AS sumsq,
+       CAST(SUM(CASE WHEN prev_sg IS NOT NULL AND sg <> prev_sg
+                     THEN 1 ELSE 0 END) AS INT) AS zc
+FROM d GROUP BY i, frame_idx ORDER BY file, frame_idx
+""")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode + framewise features: RIFF chunk walk → PCM
+    int16 → 64-sample frames → per-frame energy (Σx², exact BIGINT)
+    and zero-crossing count (operators/media.py wav_frame_features).
+    The fixture tone is an integer square wave, so the oracle derives
+    both features from the period/fade closed form with pure integer
+    arithmetic — the decoded samples must match bit-for-bit. 62 full
+    frames per 4,000-sample file; the 32-sample tail drops (framing
+    contract, both engines)."""
+    return (_assets(spark, "tone_*.wav")
+            .mapInPandas(media.wav_frame_features(frame_samples=64),
+                         schema=media.AUDIO_SCHEMA)
+            .orderBy("file", "frame_idx"))
+
+
+@query("multimodal_phash_dedup", oracle="""
+SELECT * FROM (VALUES
+  ('img_000.bmp', 'img_001.bmp'), ('img_002.bmp', 'img_003.bmp'),
+  ('img_004.bmp', 'img_005.bmp'), ('img_006.bmp', 'img_007.bmp'),
+  ('img_008.bmp', 'img_009.bmp'), ('img_010.bmp', 'img_011.bmp'),
+  ('img_012.bmp', 'img_013.bmp'), ('img_014.bmp', 'img_015.bmp'))
+  AS t(file_a, file_b)
+ORDER BY file_a
+""")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL decoded images — the
+    modality bridge between the multimodal family and the dedup
+    family: BMP decode → 8×8 average-hash (bit = block brighter than
+    thumbnail mean; operators/media.py bmp_ahash) → EXACTLY the
+    SimHash machinery on the 64-bit signatures — 4×16-bit band
+    blocking (pigeonhole: hamming ≤ 3 ⇒ one band equal), equi-join on
+    (band, value), bit_count(xor) verify at threshold 2. One signature
+    per asset, never all-pairs. The oracle is the generator's PLANTED
+    pair list: 8 scene pairs where the odd index adds low-amplitude
+    pixel noise (block means move < 1 gray level) — the planted pairs
+    measure hamming ≤ 2, every cross-scene pair ≥ 3, and the fixture
+    bytes are committed, so the expected output is exact."""
+    sig = (_assets(spark, "img_*.bmp")
+           .mapInPandas(media.bmp_ahash, schema=media.AHASH_SCHEMA)
+           .select(F.col("file").alias("doc_id"),
+                   F.col("phash").alias("simhash")))
+    pairs = simhash_pairs(sig, max_hamming=2)
+    return (pairs.select(F.col("a").alias("file_a"),
+                         F.col("b").alias("file_b"))
+                 .orderBy("file_a"))
+
+
+@query("scan_edf_rpeaks", oracle="""
+WITH ids AS (SELECT unnest(generate_series(0, 5)) AS record_id),
+p AS (SELECT record_id, 70 + record_id % 30 AS period FROM ids),
+pk AS (SELECT record_id, period,
+              unnest(generate_series(0, 1023 // period)) * period
+                AS peak_idx
+       FROM p)
+SELECT printf('ecg_%03d.edf', record_id) AS file,
+       CAST(record_id AS BIGINT) AS record_id, peak_idx,
+       CAST(peak_idx * 7.8125 AS DOUBLE) AS peak_ms,
+       CAST(CASE WHEN peak_idx = 0 THEN NULL
+            ELSE period * 7.8125 END AS DOUBLE) AS rr_ms
+FROM pk ORDER BY record_id, peak_idx
+""")
+def scan_edf_rpeaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END biosignal ingestion: real EDF container decode
+    (256-byte ASCII header + signal headers + int16 sample records;
+    operators/media.py edf_ecg_samples) → exploded (record, sample)
+    relation → the SAME adaptive-threshold R-peak kernel the
+    synthetic-signal path uses (operators/peaks.py detect_rpeaks).
+    The fixtures plant beats every 70 + id % 30 samples over ±500
+    digital noise — the identical grid contract as
+    ``signal_rpeak_detect`` — so the oracle derives the full expected
+    beat/RR series in pure SQL, independent of both the parser and
+    the detector. This closes the last stubbed stage: raw bytes on
+    disk → decoded samples → beats, all real."""
+    sig = (_assets(spark, "ecg_*.edf")
+           .mapInPandas(media.edf_ecg_samples(),
+                        schema=media.EDF_SAMPLES_SCHEMA))
+    beats = peaks.detect_rpeaks(sig)
+    return (beats.select(
+                F.format_string("ecg_%03d.edf", F.col("record_id")
+                                .cast("int")).alias("file"),
+                "record_id", "peak_idx", "peak_ms", "rr_ms")
+            .orderBy("record_id", "peak_idx"))

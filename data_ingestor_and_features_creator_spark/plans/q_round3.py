@@ -1535,32 +1535,8 @@ def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max("k").cast("long").alias("max_k")))
 
 
-# ---------------------------------------------------------------------------
-# Perceptual-hash near-dup over multimodal binary assets
-# ---------------------------------------------------------------------------
-
-@query("multimodal_phash_dedup")  # rows-only: stub decoder (STUB NOTICE)
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup detection for binary media assets — the
-    modality bridge between the multimodal family (stub decode, real
-    Arrow plumbing) and the dedup family (banded signature join):
-    content → 8×8 average-hash (aHash; bit = block brighter than
-    thumbnail mean) in one mapInPandas pass, then EXACTLY the SimHash
-    machinery on the 64-bit signatures — 4×16-bit band blocking
-    (pigeonhole: hamming ≤ 3 ⇒ one band equal), equi-join on
-    (band, value), bit_count(xor) verify. One signature per asset, no
-    all-pairs, the same cached-diamond shape that scales the text
-    paths. A real deployment swaps the stub thumbnail for Pillow
-    decode; aHash-over-thumbnail and everything downstream is the
-    production design (pHash/dHash drop in by changing the bit rule).
-    Known-answer duplicate detection pinned in tests/test_llm_ops.py."""
-    from ..operators import multimodal as mm
-    from ..operators.textops import simhash_pairs
-    d = load_table(spark, sf_dir, "documents")
-    assets = d.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    sig = (assets.mapInPandas(mm.average_hash, schema=mm.PHASH_SCHEMA)
-                 .select("doc_id", F.col("phash").alias("simhash")))
-    return simhash_pairs(sig, max_hamming=3)
+# multimodal_phash_dedup moved to plans/q_media.py (round 6): the
+# aHash now runs over real decoded BMP files, not stub bytes.
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,20 @@ def get_spark(app_name: str = "data_ingestor_and_features_creator_spark",
         # (PARQUET_TYPE_ILLEGAL); read the raw int64 and convert in the
         # catalog (ns → µs floor division, matching DuckDB's ns→µs cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # TWO-THRESHOLD BROADCAST POSTURE (round 6): the STATIC planner
+        # sees only file-size guesses — at the 100x blow-up its
+        # pruned-column estimate of the 135 MB / 15M-row orders table
+        # slipped under a 64 MB static threshold and EIGHT TPC-H plans
+        # built a driver-side 15M-row hash relation (q18 alone paid
+        # ~24 s; catastrophic on a real cluster). Static stays at
+        # Spark's conservative 10 MB default so estimates can never
+        # broadcast a fact table; AQE's runtime threshold stays at
+        # 64 MB because it judges ACTUAL shuffle bytes after column
+        # pruning — a genuinely-small side still earns its broadcast,
+        # at runtime, from real sizes instead of guesses.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

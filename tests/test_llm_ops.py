@@ -1,7 +1,8 @@
 """Unit tests for the LLM-pipeline ops (SURVEY.md §2.11) — pins the
 semantics the DuckDB oracle can't reach: MinHash recall on planted
-near-dups, LSH recall vs brute force, exact-dedup survivor choice,
-multimodal decode plumbing."""
+near-dups, LSH recall vs brute force, exact-dedup survivor choice.
+(Multimodal decode tests moved to tests/test_media_ops.py when the
+stub kernels were replaced by real codecs in round 6.)"""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_ingestor_and_features_creator_spark.operators import (
-    multimodal, similarity, textops)
+    similarity, textops)
 
 
 def _docs(spark, texts):
@@ -139,49 +140,6 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
 
 
-def test_multimodal_decode_roundtrip(spark):
-    docs = _docs(spark, ["hello", "worldly"])
-    binary = docs.select(
-        "doc_id", F.lit("text/plain").alias("modality"),
-        F.encode("text", "utf-8").alias("content"))
-    out = {r["doc_id"]: r for r in
-           binary.mapInPandas(multimodal.fake_decode,
-                              schema=multimodal.DECODED_SCHEMA).collect()}
-    assert out[0]["n_bytes"] == 5 and out[1]["n_bytes"] == 7
-    assert out[0]["head_hex"] == b"hello".hex()
-    assert out[0]["mean_byte"] == pytest.approx(sum(b"hello") / 5)
-
-
-def test_multimodal_resize_fixed_thumbnail(spark):
-    # 16-byte payload = 4x4 'image' of constant 65 ('A') → every 8x8
-    # thumbnail byte is the block average 65; short/empty payloads
-    # still emit a full 64-byte thumbnail (zero-padded case).
-    docs = _docs(spark, ["A" * 16, ""])
-    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    out = {r["doc_id"]: r for r in
-           binary.mapInPandas(multimodal.fake_resize,
-                              schema=multimodal.RESIZED_SCHEMA).collect()}
-    assert out[0]["out_w"] == 8 and out[0]["out_h"] == 8
-    assert bytes(out[0]["content"]) == bytes([65] * 64)
-    assert bytes(out[1]["content"]) == bytes(64)
-
-
-def test_multimodal_frame_sample_fanout(spark):
-    # 10 frames of 4 bytes, every 2nd kept → frames 0,2,4,6,8; the
-    # trailing 2-byte remainder is dropped (incomplete frame).
-    payload = "".join(chr(ord("a") + i) * 4 for i in range(10)) + "zz"
-    docs = _docs(spark, [payload])
-    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    rows = (binary.mapInPandas(
-                multimodal.frame_sample(frame_bytes=4, every_nth=2, fps=25.0),
-                schema=multimodal.FRAMES_SCHEMA)
-            .orderBy("frame_idx").collect())
-    assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6, 8]
-    assert rows[1]["frame_hex"] == (b"c" * 4).hex()
-    assert rows[1]["frame_ts_ms"] == 80  # frame 2 at 25 fps
-    assert all(r["n_bytes"] == 4 for r in rows)
-
-
 def test_data_split_hash_deterministic_and_total(spark, sf_dir):
     from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans import q_llm
@@ -206,23 +164,6 @@ def test_connected_components_chain_and_isolated_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
 
 
-def test_audio_features_known_answer(spark):
-    import struct
-    # 128 samples alternating +1000/-1000: signbit flips every sample
-    pcm = struct.pack("<128h", *([1000, -1000] * 64))
-    df = spark.createDataFrame([(1, bytearray(pcm))],
-                               "doc_id long, content binary")
-    out = df.mapInPandas(multimodal.audio_features(frame_samples=64,
-                                                   sample_rate=8000),
-                         schema=multimodal.AUDIO_SCHEMA).collect()
-    assert len(out) == 2  # 128 samples / 64 per frame
-    expected_rms = round(1000.0 / 32768.0, 6)
-    for r in out:
-        assert r["rms"] == pytest.approx(expected_rms, abs=1e-6)
-        assert r["zcr"] == pytest.approx(1.0, abs=1e-6)  # flips every step
-    assert [r["frame_ts_ms"] for r in out] == [0, 8]  # 64/8000 s = 8 ms
-
-
 def _cc_map(df):
     return {r["n"]: r["cluster_id"] for r in df.collect()}
 
@@ -240,29 +181,6 @@ def test_star_cc_equals_label_propagation(spark):
     star = _cc_map(graph.connected_components_star(edges))
     assert lp == star
     assert star[19] == 0 and star[104] == 100  # chain and clique roots
-
-
-def test_phash_finds_planted_duplicate(spark):
-    """Two byte-identical assets must pair at hamming 0 through the
-    full phash pipeline (decode → aHash → band join → verify); a
-    clearly different asset must not pair with them at ≤ 3."""
-    from pyspark.sql import functions as F
-    from data_ingestor_and_features_creator_spark.operators import (
-        multimodal as mm)
-    from data_ingestor_and_features_creator_spark.operators.textops import (
-        simhash_pairs)
-    blob_a = bytes(range(256)) * 16          # structured 'image'
-    blob_c = bytes([255, 0] * 2048)          # very different texture
-    df = spark.createDataFrame(
-        [(1, bytearray(blob_a)), (2, bytearray(blob_a)),
-         (3, bytearray(blob_c))],
-        "doc_id long, content binary")
-    sig = (df.mapInPandas(mm.average_hash, schema=mm.PHASH_SCHEMA)
-             .select("doc_id", F.col("phash").alias("simhash")))
-    pairs = {(r["a"], r["b"]): r["hamming"]
-             for r in simhash_pairs(sig, max_hamming=3).collect()}
-    assert pairs.get((1, 2)) == 0
-    assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
 def test_segment_dedup_drops_planted_boilerplate(spark):

@@ -632,12 +632,17 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     saved = {k: conf.get(k, None) for k in (
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        "spark.sql.autoBroadcastJoinThreshold")}
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")}
     try:
         conf.set("spark.sql.adaptive."
                  "skewJoin.skewedPartitionThresholdInBytes", "16KB")
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # force SMJ: the session sets the ADAPTIVE threshold explicitly
+        # (two-threshold posture, session.py), so -1 on the static conf
+        # no longer cascades — pin both.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         from pyspark.sql import functions as F
         skewed = (spark.range(0, 200_000)
                   .select(F.when(F.col("id") % 100 < 99, F.lit(7))

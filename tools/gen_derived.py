@@ -397,9 +397,114 @@ def gen_nulls() -> None:
     print("wrote", nd)
 
 
+def gen_media() -> None:
+    """Real-format media/biosignal fixtures (round 6: lift the stub
+    decoders): small COMMITTED files in four public self-describing
+    formats the pure-numpy codecs (operators/codecs.py) genuinely
+    parse — uncompressed BMP, PCM WAV, YUV4MPEG2, EDF. Deterministic
+    (seeded numpy), ~220 KB total.
+
+    Layout (testdata_derived/media/):
+    - img_{i:03d}.bmp, i=0..23. Images 0..15 are 8 scene pairs: even
+      index = the scene, odd index = scene + low-amplitude noise
+      (planted NEAR-DUPLICATES for the perceptual-hash dedup); pairs
+      (0,1) and (2,3) are byte-level near-identical, the rest add
+      noise. 16..23 are unique scenes. Sizes/encodings vary to
+      exercise the parser: odd widths (row padding), 8-bit palette,
+      top-down row order.
+    - tone_{i:03d}.wav, i=0..7: 8 kHz mono int16, 0.5 s, an INTEGER
+      square-wave tone (period 50*(i+1) samples, amplitude
+      29000 - 7*j + 125*i at sample j — a linear fade) so per-frame
+      energy/ZCR are exact integers a SQL oracle derives with pure
+      integer arithmetic (no libm, no float replication risk).
+    - clip_{i:03d}.y4m, i=0..3: 32x24, 16 frames at 25 fps, a bright
+      8x8 square moving diagonally over a static gradient.
+    - ecg_{i:03d}.edf, i=0..5: 2 signals (ECG I @128 Hz spr=128,
+      RESP @16 Hz), 8 one-second records; the ECG channel plants a
+      spike every 70 + i % 30 samples over +/-500 digital noise —
+      the same beat grid the r-peak oracles derive in SQL.
+    """
+    import numpy as np
+    import sys
+    sys.path.insert(0, os.path.dirname(OUT))
+    from data_ingestor_and_features_creator_spark.operators import codecs
+
+    md = os.path.join(OUT, "media")
+    os.makedirs(md, exist_ok=True)
+
+    def scene(seed: int, h: int, w: int) -> "np.ndarray":
+        rng = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((yy * rng.randint(2, 9) + xx * rng.randint(2, 9)) % 256)
+        blob_y, blob_x = rng.randint(0, h), rng.randint(0, w)
+        bump = 120.0 * np.exp(-(((yy - blob_y) ** 2 + (xx - blob_x) ** 2)
+                                / (2.0 * (max(h, w) / 4.0) ** 2)))
+        return np.clip(base + bump, 0, 255).astype(np.uint8)
+
+    sizes = [(32, 32), (36, 48), (25, 25), (48, 64),
+             (32, 32), (40, 33), (32, 32), (36, 48)]
+    for k in range(8):
+        h, w = sizes[k]
+        s = scene(7000 + k, h, w)
+        rng = np.random.RandomState(9000 + k)
+        noise_amp = 1 if k < 2 else 6
+        near = np.clip(s.astype(np.int16)
+                       + rng.randint(-noise_amp, noise_amp + 1, s.shape),
+                       0, 255).astype(np.uint8)
+        bpp = 8 if k % 3 == 2 else 24
+        with open(os.path.join(md, f"img_{2 * k:03d}.bmp"), "wb") as f:
+            f.write(codecs.encode_bmp(s, bpp=bpp, top_down=(k == 5)))
+        with open(os.path.join(md, f"img_{2 * k + 1:03d}.bmp"), "wb") as f:
+            f.write(codecs.encode_bmp(near, bpp=24))
+    for k in range(8):
+        h, w = sizes[k % len(sizes)]
+        s = scene(7700 + k, w, h)  # swapped dims → distinct shapes
+        with open(os.path.join(md, f"img_{16 + k:03d}.bmp"), "wb") as f:
+            f.write(codecs.encode_bmp(s, bpp=24))
+
+    for i in range(8):
+        j = np.arange(4000, dtype=np.int64)
+        period = 50 * (i + 1)
+        amp = 29000 - 7 * j + 125 * i            # linear fade, all > 0
+        sign = np.where((j % period) < period // 2, 1, -1)
+        pcm = (amp * sign).astype(np.int16)
+        with open(os.path.join(md, f"tone_{i:03d}.wav"), "wb") as f:
+            f.write(codecs.encode_wav(8000, pcm))
+
+    for i in range(4):
+        h, w = 24, 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = ((yy * 3 + xx * 5 + 17 * i) % 200).astype(np.uint8)
+        frames = []
+        for fidx in range(16):
+            fr = grad.copy()
+            y0 = (2 * fidx + 3 * i) % (h - 8)
+            x0 = (3 * fidx + 5 * i) % (w - 8)
+            fr[y0:y0 + 8, x0:x0 + 8] = 255
+            frames.append(fr)
+        with open(os.path.join(md, f"clip_{i:03d}.y4m"), "wb") as f:
+            f.write(codecs.encode_y4m(frames, fps_num=25))
+
+    for i in range(6):
+        period = 70 + i % 30
+        rng = np.random.RandomState(4200 + i)
+        ecg = rng.randint(-500, 501, size=1024).astype(np.int32)
+        ecg[::period] = 26000  # planted beats, far above the noise floor
+        resp = (3000 * np.sin(2 * np.pi * np.arange(128) / 64.0)) \
+            .astype(np.int16)
+        b = codecs.encode_edf(
+            [("ECG I", 128, ecg.astype(np.int16)), ("RESP", 16, resp)],
+            record_duration_s=1)
+        with open(os.path.join(md, f"ecg_{i:03d}.edf"), "wb") as f:
+            f.write(b)
+    print("wrote", md)
+
+
 if __name__ == "__main__":
     import sys as _sys
-    if "--sf1p" in _sys.argv:
+    if "--media" in _sys.argv:
+        gen_media()
+    elif "--sf1p" in _sys.argv:
         gen_sf1p()
     elif "--nulls" in _sys.argv:
         gen_nulls()
