@@ -96,6 +96,9 @@ def _expected_meta_values() -> str:
     for i in range(6):
         rows.append((f"ecg_{i:03d}.edf", "signal/edf",
                      None, None, 8, 2, 128, 1024))
+    for i in range(6):
+        rows.append((f"holter_{i:03d}.edf", "signal/edf",
+                     None, None, 16, 1, 128, 2048))
 
     def lit(v):
         if v is None:
@@ -298,3 +301,87 @@ def scan_edf_rpeaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 .cast("int")).alias("file"),
                 "record_id", "peak_idx", "peak_ms", "rr_ms")
             .orderBy("record_id", "peak_idx"))
+
+
+# --------------------------------------------------------------- HRV
+# end-to-end: container bytes → beats → features
+
+# SQL fragments for the time-domain features over the planted jittered
+# grid — same structure as plans/q_hrv.py's oracles (dsum_sql exact
+# sums; sample variance assembled from (Σx, Σx², n)).
+from ..features.hrv import time_domain_exprs_by_name  # noqa: E402
+from ..functions.exact import dsum_sql, r6_sql, safe_sqrt_sql  # noqa: E402
+
+_N = "CAST(COUNT(rri) AS DOUBLE)"
+_ND = "CAST(COUNT(d) AS DOUBLE)"
+_MEAN = f"({dsum_sql('rri')} / {_N})"
+_VAR_NNI = (f"(({dsum_sql('rri*rri')} - {dsum_sql('rri')} *"
+            f" {dsum_sql('rri')} / {_N}) / ({_N} - 1))")
+_MEAN_D2 = f"({dsum_sql('d*d')} / {_ND})"
+
+
+@query("hrv_from_edf", oracle=f"""
+WITH ids AS (SELECT unnest(generate_series(0, 5)) AS record_id),
+ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+pk AS (
+  SELECT record_id,
+         CASE WHEN k = 0 THEN 0
+              ELSE k * (70 + 9 * record_id) + ((k * 7) % 5 - 2) * 4
+         END AS pos
+  FROM ids, ks
+  WHERE (CASE WHEN k = 0 THEN 0
+              ELSE k * (70 + 9 * record_id) + ((k * 7) % 5 - 2) * 4
+         END) BETWEEN 0 AND 2047),
+rr0 AS (
+  SELECT record_id, pos,
+         pos * 7.8125
+           - lag(pos * 7.8125) OVER (PARTITION BY record_id ORDER BY pos)
+           AS rri
+  FROM pk),
+rr AS (
+  SELECT record_id, rri,
+         rri - lag(rri) OVER (PARTITION BY record_id ORDER BY pos) AS d
+  FROM rr0 WHERE rri IS NOT NULL)
+SELECT record_id,
+  CAST(COUNT(rri) AS BIGINT) AS n_beats,
+  {r6_sql(_MEAN)} AS mean_nni,
+  {r6_sql(safe_sqrt_sql(_VAR_NNI))} AS sdnn,
+  {r6_sql(f'SQRT({_MEAN_D2})')} AS rmssd,
+  CAST(SUM(CASE WHEN ABS(d) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nni_50
+FROM rr GROUP BY record_id ORDER BY record_id
+""")
+def hrv_from_edf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline END TO END, from raw bytes on disk to the
+    product table: EDF container decode (real parser) → exploded
+    (record, sample) relation → adaptive-threshold R-peak detection →
+    RR series → per-record time-domain HRV features (mean_nni, sdnn,
+    rmssd, nni_50) — every stage the real production operator, no
+    stage stubbed or pre-derived.
+
+    The holter fixtures plant a JITTERED beat grid (beat k at
+    k·period + ((7k mod 5) − 2)·4 samples), so the RR series varies:
+    sdnn/rmssd are non-zero, nni_50 differs per record, and the oracle
+    re-derives all of it closed-form in SQL — through four pipeline
+    stages, any misread byte, missed beat, or feature-math drift
+    diverges. RR values are exact multiples of 1/16 ms (7.8125 ms
+    per sample), so the exact-sum contract holds with margin.
+
+    Scale shape: decode fans out per file, detection is one
+    applyInPandas per record (the natural ECG sharding unit), features
+    are one hash aggregate — the identical plan the sf-scaling
+    synthetic path (`hrv_time_domain`) benchmarks at blow-up scale."""
+    from pyspark.sql import Window as W
+    sig = (_assets(spark, "holter_*.edf")
+           .mapInPandas(media.edf_ecg_samples(),
+                        schema=media.EDF_SAMPLES_SCHEMA))
+    beats = peaks.detect_rpeaks(sig)
+    w = W.partitionBy("record_id").orderBy("peak_idx")
+    rr = (beats.select("record_id", "peak_idx",
+                       F.col("rr_ms").alias("rri"))
+                .filter(F.col("rri").isNotNull())
+                .withColumn("d", F.col("rri") - F.lag("rri").over(w)))
+    feats = time_domain_exprs_by_name(["mean_nni", "sdnn", "rmssd",
+                                       "nni_50"])
+    return (rr.groupBy("record_id")
+              .agg(F.count("rri").alias("n_beats"), *feats)
+              .orderBy("record_id"))

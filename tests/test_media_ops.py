@@ -79,7 +79,7 @@ def test_edf_fixture_plants_the_documented_beat_grid():
 def test_probe_media_catalogs_every_fixture(spark):
     rows = {r["file"]: r for r in
             q_media.multimodal_table(spark, "").collect()}
-    assert len(rows) == 42
+    assert len(rows) == 48
     assert rows["img_000.bmp"]["modality"] == "image/bmp"
     assert (rows["img_004.bmp"]["width"], rows["img_004.bmp"]["height"]) \
         == (25, 25)       # 8-bit palettized variant decodes too
@@ -145,6 +145,31 @@ def test_phash_dedup_finds_exactly_the_planted_pairs(spark):
     want = [(f"img_{2 * k:03d}.bmp", f"img_{2 * k + 1:03d}.bmp")
             for k in range(8)]
     assert got == want
+
+
+def test_hrv_from_edf_matches_planted_grid_features(spark):
+    """Full chain (EDF bytes → beats → RR → features) against the
+    jittered grid's closed form, computed independently in numpy."""
+    out = {r["record_id"]: r for r in
+           q_media.hrv_from_edf(spark, "").collect()}
+    assert set(out) == set(range(6))
+    for rid in range(6):
+        period = 70 + 9 * rid
+        pos = [0] + [k * period + ((k * 7) % 5 - 2) * 4
+                     for k in range(1, 64)
+                     if 0 <= k * period + ((k * 7) % 5 - 2) * 4 <= 2047]
+        rr = np.diff(np.array(pos)) * 7.8125
+        d = np.diff(rr)
+        r = out[rid]
+        assert r["n_beats"] == len(rr)
+        assert r["mean_nni"] == pytest.approx(rr.mean(), abs=1e-6)
+        assert r["sdnn"] == pytest.approx(rr.std(ddof=1), abs=1e-6)
+        assert r["rmssd"] == pytest.approx(np.sqrt((d * d).mean()),
+                                           abs=1e-6)
+        assert r["nni_50"] == int((np.abs(d) > 50).sum())
+    # the jitter makes the features non-degenerate
+    assert any(out[r]["sdnn"] > 10 for r in out)
+    assert any(out[r]["nni_50"] > 0 for r in out)
 
 
 def test_edf_rpeaks_recover_planted_grid_end_to_end(spark):

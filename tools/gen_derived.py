@@ -423,6 +423,12 @@ def gen_media() -> None:
       RESP @16 Hz), 8 one-second records; the ECG channel plants a
       spike every 70 + i % 30 samples over +/-500 digital noise —
       the same beat grid the r-peak oracles derive in SQL.
+    - holter_{i:03d}.edf, i=0..5: 16-second single-signal strips
+      (2048 samples @128 Hz) with a JITTERED beat grid — beat k at
+      k*(70+9i) + ((k*7)%5 - 2)*4 samples (k=0 pinned at 0) — so the
+      RR series VARIES and every downstream time-domain HRV feature
+      (sdnn, rmssd, nni_50) is non-degenerate yet closed-form
+      derivable in SQL (the hrv_from_edf end-to-end oracle).
     """
     import numpy as np
     import sys
@@ -496,6 +502,19 @@ def gen_media() -> None:
             [("ECG I", 128, ecg.astype(np.int16)), ("RESP", 16, resp)],
             record_duration_s=1)
         with open(os.path.join(md, f"ecg_{i:03d}.edf"), "wb") as f:
+            f.write(b)
+
+    for i in range(6):
+        period = 70 + 9 * i
+        rng = np.random.RandomState(5300 + i)
+        ecg = rng.randint(-500, 501, size=2048).astype(np.int32)
+        for k in range(64):
+            pos = 0 if k == 0 else k * period + ((k * 7) % 5 - 2) * 4
+            if 0 <= pos <= 2047:
+                ecg[pos] = 26000
+        b = codecs.encode_edf([("ECG I", 128, ecg.astype(np.int16))],
+                              record_duration_s=1)
+        with open(os.path.join(md, f"holter_{i:03d}.edf"), "wb") as f:
             f.write(b)
     print("wrote", md)
 
