@@ -274,3 +274,179 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total_rows"),
         F.min("cnt").cast("bigint").alias("min_file_rows"),
         F.max("cnt").cast("bigint").alias("max_file_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 6b): the streaming frequency-estimation
+# sketch, built and queried as ONE deterministic plan
+# ---------------------------------------------------------------------------
+
+_CMS_P = [131, 137, 139, 149]        # one odd multiplier per sketch row
+_CMS_W = 64
+
+
+def _cms_bands_col():
+    from pyspark.sql import functions as F
+    return F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.pmod(F.col("user_id") * _CMS_P[r] + 13 * r,
+                        F.lit(_CMS_W)).alias("b"))
+        for r in range(4)])
+
+
+def _cms_b_sql(r: str = "r") -> str:
+    cases = " ".join(f"WHEN {i} THEN {p}" for i, p in enumerate(_CMS_P))
+    return f"(user_id * (CASE {r} {cases} END) + 13 * {r}) % {_CMS_W}"
+
+
+@query("agg_count_min_sketch", oracle=f"""
+WITH ev AS (SELECT user_id FROM events),
+rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+rows_ AS (SELECT r, {_cms_b_sql()} AS b FROM ev, rs),
+cells AS (SELECT r, b, COUNT(*) AS c FROM rows_ GROUP BY r, b),
+keys AS (SELECT user_id, COUNT(*) AS true_cnt FROM ev GROUP BY user_id),
+kb AS (SELECT user_id, true_cnt, r, {_cms_b_sql()} AS b FROM keys, rs)
+SELECT user_id, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_est,
+       CAST(MIN(c) - true_cnt AS BIGINT) AS overestimate
+FROM kb JOIN cells USING (r, b)
+GROUP BY user_id, true_cnt ORDER BY user_id
+""")
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH end to end: build the d=4 × w=64 cell table
+    (one shuffle on (row, bucket) — at most d·w = 256 groups however
+    large the input), then answer every key's frequency query as
+    min over rows of cell(r, h_r(key)). The hash family is portable
+    integer arithmetic (odd multiplier + row offset, mod w) so the
+    ENTIRE sketch — cells and estimates — is re-derived by the oracle;
+    the output exposes the sketch's defining one-sided error:
+    overestimate = est − true ≥ 0 always (collisions only ADD).
+
+    Scale shape: the cell table is a bounded post-aggregate (256 rows)
+    and is explicitly broadcast for the query join — the same
+    aggregate-then-broadcast pattern as the q18 plan pass; the
+    estimate never scans raw data a second time. At 100 TB, cells
+    come from one map-side-combined pass and the min-query is free."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    bands = _cms_bands_col()
+    cells = (ev.select(F.explode(bands).alias("e"))
+               .select("e.r", "e.b")
+               .groupBy("r", "b").agg(F.count(F.lit(1)).alias("c")))
+    keys = (ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("true_cnt")))
+    est = (keys.select("user_id", "true_cnt", F.explode(bands).alias("e"))
+               .select("user_id", "true_cnt", "e.r", "e.b")
+               .join(F.broadcast(cells), ["r", "b"])
+               .groupBy("user_id", "true_cnt")
+               .agg(F.min("c").cast("long").alias("cms_est")))
+    return (est.withColumn("overestimate",
+                           (F.col("cms_est") - F.col("true_cnt"))
+                           .cast("long"))
+               .orderBy("user_id"))
+
+
+@query("agg_frequency_moments", oracle="""
+WITH per AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS f0,
+       CAST(SUM(cnt) AS BIGINT) AS f1,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS f2
+FROM per GROUP BY event_type ORDER BY event_type
+""")
+def agg_frequency_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY MOMENTS per stream (AMS): F0 = distinct keys, F1 =
+    stream length, F2 = Σ count² — F2 IS the self-join size, the
+    quantity every join-size estimator and skew detector wants, and
+    the one the AMS sketch approximates at scale. Here computed exact
+    in two hash aggregates (per-key partial → moment rollup); the
+    exact two-pass is the 100 TB fallback when ±ε isn't acceptable,
+    and the oracle for any sketched variant."""
+    per = (load_table(spark, sf_dir, "events")
+           .groupBy("event_type", "user_id")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("f0"),
+                    F.sum("cnt").cast("long").alias("f1"),
+                    F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+                     .alias("f2"))
+               .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (round 6b): embedding
+# dimensionality reduction with a portable seeded sign matrix
+# ---------------------------------------------------------------------------
+
+from ..functions.exact import dsum, dsum_sql  # noqa: E402
+
+_JL_K = 8
+
+
+def _jl_sql_proj(j: int) -> str:
+    return dsum_sql(
+        f"CASE WHEN (i * 131 + {j} * 17) % 2 = 0 "
+        f"THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END")
+
+
+@query("vec_random_projection_jl", oracle=f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS i,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT vec_id,
+  {", ".join(f"{_jl_sql_proj(j)} AS p{j}" for j in range(_JL_K))}
+FROM ex GROUP BY vec_id ORDER BY vec_id
+""")
+def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON–LINDENSTRAUSS sign projection: 64-d embeddings → 8-d
+    via a ±1 matrix (Achlioptas' database-friendly construction —
+    sign(i, j) from a portable integer hash of the coordinate pair, so
+    no RNG, no stored matrix, and the oracle re-derives every output).
+    The prep step that makes downstream ANN/bucketing cheap at 100 TB:
+    8 doubles ride the shuffle instead of 64 floats.
+
+    Exactness: components sum through the decimal-exact path (dsum),
+    so the fold order — Spark's hash-agg partials vs DuckDB's unnest
+    scan — cannot flip a low bit. Plan: one posexplode (bounded ×64
+    fan-out) + one hash aggregate computing all 8 components in a
+    single pass."""
+    ex = (load_table(spark, sf_dir, "embeddings")
+          .select("vec_id", F.posexplode("embedding").alias("i", "v")))
+    sign = [F.when(F.pmod(F.col("i") * 131 + j * 17, F.lit(2)) == 0,
+                   F.lit(1.0)).otherwise(F.lit(-1.0))
+            for j in range(_JL_K)]
+    return (ex.groupBy("vec_id")
+              .agg(*[dsum(F.col("v").cast("double") * sign[j])
+                     .alias(f"p{j}") for j in range(_JL_K)])
+              .orderBy("vec_id"))
+
+
+@query("vocab_char_trigrams", oracle="""
+WITH t AS (
+  SELECT lower(text) AS t FROM documents WHERE length(lower(text)) >= 3),
+g AS (
+  SELECT substr(t, CAST(p AS INT), 3) AS g
+  FROM (SELECT t, unnest(generate_series(1, length(t) - 2)) AS p FROM t))
+SELECT g AS trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY g ORDER BY n DESC, g LIMIT 100
+""")
+def vocab_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character TRIGRAM vocabulary (top-100): the language-ID /
+    BPE-seeding statistic — every overlapping 3-char window of the
+    lowercased corpus, counted. Spark side is one bounded transform
+    (len−2 substrings per doc, executor-side) + one hash aggregate +
+    a total-order top-k (count desc, trigram asc — the registry
+    tiebreak rule, so LIMIT is deterministic cross-engine)."""
+    t = (load_table(spark, sf_dir, "documents")
+         .select(F.lower("text").alias("t"))
+         .filter(F.length("t") >= 3))
+    tri = t.select(F.explode(F.expr(
+        "transform(sequence(1, length(t) - 2), p -> substring(t, p, 3))"))
+        .alias("trigram"))
+    return (tri.groupBy("trigram")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.desc("n"), F.asc("trigram"))
+               .limit(100))
