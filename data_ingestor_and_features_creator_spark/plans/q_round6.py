@@ -450,3 +450,67 @@ def vocab_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n"))
                .orderBy(F.desc("n"), F.asc("trigram"))
                .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct sketch (round 6b): completes the sketch
+# trio — CMS (frequency), KMV (distinct), AMS (moments)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+# portable Knuth multiplicative hash → (0, 1] uniform-ish fraction;
+# same family as data_split_hash (q_llm.py), bijective on the key
+# range so rank ties cannot occur within a stream
+_KMV_H = "(((user_id % 1000003) * 2654435761) % 1000003 + 1) / 1000003.0"
+
+
+@query("agg_kmv_distinct_sketch", oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, {_KMV_H} AS hv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {_KMV_H}, user_id) AS rn
+  FROM keys),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_true,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS hk
+  FROM h GROUP BY event_type)
+SELECT event_type, CAST(n_true AS BIGINT) AS n_distinct_true,
+       CASE WHEN n_true < {_KMV_K} THEN CAST(n_true AS DOUBLE)
+            ELSE ({_KMV_K} - 1) / hk END AS kmv_est
+FROM agg ORDER BY event_type
+""")
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES distinct sketch (Bar-Yossef et al.): hash every
+    key to (0, 1], keep the k = 32 smallest per group; if the group has
+    fewer than k keys the sketch IS exact, else estimate = (k−1)/h_(k).
+    The mergeable-distinct primitive (union sketches = merge smallest-k
+    sets) that HLL refines; the portable Knuth hash makes the WHOLE
+    estimate oracle-re-derivable, and the output carries the true
+    distinct count so the estimate's error is visible, not asserted.
+
+    Scale shape: one distinct shuffle (the unavoidable one) + a
+    per-group top-k window over ≤ |distinct| rows; merge-at-k keeps
+    sketch state at 32 doubles per group however large the input."""
+    from pyspark.sql import Window as W
+    k = _KMV_K
+    hv = ((F.col("user_id") % 1000003) * F.lit(2654435761)
+          % 1000003 + 1) / 1000003.0
+    keys = (load_table(spark, sf_dir, "events")
+            .select("event_type", "user_id").distinct()
+            .withColumn("hv", hv))
+    w = W.partitionBy("event_type").orderBy("hv", "user_id")
+    h = keys.withColumn("rn", F.row_number().over(w))
+    agg = (h.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("hk")))
+    return (agg.select(
+                "event_type",
+                F.col("n_true").cast("long").alias("n_distinct_true"),
+                F.when(F.col("n_true") < k,
+                       F.col("n_true").cast("double"))
+                 .otherwise(F.lit(float(k - 1)) / F.col("hk"))
+                 .alias("kmv_est"))
+               .orderBy("event_type"))

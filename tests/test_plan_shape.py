@@ -849,3 +849,46 @@ def test_scan_file_metadata_multifile_sf1p(spark):
     assert row["total_rows"] == 6_000_000, row
     assert row["min_file_rows"] >= 1
     assert row["max_file_rows"] <= row["total_rows"]
+
+
+# ---------------------------------------------------------- round 6b
+
+
+def test_cms_query_join_broadcasts_the_cell_table(spark, sf_dir):
+    """agg_count_min_sketch's estimate join must broadcast the 256-cell
+    post-aggregate side (the q18 aggregate-then-broadcast pattern) —
+    never shuffle the keys against a shuffled cell table."""
+    from data_ingestor_and_features_creator_spark.plans import q_round6
+    plan = _physical(q_round6.agg_count_min_sketch(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_jl_projection_is_one_aggregate_no_python(spark, sf_dir):
+    """vec_random_projection_jl computes all 8 components in a single
+    hash aggregate over the posexplode — no Python stage, at most the
+    one groupBy exchange."""
+    from data_ingestor_and_features_creator_spark.plans import q_round6
+    plan = _physical(q_round6.vec_random_projection_jl(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    body = plan.split("AdaptiveSparkPlan")[0]
+    assert plan.count("Exchange") <= 2, plan  # agg + final orderBy
+
+
+def test_phash_band_join_never_cartesian(spark):
+    """The media near-dup join must stay a banded equi-join: no
+    BroadcastNestedLoopJoin / CartesianProduct over the signatures."""
+    from data_ingestor_and_features_creator_spark.plans import q_media
+    plan = _physical(q_media.multimodal_phash_dedup(spark, ""))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_media_decode_is_arrow_batched(spark):
+    """The real decoders run as Arrow-batched mapInPandas stages over
+    the binaryFile scan (MapInPandas / ArrowEvalPython in the plan),
+    never row-at-a-time Python UDFs."""
+    from data_ingestor_and_features_creator_spark.plans import q_media
+    plan = _physical(q_media.multimodal_table(spark, ""))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
