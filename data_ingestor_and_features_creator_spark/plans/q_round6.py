@@ -514,3 +514,122 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.lit(float(k - 1)) / F.col("hk"))
                  .alias("kmv_est"))
                .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation (round 6b): domain capping + length-bucket
+# batching — the two balancing passes every corpus mix runs
+# ---------------------------------------------------------------------------
+
+_CAP_N = 8
+_CAP_H = "((doc_id % 1000003) * 2654435761) % 1000003"
+
+
+@query("data_domain_cap", oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_CAP_H}, doc_id) AS pick_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_source
+  FROM documents)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(pick_rank AS BIGINT) AS pick_rank,
+       CAST(n_source AS BIGINT) AS n_source
+FROM ranked WHERE pick_rank <= {_CAP_N}
+ORDER BY source, pick_rank
+""")
+def data_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN CAPPING — the anti-domination pass of every corpus mix
+    (no single source may contribute more than N documents): rank each
+    source's docs by a portable Knuth hash (deterministic 'random'
+    pick, no RNG, stable across engines and reruns) and keep the first
+    N. Carries n_source so the capped/uncapped regimes are both
+    visible in the output. One shuffle on source; rank-and-filter is
+    the same window the per-group top-k uses — at 100 TB the hash
+    ranking means the kept set is stable under re-partitioning,
+    unlike any first-N-encountered scheme."""
+    h = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 1000003
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = (load_table(spark, sf_dir, "documents")
+              .select("source", "doc_id", "n_chars")
+              .withColumn("pick_rank", F.row_number().over(w))
+              .withColumn("n_source",
+                          F.count(F.lit(1)).over(
+                              W.partitionBy("source"))))
+    return (ranked.filter(F.col("pick_rank") <= _CAP_N)
+                  .select("source", "doc_id",
+                          F.col("n_chars").cast("long").alias("n_chars"),
+                          F.col("pick_rank").cast("long").alias("pick_rank"),
+                          F.col("n_source").cast("long").alias("n_source"))
+                  .orderBy("source", "pick_rank"))
+
+
+_LB_W = 128
+
+
+@query("data_length_buckets", oracle=f"""
+SELECT CAST(((n_chars + {_LB_W} - 1) // {_LB_W}) * {_LB_W} AS BIGINT)
+         AS bucket_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS payload_chars,
+       CAST(SUM(((n_chars + {_LB_W} - 1) // {_LB_W}) * {_LB_W} - n_chars)
+            AS BIGINT) AS padding_waste
+FROM documents
+GROUP BY bucket_len ORDER BY bucket_len
+""")
+def data_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKET BATCHING audit: round every document up to the
+    next 128-char bucket (the fixed-shape batch a trainer pads to) and
+    report per-bucket doc counts, real payload, and PADDING WASTE —
+    the number that decides whether length-grouped batching is worth
+    the shuffle (waste = compute burned on pad tokens). Pure integer
+    ceil-division on both engines (Spark DIV ≡ DuckDB //), one hash
+    aggregate, exact at any scale."""
+    b = (F.expr(f"(n_chars + {_LB_W} - 1) DIV {_LB_W}") * _LB_W)
+    return (load_table(spark, sf_dir, "documents")
+            .select(F.col("n_chars"), b.alias("bucket_len"))
+            .groupBy("bucket_len")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("payload_chars"),
+                 F.sum(F.col("bucket_len") - F.col("n_chars"))
+                  .cast("long").alias("padding_waste"))
+            .select(F.col("bucket_len").cast("long").alias("bucket_len"),
+                    "n_docs", "payload_chars", "padding_waste")
+            .orderBy("bucket_len"))
+
+
+@query("win_rolling_iqr_anomaly", oracle="""
+SELECT event_id, user_id,
+       ROUND(quantile_cont(value, 0.5) OVER w, 6) AS med,
+       ROUND(quantile_cont(value, 0.75) OVER w
+             - quantile_cont(value, 0.25) OVER w, 6) AS iqr,
+       COALESCE(ABS(value - quantile_cont(value, 0.5) OVER w)
+                > 1.5 * (quantile_cont(value, 0.75) OVER w
+                         - quantile_cont(value, 0.25) OVER w),
+                false) AS is_anomaly
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
+""")
+def win_rolling_iqr_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROBUST-IQR anomaly flag — the Tukey-fence twin of the
+    rolling-median artifact rule: |x − rolling_median| > 1.5 × rolling
+    IQR over a 101-row centered frame. Quartiles come from the exact
+    interpolating percentile as a WINDOW function (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, bit-identical interpolation arithmetic),
+    so unlike a rolling MAD — whose deviation column depends on each
+    frame's own median and cannot be a plain window expression — the
+    whole statistic stays JVM-side, one sort per user partition, no
+    Python. Flag COALESCEd to false (registry boolean house rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-50, 50))
+    med = F.expr("percentile(value, 0.5)").over(w)
+    q1 = F.expr("percentile(value, 0.25)").over(w)
+    q3 = F.expr("percentile(value, 0.75)").over(w)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(med, 6).alias("med"),
+        F.round(q3 - q1, 6).alias("iqr"),
+        F.coalesce(F.abs(F.col("value") - med) > 1.5 * (q3 - q1),
+                   F.lit(False)).alias("is_anomaly"))
