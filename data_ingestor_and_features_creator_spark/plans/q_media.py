@@ -385,3 +385,56 @@ def hrv_from_edf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rr.groupBy("record_id")
               .agg(F.count("rri").alias("n_beats"), *feats)
               .orderBy("record_id"))
+
+
+# --------------------------------------------------- small-file compaction
+
+_COMPACT_TARGET = 32 * 1024
+
+
+@query("maintain_compaction_manifest", oracle=f"""
+WITH f AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+         CAST(size AS BIGINT) AS bytes
+  FROM read_blob('{_MEDIA}/*')),
+c AS (
+  SELECT file, bytes,
+         COALESCE(SUM(bytes) OVER (ORDER BY file
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+  FROM f)
+SELECT CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       MIN(file) AS first_file, MAX(file) AS last_file
+FROM c GROUP BY bin ORDER BY bin
+""")
+def maintain_compaction_manifest(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLAN — the WebDataset-shard packing pass a
+    multimodal lake runs over millions of tiny assets: order files by
+    name (the stable, re-runnable order), running-total their sizes,
+    and cut a shard boundary every 32 KiB of cumulative payload
+    (bin = exclusive-prefix-sum ÷ target, so a file never splits and
+    every bin except the last reaches the target once one file
+    crosses it). The manifest — bin id, member count, byte total,
+    first/last member — is exactly what the downstream copy job
+    executes and what a resumable loader verifies. Sizes are
+    byte-checked against DuckDB's read_blob over the same directory.
+    At 100 TB the same window runs over the file-listing table
+    (billions of rows, one sort by path) — never over content."""
+    files = (spark.read.format("binaryFile").load(_MEDIA)
+             .select(F.element_at(F.split("path", "/"), -1).alias("file"),
+                     F.col("length").alias("bytes")))
+    from pyspark.sql import Window as W
+    cum = (F.sum("bytes")
+           .over(W.orderBy("file").rowsBetween(W.unboundedPreceding, -1)))
+    c = files.withColumn("cum_before", F.coalesce(cum, F.lit(0)))
+    return (c.select((F.col("cum_before") / _COMPACT_TARGET)
+                     .cast("long").alias("bin"), "file", "bytes")
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                  F.sum("bytes").cast("long").alias("total_bytes"),
+                  F.min("file").alias("first_file"),
+                  F.max("file").alias("last_file"))
+             .orderBy("bin"))

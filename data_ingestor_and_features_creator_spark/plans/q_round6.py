@@ -633,3 +633,76 @@ def win_rolling_iqr_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q3 - q1, 6).alias("iqr"),
         F.coalesce(F.abs(F.col("value") - med) > 1.5 * (q3 - q1),
                    F.lit(False)).alias("is_anomaly"))
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer introspection (round 6b): the stats pruning trusts,
+# cross-checked against full-scan truth
+# ---------------------------------------------------------------------------
+
+_FOOTER_SCHEMA = ("path string, n_row_groups int, n_rows long, "
+                  "min_orderkey long, max_orderkey long")
+
+
+def _footer_kernel(batches):
+    """pyarrow FOOTER-ONLY read per file (no data pages touched): one
+    row per file with row-group count, row total, and the l_orderkey
+    min/max stats — the exact bytes a partition pruner consults."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    for pdf in batches:
+        rows = []
+        for p in pdf["path"]:
+            local = p[7:] if str(p).startswith("file://") else str(p)
+            md = pq.ParquetFile(local).metadata
+            lo = hi = None
+            nrows = 0
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                nrows += rg.num_rows
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == "l_orderkey":
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            rows.append({"path": p, "n_row_groups": md.num_row_groups,
+                         "n_rows": nrows, "min_orderkey": lo,
+                         "max_orderkey": hi})
+        out = pd.DataFrame(rows, columns=["path", "n_row_groups", "n_rows",
+                                          "min_orderkey", "max_orderkey"])
+        out["n_row_groups"] = out["n_row_groups"].astype("int32")
+        yield out
+
+
+@query("scan_parquet_footer_stats", oracle="""
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS n_row_groups,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem
+""")
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER introspection — read ONLY the metadata every
+    min/max pruner trusts (pyarrow footer parse in a mapInPandas
+    stage over the distinct file list; zero data pages touched) and
+    assert it against full-scan truth: the footer's row total and
+    l_orderkey min/max must equal the view's COUNT/MIN/MAX. A writer
+    that mis-stats a column would silently break pruning everywhere —
+    this op is the audit that catches it. The oracle pins the
+    single-file driver fixture (1 file / 1 row group, like
+    scan_file_metadata); multi-file behavior on the 163-part sf1p
+    landing layout is pinned in tests/test_plan_shape.py. At 100 TB
+    this runs ~8 KB of footer per file, parallel over the manifest —
+    the cheapest possible audit of the lake's pruning substrate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    files = (li.select(F.col("_metadata.file_path").alias("path"))
+               .distinct())
+    per_file = files.mapInPandas(_footer_kernel, schema=_FOOTER_SCHEMA)
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_row_groups").cast("long").alias("n_row_groups"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("min_orderkey").cast("long").alias("min_orderkey"),
+        F.max("max_orderkey").cast("long").alias("max_orderkey"))

@@ -892,3 +892,18 @@ def test_media_decode_is_arrow_batched(spark):
     plan = _physical(q_media.multimodal_table(spark, ""))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+@needs_sf1p
+def test_parquet_footer_stats_multifile_sf1p(spark):
+    """scan_parquet_footer_stats' oracle pins the 1-file driver
+    fixture; THIS pins the multi-file landing layout: 163 part files,
+    footer row totals summing to the 6M-row fact, stats covering the
+    full key range — the pruning substrate audited across a real
+    partitioned tree."""
+    row = QUERIES["scan_parquet_footer_stats"](spark, SF1P).first()
+    assert row["n_files"] >= 64, row
+    assert row["n_row_groups"] >= row["n_files"]
+    assert row["total_rows"] == 6_000_000, row
+    assert row["min_orderkey"] == 0
+    assert row["max_orderkey"] > 1_000_000
