@@ -907,3 +907,46 @@ def test_parquet_footer_stats_multifile_sf1p(spark):
     assert row["total_rows"] == 6_000_000, row
     assert row["min_orderkey"] == 0
     assert row["max_orderkey"] > 1_000_000
+
+
+def test_trimmed_mean_fence_join_is_broadcast(spark, sf_dir):
+    """agg_trimmed_mean's pass-2 rejoin must broadcast the tiny fence
+    table — the corpus shuffles once on the group key; a sort-merge
+    fence join would add a full second exchange of the rows."""
+    plan = _physical(QUERIES["agg_trimmed_mean"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_distinct_on_plans_window_group_limit(spark, sf_dir):
+    """sql_distinct_on's rn=1 filter must lower to WindowGroupLimit
+    (Spark 3.5+ rank-limit pushdown): the per-key top-1 never buffers
+    or fully sorts each partition's rows beyond the running top-k."""
+    plan = _physical(QUERIES["sql_distinct_on"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_resample_linear_single_user_exchange(spark, sf_dir):
+    """time_resample_linear: grid generation, union, and BOTH
+    interpolation windows must share ONE user_id partitioning — the
+    plan may exchange for the bounds aggregate and once for the
+    windowed union, but the two window passes (forward LOCF, backward
+    NOCB) must not re-shuffle between each other."""
+    df = QUERIES["time_resample_linear"](spark, sf_dir)
+    plan = _physical(df)
+    # Two windows, no exchange between them: the Window operators
+    # appear stacked with no intervening shuffle.
+    import re
+    segment = plan[plan.find("Window"):]
+    first_exchange = segment.find("Exchange")
+    second_window = segment.find("Window", 1)
+    assert second_window != -1, plan
+    assert first_exchange == -1 or first_exchange > second_window, plan
+
+
+def test_readability_zero_shuffle_no_python(spark, sf_dir):
+    """text_readability is a pure row-map: no exchange, no Python
+    eval — regexp_count runs in JVM codegen."""
+    plan = _physical(QUERIES["text_readability"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
