@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import query
+from .registry import query, scratch_dir
 
 
 # ---------------------------------------------------------------------------
@@ -420,3 +420,281 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(84.6) * (F.col("syllables").cast("double")
                              / F.col("words")))
     return f.withColumn("flesch_ease", F.round(ease, 6))
+
+
+# ---------------------------------------------------------------------------
+# Geometric mean per group (decimal-routed log sum)
+# ---------------------------------------------------------------------------
+
+@query("agg_geometric_mean", oracle="""
+WITH v AS (
+  SELECT event_type, ROUND(ln(value), 9) AS l, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(exp(CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*)), 6) AS geo_mean,
+       ROUND(AVG(value), 6) AS arith_mean
+FROM v GROUP BY event_type
+""")
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC MEAN per event_type — the correct average for
+    multiplicative quantities (growth factors, ratios, latency
+    multipliers [PK]), completing the Pythagorean-means trio next to
+    agg_basic (arithmetic) and agg_harmonic_mean. The libm discipline
+    applied to an unavoidably-log op: ln is evaluated ONCE per row and
+    immediately pinned to 9 dp (a 1-ulp cross-engine ln drift only
+    matters if it straddles a 9-dp boundary — measure-zero), then the
+    pinned values take the DECIMAL(38,12) exact-sum path, so the fold
+    order can't drift and the single exp at the end sees bit-identical
+    input on both engines. Positive values only (domain of ln);
+    NULL/NaN excluded per the nulls-hardened semantics. One map-side-
+    combined hash aggregate — the same scale shape as agg_basic."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value")
+                   & (F.col("value") > 0))
+           .select("event_type",
+                   F.round(F.log("value"), 9).alias("l"), "value"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.sum(F.col("l").cast("decimal(38,12)"))
+                       .cast("double") / F.count(F.lit(1))), 6)
+         .alias("geo_mean"),
+        F.round(F.avg("value"), 6).alias("arith_mean"))
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-28-day MAU / stickiness
+# ---------------------------------------------------------------------------
+
+@query("agg_dau_mau_stickiness", oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+span AS (
+  SELECT du.user_id, du.day + CAST(o.o AS INTEGER) AS day
+  FROM du, LATERAL (SELECT unnest(generate_series(0, 27)) AS o) o),
+mau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM span GROUP BY day)
+SELECT dau.day, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+""")
+def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day MAU / STICKINESS per day — the product-
+    analytics headline ratio [PK]. The sliding distinct is computed
+    WITHOUT a distinct-over-range window (Spark has none) and WITHOUT
+    a range join: each distinct (day, user) pair is exploded to the 28
+    future days it keeps the user "monthly active" for, turning the
+    sliding-window distinct into a plain equi-groupBy distinct — the
+    fan-out is exactly 28x the DISTINCT pair table (users x days, NOT
+    raw events), every key is an equi-key (AQE-splittable), and no
+    nested-loop join ever appears. Days with no activity are dropped
+    by the inner join back to dau (stickiness is undefined there).
+    At 100 TB the same shape holds, or swap the distinct for per-day
+    HLL sketches union-merged over the 28-day window
+    (agg_hll_sketch_merge is that primitive)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct())
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    span = (du.select("user_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+                      "day")
+              .select("user_id", F.date_add("day", F.col("o")).alias("day")))
+    mau = (span.groupBy("day")
+               .agg(F.countDistinct("user_id").alias("mau")))
+    return (dau.join(mau, "day")
+               .select("day", "dau", "mau",
+                       F.round(F.col("dau").cast("double") / F.col("mau"), 6)
+                        .alias("stickiness")))
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile scoring per customer
+# ---------------------------------------------------------------------------
+
+@query("feature_rfm_scores", oracle="""
+WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT ref_day FROM ref)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey),
+s AS (
+  SELECT *,
+         CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+              AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey)
+              AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey)
+              AS BIGINT) AS m_score
+  FROM base)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, ROUND(monetary, 6) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM s
+""")
+def feature_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) QUINTILE SCORING per
+    customer — the classic segmentation feature block [PK] every CRM
+    and churn model starts from. Recency = days from the customer's
+    last order to the corpus frontier (max order date — never now():
+    reproducible, backfill-meaningful, the audit_source_freshness
+    rule); monetary runs through the DECIMAL exact-sum path. Scores
+    are ntile(5) with the custkey tiebreak making every quintile
+    boundary total-order deterministic (bare ntile over ties is
+    partition-order-dependent and can never hash-match — the house
+    rule applied to ranking features). Scale shape: one aggregate
+    over orders (map-side partials), then three ntile windows over the
+    CUSTOMER-grain table; a global ntile is a single-partition sort at
+    extreme scale — the documented swap is percentile-fence bucketing
+    (agg_percentile_exact_scalable's two-pass fences) which this
+    op's output is pinned against."""
+    od = load_table(spark, sf_dir, "orders")
+    ref = od.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    base = (od.groupBy("o_custkey")
+              .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+                   F.count(F.lit(1)).alias("frequency"),
+                   F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+                    .cast("double").alias("monetary"))
+              .crossJoin(F.broadcast(ref))
+              .select("o_custkey",
+                      F.datediff("ref_day", "last_day").cast("bigint")
+                       .alias("recency_days"),
+                      "frequency", "monetary"))
+    r_w = W.orderBy(F.col("recency_days").desc(), "o_custkey")
+    f_w = W.orderBy(F.col("frequency").asc(), "o_custkey")
+    m_w = W.orderBy(F.col("monetary").asc(), "o_custkey")
+    s = (base.withColumn("r_score", F.ntile(5).over(r_w).cast("bigint"))
+             .withColumn("f_score", F.ntile(5).over(f_w).cast("bigint"))
+             .withColumn("m_score", F.ntile(5).over(m_w).cast("bigint")))
+    return s.select(
+        "o_custkey", "recency_days", "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score", "f_score", "m_score",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("rfm_segment"))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-clustered sink (the write-side half of row-group pruning)
+# ---------------------------------------------------------------------------
+
+@query("sink_sorted_clustered", oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
+         AS total_price,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem GROUP BY l_returnflag
+""")
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-CLUSTERED WRITE — the write-side half of the row-group-
+    pruning story scan_parquet_footer_stats audits from the read side:
+    repartition(l_orderkey) then sortWithinPartitions(l_orderkey)
+    before the parquet write, so every row group's (min, max) key
+    range is TIGHT and a later key-range scan can skip most groups on
+    footer stats alone [SPARK]. (cluster_zorder is the multi-column
+    sibling; this is the single-key form every fact-table landing job
+    should default to.) The read-back aggregate equals the source —
+    the oracle proves the clustered round trip is lossless; the
+    footer-monotonicity itself is asserted in tests/test_plan_shape
+    (pyarrow row-group stats non-overlapping within each file)."""
+    import os
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(scratch_dir("sink_sorted_clustered"), "lineitem")
+    (li.repartition(4, "l_orderkey")
+       .sortWithinPartitions("l_orderkey")
+       .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,12)"))
+         .cast("double").alias("total_price"),
+        F.min("l_orderkey").cast("bigint").alias("min_key"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"))
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (rolling mean +/- 2 sigma, decimal frame sums)
+# ---------------------------------------------------------------------------
+
+_BOLL_FRAME = 19  # trailing rows -> 20-row frame
+
+
+def _boll_sum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,12))) OVER w AS DOUBLE)"
+
+
+@query("win_bollinger_bands", oracle=f"""
+WITH v AS (
+  SELECT event_id, user_id, ts, value AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+q AS (
+  SELECT event_id, user_id, x,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         {_boll_sum_sql('x')} AS s1,
+         {_boll_sum_sql('x * x')} AS s2
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_BOLL_FRAME} PRECEDING AND CURRENT ROW)),
+b AS (
+  SELECT event_id, user_id, x, n,
+         s1 / n AS mid,
+         CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) > 0
+              THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+  FROM q)
+SELECT event_id, user_id,
+       ROUND(mid, 6) AS mid,
+       ROUND(mid + 2 * sd, 6) AS upper_band,
+       ROUND(mid - 2 * sd, 6) AS lower_band,
+       COALESCE(x > mid + 2 * sd, false) AS above,
+       COALESCE(x < mid - 2 * sd, false) AS below
+FROM b
+""")
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS per user — rolling mean ± 2σ over a trailing
+    20-row frame with breakout flags [PK]: the variance-based band
+    monitor completing the rolling family (win_rolling_envelope is
+    the order-statistic Donchian band — forgets magnitude; this one
+    weights it). Both frame sums (Σx, Σx²) run through DECIMAL in ONE
+    window spec (the win_rolling_corr pattern), the band assembly is
+    scalar IEEE + sqrt (exact), breach flags compare the UNROUNDED
+    band (bit-identical cross-engine by construction) and are
+    COALESCEd to false (nullable-boolean house rule); degenerate
+    frames (n<2 or zero variance) emit NULL bands and false flags.
+    One shuffle on user_id; both sums and the flags share the sort."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wl.rowsBetween(-_BOLL_FRAME, 0)
+
+    def ds(c):
+        return F.sum(c.cast("decimal(38,12)")).over(w).cast("double")
+
+    x = F.col("value")
+    q = ev.select("event_id", "user_id", x.alias("x"),
+                  F.count(F.lit(1)).over(w).cast("double").alias("n"),
+                  ds(x).alias("s1"), ds(x * x).alias("s2"))
+    mid = F.col("s1") / F.col("n")
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    sd = F.when((F.col("n") >= 2) & (var_num > 0),
+                F.sqrt(var_num / (F.col("n") - 1)))
+    b = q.select("event_id", "user_id", "x", mid.alias("mid"),
+                 sd.alias("sd"))
+    up = F.col("mid") + 2 * F.col("sd")
+    lo = F.col("mid") - 2 * F.col("sd")
+    return b.select(
+        "event_id", "user_id",
+        F.round("mid", 6).alias("mid"),
+        F.round(up, 6).alias("upper_band"),
+        F.round(lo, 6).alias("lower_band"),
+        F.coalesce(F.col("x") > up, F.lit(False)).alias("above"),
+        F.coalesce(F.col("x") < lo, F.lit(False)).alias("below"))

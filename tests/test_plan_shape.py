@@ -950,3 +950,33 @@ def test_readability_zero_shuffle_no_python(spark, sf_dir):
     plan = _physical(QUERIES["text_readability"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_sorted_clustered_write_has_tight_rowgroups(spark, sf_dir):
+    """sink_sorted_clustered: after the sortWithinPartitions write,
+    every file's row groups must hold non-overlapping, ascending
+    l_orderkey ranges — the footer-stat tightness that lets a
+    key-range scan skip row groups (the write-side pruning
+    substrate)."""
+    import glob
+    import pyarrow.parquet as pq
+    QUERIES["sink_sorted_clustered"](spark, sf_dir).collect()
+    # scratch_dir() WIPES its tag dir on every call — reassemble the
+    # path from the module root instead of calling it again.
+    from data_ingestor_and_features_creator_spark import scratch
+    out = os.path.join(scratch._SCRATCH_ROOT, "sink_sorted_clustered",
+                       "lineitem")
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert files, out
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema
+                   == "l_orderkey")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max, (path, rg)
+            prev_max = st.max
