@@ -980,3 +980,12 @@ def test_sorted_clustered_write_has_tight_rowgroups(spark, sf_dir):
             if prev_max is not None:
                 assert st.min >= prev_max, (path, rg)
             prev_max = st.max
+
+
+def test_unigram_logprob_vocab_is_broadcast(spark, sf_dir):
+    """text_unigram_logprob: the pinned-log vocab table must join
+    back onto the exploded token stream as a BROADCAST — the corpus
+    side never shuffles for the probability lookup."""
+    plan = _physical(QUERIES["text_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
