@@ -33,6 +33,7 @@ def load_all() -> None:
     from . import q_media  # noqa: F401  (round 6: real-codec multimodal)
     from . import q_round6c  # noqa: F401  (tail of the priority order)
     from . import q_round6d  # noqa: F401  (tail of the priority order)
+    from . import q_round6e  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round

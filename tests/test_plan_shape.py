@@ -989,3 +989,30 @@ def test_unigram_logprob_vocab_is_broadcast(spark, sf_dir):
     plan = _physical(QUERIES["text_unigram_logprob"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_codec_sink_zstd_smaller_and_all_readable(spark, sf_dir):
+    """sink_compressed_codecs: all three codec trees must be readable
+    (the op's oracle proves losslessness); here pin the storage-policy
+    fact — zstd's tree is smaller than snappy's on this data."""
+    import glob
+    QUERIES["sink_compressed_codecs"](spark, sf_dir).collect()
+    from data_ingestor_and_features_creator_spark import scratch
+    base = os.path.join(scratch._SCRATCH_ROOT, "sink_codecs")
+    sizes = {}
+    for codec in ("snappy", "zstd", "gzip"):
+        files = glob.glob(os.path.join(base, codec, "*.parquet"))
+        assert files, codec
+        sizes[codec] = sum(os.path.getsize(f) for f in files)
+    assert sizes["zstd"] < sizes["snappy"], sizes
+
+
+def test_not_in_compiles_null_aware_anti_join(spark, sf_dir):
+    """sql_not_in_null_semantics: Spark must plan the NOT IN branch as
+    a null-aware anti join (the broadcast-only plan that makes NOT IN
+    a scale hazard on big probe sides) and the NOT EXISTS branch as a
+    plain LeftAnti."""
+    plan = _physical(QUERIES["sql_not_in_null_semantics"](spark, sf_dir))
+    # BroadcastHashJoin's trailing `true` flag IS isNullAwareAntiJoin
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "LeftAnti, BuildRight, false" in plan, plan  # the NOT EXISTS twin
