@@ -303,3 +303,207 @@ def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg((F.count(F.lit(1)) / 3).cast("bigint").alias("n"),
                      (F.sum(F.col("value").cast(_DEC)) / 3)
                      .cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# GROUPING_ID: subtotal NULLs vs data NULLs
+# ---------------------------------------------------------------------------
+
+@query("agg_grouping_id_flags", oracle=f"""
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN value IS NOT NULL AND NOT isnan(value) AND value >= 0
+              THEN CAST(FLOOR(value / 50) AS BIGINT) END AS bucket
+  FROM events),
+g AS (
+  SELECT event_type, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+         CAST(GROUPING(bucket) AS BIGINT) AS g_bucket
+  FROM v GROUP BY ROLLUP(event_type, bucket))
+SELECT COALESCE(event_type, CASE WHEN g_type = 1 THEN '<ALL>'
+                                 ELSE '<NULL>' END) AS event_type,
+       COALESCE(CAST(bucket AS VARCHAR),
+                CASE WHEN g_bucket = 1 THEN '<ALL>' ELSE '<NULL>' END)
+         AS bucket,
+       n, g_type, g_bucket
+FROM g
+""")
+def agg_grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() FLAGS over ROLLUP — the trap every subtotal report
+    hits [PK]: a rolled-up dimension emits NULL, and so does a REAL
+    NULL in the data, so 'WHERE dim IS NULL' silently conflates
+    missing data with the subtotal row. The bucket dim here is
+    genuinely NULL for NULL/NaN/negative values, so both NULL kinds
+    coexist and the GROUPING() bit is the ONLY correct disambiguator
+    — rendered '<ALL>' (subtotal) vs '<NULL>' (data) in the output.
+    agg_grouping_sets/agg_cube pinned the Expand plumbing; this pins
+    the semantic flag both engines expose identically. Scale: one
+    Expand pass, map-side-combined — rollup adds rows-per-grouping-
+    set, not shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("value").isNotNull() & ~F.isnan("value")
+                    & (F.col("value") >= 0),
+                    F.floor(F.col("value") / 50).cast("bigint"))
+    v = ev.select("event_type", bucket.alias("bucket"))
+    g = (v.rollup("event_type", "bucket")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.grouping("event_type").cast("bigint").alias("g_type"),
+               F.grouping("bucket").cast("bigint").alias("g_bucket")))
+    et = F.coalesce(F.col("event_type"),
+                    F.when(F.col("g_type") == 1, F.lit("<ALL>"))
+                     .otherwise(F.lit("<NULL>")))
+    bk = F.coalesce(F.col("bucket").cast("string"),
+                    F.when(F.col("g_bucket") == 1, F.lit("<ALL>"))
+                     .otherwise(F.lit("<NULL>")))
+    return g.select(et.alias("event_type"), bk.alias("bucket"),
+                    "n", "g_type", "g_bucket")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query("audit_k_anonymity", oracle=f"""
+WITH q AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) % 7 AS dow,
+         CASE WHEN value IS NULL OR isnan(value) THEN -1
+              WHEN value < 1 THEN 0
+              ELSE length(CAST(CAST(floor(abs(value)) AS BIGINT)
+                               AS VARCHAR)) END AS mag,
+         user_id
+  FROM events),
+g AS (
+  SELECT event_type, dow, mag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM q GROUP BY event_type, dow, mag)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(mag AS BIGINT) AS mag,
+       n_rows, n_users,
+       n_users < {_K_ANON} AS at_risk
+FROM g
+""")
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT [PK — Sweeney 2002]: group the table by its
+    QUASI-IDENTIFIER combination (event_type × day-of-week ×
+    value-magnitude bucket — the kind of externally-joinable
+    attributes that re-identify users) and flag every equivalence
+    class with fewer than k={_K_ANON} distinct users: those rows are
+    re-identification risks that a release pipeline must suppress or
+    generalize. Buckets reuse the engine's exact integer primitives
+    (epoch-day mod 7; digit-count magnitude — no libm log10);
+    at_risk is a non-nullable boolean (house rule). Scale: one
+    hash aggregate on a bounded QI domain (|types|·7·~20 cells) with
+    a two-level distinct expansion — map-side partials carry
+    (cell, user) pairs, never raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.abs(F.col("value"))
+    mag = (F.when(F.col("value").isNull() | F.isnan("value"), F.lit(-1))
+            .when(a < 1, F.lit(0))
+            .otherwise(F.length(
+                F.floor(a).cast("bigint").cast("string"))))
+    q = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint") % 7)
+        .alias("dow"),
+        mag.cast("bigint").alias("mag"), "user_id")
+    g = (q.groupBy("event_type", "dow", "mag")
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.countDistinct("user_id").alias("n_users")))
+    return g.select("event_type", "dow", "mag", "n_rows", "n_users",
+                    (F.col("n_users") < _K_ANON).alias("at_risk"))
+
+
+# ---------------------------------------------------------------------------
+# TTL retention: partition-grain purge planning
+# ---------------------------------------------------------------------------
+
+_TTL_DAYS = 30
+
+
+@query("maintain_ttl_partition_purge", oracle=f"""
+WITH f AS (SELECT MAX(ts) AS hi FROM events),
+p AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(ts) AS lo_ts, MAX(ts) AS hi_ts
+  FROM events GROUP BY day)
+SELECT day, n_rows,
+       CAST(date_diff('day', day, CAST((SELECT hi FROM f) AS DATE))
+            AS BIGINT) AS age_days,
+       (hi_ts < (SELECT hi FROM f) - INTERVAL {_TTL_DAYS} DAY)
+         AS purge_whole,
+       (hi_ts >= (SELECT hi FROM f) - INTERVAL {_TTL_DAYS} DAY
+        AND lo_ts < (SELECT hi FROM f) - INTERVAL {_TTL_DAYS} DAY)
+         AS straddles
+FROM p
+""")
+def maintain_ttl_partition_purge(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TTL RETENTION PLANNING at PARTITION grain — the operational
+    doctrine behind every data-retention job at 100 TB: deletion is
+    cheap ONLY when it drops whole partitions (a metadata operation);
+    row-level deletes rewrite files. This op classifies every day
+    partition of the events table against a {_TTL_DAYS}-day TTL
+    anchored at the corpus frontier (never now() — reproducible):
+    purge_whole = the partition's max ts is entirely past the
+    cutoff (droppable as a unit), straddles = the partition spans
+    the cutoff (the ONLY one needing a row-filter rewrite; with
+    day-grain partitions on a day-grain TTL, at most one). Both
+    flags non-nullable booleans (house rule). Scale: one map-side-
+    combined per-day aggregate — the purge PLAN is date-span-sized,
+    and executing it touches only the flagged partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("ts").alias("hi"))
+    p = (ev.groupBy(F.to_date("ts").alias("day"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.min("ts").alias("lo_ts"), F.max("ts").alias("hi_ts")))
+    cutoff = F.col("hi") - F.expr(f"INTERVAL {_TTL_DAYS} DAY")
+    return (p.crossJoin(F.broadcast(hi))
+             .select("day", "n_rows",
+                     F.datediff(F.to_date("hi"), F.col("day"))
+                      .cast("bigint").alias("age_days"),
+                     (F.col("hi_ts") < cutoff).alias("purge_whole"),
+                     ((F.col("hi_ts") >= cutoff)
+                      & (F.col("lo_ts") < cutoff)).alias("straddles")))
+
+
+# ---------------------------------------------------------------------------
+# Hive partition-column TYPE INFERENCE pin
+# ---------------------------------------------------------------------------
+
+@query("scan_hive_partition_types", oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part_day,
+       'date' AS inferred_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY part_day
+""")
+def scan_hive_partition_types(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HIVE PARTITION-COLUMN TYPE INFERENCE pinned [SPARK]: writing
+    day=2024-01-15 directories and reading the tree back, Spark
+    infers the partition column as DATE (partitionColumnTypeInference
+    — yyyy-MM-dd dirs become DateType, digit dirs become numeric),
+    NOT the string the directory literally is. The inferred dtype is
+    emitted AS A COLUMN (read from the actual schema, not assumed),
+    so a silent inference change — version upgrade, config flip —
+    breaks the hash, not just downstream date arithmetic. The
+    read-back per-partition counts prove the partition round trip
+    lossless. Scale: partition listing is date-span-sized; the scan
+    prunes on the typed partition column (test_partitioned_sink
+    pins PartitionFilters)."""
+    import os
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(scratch_dir("scan_hive_types"), "events_by_day")
+    (ev.withColumn("day", F.to_date("ts"))
+       .write.mode("overwrite").partitionBy("day").parquet(out))
+    back = spark.read.parquet(out)
+    inferred = dict(back.dtypes)["day"]
+    return (back.groupBy(F.col("day").cast("string").alias("part_day"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("part_day",
+                        F.lit(inferred).alias("inferred_type"), "n"))
