@@ -41,6 +41,19 @@ def main() -> None:
 
 
 
+def _link_sf1ish_dims() -> None:
+    """Symlink the non-blown-up tables from the read-only sf0.1
+    fixtures into sf1ish (LOCAL, gitignored — never committed; the
+    round-5 ADVICE was about committing machine-absolute symlinks),
+    so check_subset can register the full 10-table catalog."""
+    sf1 = os.path.join(OUT, "sf1ish")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "embeddings"):
+        dst = os.path.join(sf1, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+
+
 def gen_sf1ish_documents() -> None:
     """10× documents blow-up (~sf1-equivalent corpus) for COLD-path
     measurement (BASELINE.md): each sf0.1 doc is replicated 10× with a
@@ -65,6 +78,8 @@ def gen_sf1ish_documents() -> None:
         ) TO '{sf1}/documents.parquet' (FORMAT PARQUET)
     """)
     print("wrote", sf1)
+    _link_sf1ish_dims()
+
 
 
 def gen_sf1ish_lineitem() -> None:
@@ -86,6 +101,8 @@ def gen_sf1ish_lineitem() -> None:
         ) TO '{sf1}/lineitem.parquet' (FORMAT PARQUET)
     """)
     print("wrote", sf1, "lineitem x10")
+    _link_sf1ish_dims()
+
 
 
 def gen_sf1ish_orders() -> None:
@@ -110,6 +127,8 @@ def gen_sf1ish_orders() -> None:
         ) TO '{path}' (FORMAT PARQUET)
     """)
     print("wrote", path)
+    _link_sf1ish_dims()
+
 
 
 def gen_sf1ish_events() -> None:
@@ -135,6 +154,8 @@ def gen_sf1ish_events() -> None:
         ) TO '{path}' (FORMAT PARQUET)
     """)
     print("wrote", path)
+    _link_sf1ish_dims()
+
 
 
 def gen_sf3ish() -> None:
