@@ -1016,3 +1016,12 @@ def test_not_in_compiles_null_aware_anti_join(spark, sf_dir):
     # BroadcastHashJoin's trailing `true` flag IS isNullAwareAntiJoin
     assert "LeftAnti, BuildRight, true" in plan, plan
     assert "LeftAnti, BuildRight, false" in plan, plan  # the NOT EXISTS twin
+
+
+def test_kmeans_centroid_join_is_broadcast(spark, sf_dir):
+    """ml_kmeans_two_iter: every Lloyd iteration joins the long-form
+    points against the kxd centroid table — that side must broadcast
+    (it is k*d rows at ANY corpus size); a shuffled centroid join
+    would re-exchange the corpus per iteration."""
+    plan = _physical(QUERIES["ml_kmeans_two_iter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
