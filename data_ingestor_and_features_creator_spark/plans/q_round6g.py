@@ -1,0 +1,182 @@
+"""Round-6g operator additions: SQL-surface completions and traps.
+
+The FILTER clause, the VALUES table constructor, EXCEPT ALL bag
+semantics, and the NULL-ordering default divergence — each either a
+same-text dialect pin (identical ANSI on both engines) or an
+executable documentation of a cross-engine trap.
+
+Provenance note (SURVEY.md §0 applies — empty reference checkout):
+all public-API constructions ([SPARK]/[PK] — ANSI SQL surface).
+
+Registered AFTER every earlier module so the driver-budget rotation
+(plans/__init__.py) keeps the existing never-sampled backlog ahead
+of these in the class-1 queue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# SQL-standard FILTER clause
+# ---------------------------------------------------------------------------
+
+_FILTER_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+         AS n_big,
+       CAST(COUNT(*) FILTER (WHERE l_discount = 0) AS BIGINT)
+         AS n_nodiscount,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("sql_filter_clause", oracle=_FILTER_SQL)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard aggregate FILTER clause [PK — SQL:2003], ONE
+    identical ANSI text on both engines (the q1 dialect-pin pattern):
+    `agg(x) FILTER (WHERE p)` is the declarative spelling of
+    agg_conditional's CASE-WHEN form — several differently-filtered
+    aggregates share ONE scan and ONE hash aggregate (each filter is
+    evaluated per-row inside the aggregate, never as separate
+    queries). l_quantity is integer-valued (TPC-H spec), so the
+    filtered SUM is BIGINT-exact. Scale: one map-side-combined
+    aggregate regardless of how many FILTER variants ride it — the
+    whole point vs N self-joined subqueries."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_FILTER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VALUES table constructor
+# ---------------------------------------------------------------------------
+
+_VALUES_SQL = """
+WITH rates(currency, rate_ppm) AS (
+  VALUES ('USD', CAST(1000000 AS BIGINT)),
+         ('EUR', CAST(1080000 AS BIGINT)),
+         ('GBP', CAST(1260000 AS BIGINT)),
+         ('JPY', CAST(6700 AS BIGINT))),
+tagged AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE CAST(o_orderkey % 4 AS INTEGER)
+              WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+              WHEN 2 THEN 'GBP' ELSE 'JPY' END AS currency
+  FROM orders)
+SELECT t.currency, r.rate_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(t.o_totalprice AS DECIMAL(38,12)))
+            * r.rate_ppm / 1000000 AS DOUBLE) AS local_total
+FROM tagged t JOIN rates r ON t.currency = r.currency
+GROUP BY t.currency, r.rate_ppm
+"""
+
+
+@query("sql_values_table", oracle=_VALUES_SQL)
+def sql_values_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES TABLE CONSTRUCTOR [PK — ANSI]: the inline literal table
+    (here a currency-rate lookup) joined against a real table — ONE
+    identical text on both engines, pinning that a CTE-named VALUES
+    list with explicit column names and typed literals parses and
+    joins identically. This is the canonical shape for small
+    reference data embedded in a query (rates, status code maps,
+    enum orderings) — at scale the planner folds it into a broadcast
+    relation (a VALUES list IS LocalRelation; no scan, no shuffle on
+    that side). Rates in integer PPM; the converted total runs the
+    DECIMAL path with the PPM division exact (decimal × int /
+    1000000)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_VALUES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT ALL bag semantics
+# ---------------------------------------------------------------------------
+
+_EXCEPT_ALL_SQL = """
+SELECT event_type,
+       CAST(FLOOR(CASE WHEN value IS NULL OR isnan(value) THEN -1
+                       ELSE value END / 100) AS BIGINT) AS bucket
+FROM events WHERE user_id % 3 <> 0
+EXCEPT ALL
+SELECT event_type,
+       CAST(FLOOR(CASE WHEN value IS NULL OR isnan(value) THEN -1
+                       ELSE value END / 100) AS BIGINT) AS bucket
+FROM events WHERE user_id % 2 = 0
+"""
+
+
+@query("set_except_all", oracle=_EXCEPT_ALL_SQL)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with MULTIPLICITY [PK — ANSI]:
+    each row appears max(m−n, 0) times, where set_except's DISTINCT
+    form collapses to 0/1 — the completion of the set-op family's
+    ALL column (union: both, intersect: both, except: this was the
+    gap). One identical text on both engines over overlapping user
+    slices (user%3≠0 minus user%2=0 — genuinely intersecting bags,
+    so multiplicities matter: a (type, bucket) pair occurring 40 vs
+    25 times survives 15 times). Spark plans EXCEPT ALL as a
+    generate-count + sum trick (replicate rows by multiplicity
+    difference) — one shuffle on the full row key, the same cost
+    class as the distinct form."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_EXCEPT_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# NULL ordering: the cross-engine DEFAULT divergence, pinned
+# ---------------------------------------------------------------------------
+
+@query("sort_nulls_placement", oracle="""
+WITH v AS (
+  SELECT event_id,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events WHERE user_id = 1),
+marked AS (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY value ASC NULLS FIRST, event_id)
+           AS rn_nf,
+         row_number() OVER (ORDER BY value ASC NULLS LAST, event_id)
+           AS rn_nl
+  FROM v)
+SELECT event_id, value, rn_nf, rn_nl, value IS NULL AS is_null
+FROM marked
+""")
+def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ORDERING pinned EXPLICITLY on every sort [PK — ANSI
+    leaves it implementation-defined, and the engines chose
+    DIFFERENTLY: Spark defaults ASC→NULLS FIRST, DuckDB/Postgres
+    ASC→NULLS LAST — the silent divergence that breaks any
+    cross-engine rank/top-k the moment a NULL appears]. Both rank
+    columns here spell the placement out (NULLS FIRST and NULLS
+    LAST side by side over the same nullable column, NaN routed to
+    NULL first per the nulls-hardened semantics), so the op is both
+    the executable documentation of the trap and the proof that the
+    EXPLICIT forms agree exactly. House rule across the registry:
+    no ORDER BY on a nullable key without a NULLS clause — this op
+    is why. Zero shuffles beyond the single-user window."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("user_id") == 1)
+           .select("event_id",
+                   F.when(F.isnan("value"), None)
+                    .otherwise(F.col("value")).alias("value")))
+    from pyspark.sql import Window as W
+    nf = W.orderBy(F.col("value").asc_nulls_first(), "event_id")
+    nl = W.orderBy(F.col("value").asc_nulls_last(), "event_id")
+    return (v.withColumn("rn_nf", F.row_number().over(nf))
+             .withColumn("rn_nl", F.row_number().over(nl))
+             .select("event_id", "value", "rn_nf", "rn_nl",
+                     F.col("value").isNull().alias("is_null")))
