@@ -180,3 +180,130 @@ def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("rn_nl", F.row_number().over(nl))
              .select("event_id", "value", "rn_nf", "rn_nl",
                      F.col("value").isNull().alias("is_null")))
+
+
+# ---------------------------------------------------------------------------
+# Haversine trip distances (pinned-trig great circles)
+# ---------------------------------------------------------------------------
+
+@query("geo_haversine_trips", oracle="""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (CAST((event_id * 37) % 18000 AS DOUBLE) / 100.0) - 90.0
+           AS lat,
+         (CAST((event_id * 91) % 36000 AS DOUBLE) / 100.0) - 180.0
+           AS lon
+  FROM events),
+legs AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (
+  SELECT user_id,
+         ROUND(12742.0 * asin(sqrt(
+             sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * sin(radians(lon - plon) / 2)
+               * sin(radians(lon - plon) / 2))), 9) AS leg_km
+  FROM legs WHERE plat IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+       ROUND(CAST(SUM(CAST(leg_km AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS total_km,
+       ROUND(MAX(leg_km), 6) AS longest_leg_km
+FROM d GROUP BY user_id
+""")
+def geo_haversine_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVERSINE TRIP DISTANCES per user [PK — great-circle formula]:
+    consecutive-event leg lengths on the sphere, summed to a total
+    travel distance — the geo-telemetry staple (fleet mileage,
+    mobility radius). Coordinates derive deterministically from
+    event ids (the join_spatial_grid convention — the fixture has no
+    geo columns; a real deployment maps its lat/lon straight in).
+    The pinned-log discipline extended to TRIG: each leg's full
+    haversine (4 sin/cos + asin + sqrt) is computed per row and
+    pinned to 9 dp BEFORE the DECIMAL sum — per-row 1-ulp libm
+    drift cannot accumulate across a user's thousands of legs, and
+    the 9-dp pin's boundary risk is measure-zero. One lag window +
+    one aggregate sharing the user_id sort."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id") * 37 % 18000).cast("double") / 100.0 - 90.0)
+        .alias("lat"),
+        ((F.col("event_id") * 91 % 36000).cast("double") / 100.0 - 180.0)
+        .alias("lon"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = (pts.withColumn("plat", F.lag("lat").over(w))
+               .withColumn("plon", F.lag("lon").over(w))
+               .filter(F.col("plat").isNotNull()))
+    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+    dlam = F.radians(F.col("lon") - F.col("plon")) / 2
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(F.radians("plat")) * F.cos(F.radians("lat"))
+         * F.sin(dlam) * F.sin(dlam))
+    leg = F.round(F.lit(12742.0) * F.asin(F.sqrt(a)), 9)
+    d = legs.select("user_id", leg.alias("leg_km"))
+    return (d.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_legs"),
+                  F.round(F.sum(F.col("leg_km").cast("decimal(38,12)"))
+                           .cast("double"), 6).alias("total_km"),
+                  F.round(F.max("leg_km"), 6).alias("longest_leg_km")))
+
+
+# ---------------------------------------------------------------------------
+# Circular mean (the correct average for time-of-day)
+# ---------------------------------------------------------------------------
+
+@query("agg_circular_mean", oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+           / 86400000000.0 * 2 * pi() AS theta
+  FROM events),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(sin(theta), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ss,
+         CAST(SUM(CAST(ROUND(cos(theta), 9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sc
+  FROM v GROUP BY event_type)
+SELECT event_type, n,
+       ROUND((atan2(ss, sc) / (2 * pi()) * 24.0 + 24.0)
+             % 24.0, 6) AS mean_hour,
+       ROUND(sqrt(ss * ss + sc * sc) / n, 6) AS concentration
+FROM s
+""")
+def agg_circular_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR MEAN time-of-day per event_type [PK — directional
+    statistics]: the linear average of 23:00 and 01:00 is the absurd
+    12:00; the circular mean (atan2 of the summed unit vectors) is
+    the correct 00:00 — the statistic behind "when does this
+    activity peak". Also emits the resultant length R = |Σe^iθ|/n,
+    the concentration measure (1 = all events at the same instant,
+    0 = uniform around the clock) — the circular analog of
+    1−variance. Per-row sin/cos are pinned 9 dp then DECIMAL-summed
+    (the pinned-trig discipline of geo_haversine_trips); atan2/sqrt
+    run once per GROUP on bit-identical sums. Time-of-day comes
+    from epoch-µs mod 86400e6 — pure integer arithmetic, no
+    timezone/dayofweek convention in sight. One map-side-combined
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    theta = ((F.unix_micros("ts") % 86_400_000_000).cast("double")
+             / F.lit(86_400_000_000.0) * 2 * F.lit(3.141592653589793))
+    v = ev.select("event_type", theta.alias("theta"))
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.sin("theta"), 9).cast("decimal(38,12)"))
+         .cast("double").alias("ss"),
+        F.sum(F.round(F.cos("theta"), 9).cast("decimal(38,12)"))
+         .cast("double").alias("sc"))
+    two_pi = F.lit(2 * 3.141592653589793)
+    mean_hour = ((F.atan2(F.col("ss"), F.col("sc")) / two_pi * 24.0
+                  + 24.0) % 24.0)
+    conc = (F.sqrt(F.col("ss") * F.col("ss") + F.col("sc") * F.col("sc"))
+            / F.col("n"))
+    return s.select("event_type", "n",
+                    F.round(mean_hour, 6).alias("mean_hour"),
+                    F.round(conc, 6).alias("concentration"))
