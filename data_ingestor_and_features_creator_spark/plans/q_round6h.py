@@ -392,3 +392,181 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   r6(dsum(adj) / F.count("*")).alias("cuped_mean"),
                   r6(F.min("th")).alias("theta"))
              .orderBy("variant"))
+
+
+# ---------------------------------------------------------------------------
+# Cumulative VWAP
+# ---------------------------------------------------------------------------
+
+_VWAP_SQL = """
+SELECT l_partkey, l_orderkey, l_linenumber,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice * l_quantity AS STRING)
+                          AS DECIMAL(38,12))) OVER w AS STRING) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(38,12)))
+                   OVER w AS STRING) AS DOUBLE) AS vwap
+FROM lineitem
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_extendedprice, l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("win_vwap", oracle=_VWAP_SQL)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative VOLUME-WEIGHTED AVERAGE PRICE per part [PK — the
+    execution-quality benchmark every trading/market system computes]:
+    running Σ(price·qty)/Σ(qty) in ship order. Two DECIMAL(38,12)
+    window sums share ONE frame over one sort (Catalyst evaluates
+    same-window functions in a single Window operator — one partition
+    sort, not two); the price·qty product of identical doubles is
+    IEEE-deterministic cross-engine before the decimal cast. The
+    ORDER BY tiebreaks down to the full value tuple (this fixture's
+    (orderkey, linenumber) is NOT unique — observed — so a shorter
+    tiebreak makes the running sums order-ambiguous). ALL FOUR cast
+    boundaries are STRING-routed per functions/exact.py: both per-row
+    double→decimal casts (engines quantize different expansions
+    directly) AND both running-decimal→double casts (direct cast is
+    not identically rounded — the round-5 rolling-skew finding). The
+    quotient is emitted UNROUNDED: vwap is a ratio of SHORT-decimal
+    rationals (4-dp Σpv / 2-dp Σqty), which lands on the 7th-digit
+    half-grid with real probability (observed 4/60k rows at sf0.01)
+    — exactly where Spark's HALF_UP-on-shortest-repr and DuckDB's
+    round-on-exact-binary disagree about ROUND(x, 6). With every
+    boundary string-routed the quotient is bit-identical IEEE on
+    both engines, so the exact passthrough (the agg_percentile_disc
+    convention) is the stronger check. Scale: per-part partitions
+    sort independently — the canonical embarrassingly-parallel
+    window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+                   "l_extendedprice", "l_quantity")
+          .rowsBetween(W.unboundedPreceding, 0))
+    dec = "decimal(38,12)"
+    pv = (F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
+                .cast("string").cast(dec)).over(w)
+          .cast("string").cast("double"))
+    qty = (F.sum(F.col("l_quantity").cast("string").cast(dec)).over(w)
+           .cast("string").cast("double"))
+    return li.select("l_partkey", "l_orderkey", "l_linenumber",
+                     (pv / qty).alias("vwap"))
+
+
+# ---------------------------------------------------------------------------
+# RSI (simple-average, 14-row lookback)
+# ---------------------------------------------------------------------------
+
+_RSI_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS diff
+  FROM events),
+g AS (
+  SELECT user_id, event_id,
+         CAST(SUM(CAST(CASE WHEN diff > 0 THEN diff ELSE 0.0 END
+                       AS DECIMAL(38,12))) OVER w AS DOUBLE) AS gains,
+         CAST(SUM(CAST(CASE WHEN diff < 0 THEN -diff ELSE 0.0 END
+                       AS DECIMAL(38,12))) OVER w AS DOUBLE) AS losses,
+         COUNT(diff) OVER w AS n_diffs
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       ROUND(CASE WHEN gains + losses > 0
+                  THEN 100.0 * gains / (gains + losses) END, 6) AS rsi_14
+FROM g WHERE n_diffs = 14 ORDER BY user_id, event_id
+"""
+
+
+@query("win_rsi", oracle=_RSI_SQL)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE STRENGTH INDEX (simple-average Cutler form) over a
+    14-step lookback [PK — Wilder 1978; Cutler's SMA variant is the
+    order-stable one: Wilder's own recursive EWMA depends on the
+    series start, the SMA form is a pure sliding window]. RSI =
+    100·gains/(gains+losses) on the last 14 deltas — algebraically
+    100 − 100/(1+RS) without the RS=∞ pole; the zero-motion window
+    (gains+losses = 0) yields NULL by the safe-division house rule.
+    One lag window then two DECIMAL sums sharing one frame; rows
+    emitted only at full lookback (n_diffs = 14) so partition heads
+    don't leak partial windows. Scale: per-user sort, two stacked
+    Window operators over the SAME partitioning — one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", "event_id", "ts",
+                  (F.col("value") - F.lag("value").over(ws)).alias("diff"))
+    wf = ws.rowsBetween(-13, 0)
+    dec = "decimal(38,12)"
+    diff = F.col("diff")
+    gains = F.sum(F.when(diff > 0, diff).otherwise(F.lit(0.0))
+                  .cast(dec)).over(wf).cast("double")
+    losses = F.sum(F.when(diff < 0, -diff).otherwise(F.lit(0.0))
+                   .cast(dec)).over(wf).cast("double")
+    g = d.select("user_id", "event_id", gains.alias("gains"),
+                 losses.alias("losses"),
+                 F.count("diff").over(wf).alias("n_diffs"))
+    rsi = F.when(F.col("gains") + F.col("losses") > 0,
+                 100.0 * F.col("gains") / (F.col("gains") + F.col("losses")))
+    return (g.filter(F.col("n_diffs") == 14)
+             .select("user_id", "event_id", r6(rsi).alias("rsi_14"))
+             .orderBy("user_id", "event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator %K / %D
+# ---------------------------------------------------------------------------
+
+_STOCH_SQL = """
+WITH k AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN MAX(value) OVER w - MIN(value) OVER w > 0
+              THEN 100.0 * (value - MIN(value) OVER w)
+                   / (MAX(value) OVER w - MIN(value) OVER w) END AS pct_k,
+         COUNT(value) OVER w AS n_win
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, ROUND(pct_k, 6) AS pct_k,
+       ROUND(CAST(SUM(CAST(pct_k AS DECIMAL(38,12)))
+                  OVER d AS DOUBLE) / COUNT(pct_k) OVER d, 6) AS pct_d
+FROM k WHERE n_win = 14
+WINDOW d AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@query("win_stochastic_osc", oracle=_STOCH_SQL)
+def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCHASTIC OSCILLATOR %K/%D [PK — Lane 1950s]: %K locates the
+    current value inside its 14-step min-max envelope (100·(v−min)/
+    (max−min), NULL on a flat envelope per the safe-division rule),
+    %D is the 3-step moving average of %K — the classic
+    momentum/turning-point pair, and the normalized complement of
+    win_rolling_envelope's absolute Donchian bands. min/max/count
+    share one frame (one Window operator), the %D average runs
+    DECIMAL-exact over the emitted %K doubles (identical on both
+    engines since (v−min)/(max−min) is pure IEEE arithmetic of
+    identical inputs). The %D window filters to full %K windows
+    FIRST (n_win = 14) on both engines, so the 3-row average never
+    mixes partial-lookback values. Scale: both windows ride the same
+    per-user sort — one exchange, two Window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = ws.rowsBetween(-13, 0)
+    v = F.col("value")
+    vmin = F.min(v).over(wf)
+    vmax = F.max(v).over(wf)
+    pct_k = F.when(vmax - vmin > 0, 100.0 * (v - vmin) / (vmax - vmin))
+    k = ev.select("user_id", "event_id", "ts", pct_k.alias("pct_k"),
+                  F.count(v).over(wf).alias("n_win"))
+    k = k.filter(F.col("n_win") == 14)
+    wd = ws.rowsBetween(-2, 0)
+    dec = "decimal(38,12)"
+    pct_d = (F.sum(F.col("pct_k").cast(dec)).over(wd).cast("double")
+             / F.count("pct_k").over(wd))
+    return (k.select("user_id", "event_id", r6(F.col("pct_k")).alias("pct_k"),
+                     r6(pct_d).alias("pct_d"))
+             .orderBy("user_id", "event_id"))

@@ -139,8 +139,12 @@ def assert_same_result(name: str,
     d = normalize(duck_cols, duck_rows)
     if s != d:
         diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
-        only_s = [r for r in s if r not in set(d)][:5]
-        only_d = [r for r in d if r not in set(s)][:5]
+        # Hoist the sets: evaluating set(d) inside the comprehension
+        # condition rebuilds it PER ROW — O(n²) — which turned a 60k-row
+        # mismatch report into a >9-minute hang (round 6, win_vwap).
+        d_set, s_set = set(d), set(s)
+        only_s = [r for r in s if r not in d_set][:5]
+        only_d = [r for r in d if r not in s_set][:5]
         raise AssertionError(
             f"{name}: value mismatch (cols sorted: {sorted(spark_cols)})\n"
             f"first paired diffs: {diffs}\n"
