@@ -44,6 +44,26 @@ def _ln9(col):
     return F.round(F.log(col), 9)
 
 
+def _dsum_str(col):
+    """Fully STRING-ROUTED exact sum, double output: both the per-row
+    double→decimal cast AND the final decimal→double cast go through
+    STRING (functions/exact.py dsum_dec's argument, both directions).
+    Use instead of ``dsum`` when the SUM feeds a CANCELLING difference
+    of large terms: dsum's direct per-row cast quantizes differently
+    per engine (half-ulp — ~2.4e-7 absolute at e9 magnitude), which is
+    invisible after a 6-dp round of the sum itself but NOT after
+    subtracting two e9 sums that agree to 9 digits (stat_anova_oneway
+    at the 1M-row blow-up: ss_between 764.280316 vs .280315 — found
+    and fixed round 6)."""
+    return (F.sum(col.cast("string").cast(_DEC))
+             .cast("string").cast("double"))
+
+
+def _dsum_str_sql(expr: str) -> str:
+    return (f"CAST(CAST(SUM(CAST(CAST(({expr}) AS STRING)"
+            f" AS DECIMAL(38,12))) AS STRING) AS DOUBLE)")
+
+
 # ---------------------------------------------------------------------------
 # One-way ANOVA (F statistic + eta-squared)
 # ---------------------------------------------------------------------------
@@ -57,13 +77,13 @@ WITH v AS (
   WHERE value IS NOT NULL AND NOT isnan(value)),
 g AS (
   SELECT variant, CAST(COUNT(*) AS DOUBLE) AS ni,
-         {dsum_sql('value')} AS si, {dsum_sql('value * value')} AS qi
+         {_dsum_str_sql('value')} AS si, {_dsum_str_sql('value * value')} AS qi
   FROM v GROUP BY variant),
 t AS (
   SELECT CAST(SUM(CAST(ni AS BIGINT)) AS DOUBLE) AS n,
          CAST(COUNT(*) AS DOUBLE) AS k,
-         {dsum_sql('si')} AS s, {dsum_sql('qi')} AS q,
-         {dsum_sql('si * si / ni')} AS sb
+         {_dsum_str_sql('si')} AS s, {_dsum_str_sql('qi')} AS q,
+         {_dsum_str_sql('si * si / ni')} AS sb
   FROM g)
 SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
        {r6_sql('sb - s * s / n')} AS ss_between,
@@ -83,9 +103,13 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the k-group decomposition SS_total = SS_between + SS_within.
     Everything reduces to per-group (nᵢ, Σx, Σx²) DECIMAL-exact sums;
     the group-level terms sᵢ²/nᵢ are identical doubles per engine and
-    re-enter a DECIMAL sum so the k-fold reduction can't drift. NaN
-    is filtered as missing up front (the nulls-fixture rule) so
-    counts and sums stay consistent. Assignment is the portable
+    re-enter a DECIMAL sum so the k-fold reduction can't drift. Every
+    sum is FULLY string-routed (_dsum_str): SS_between is a ~e9 − e9
+    cancellation leaving an O(10²) result, so even dsum's half-ulp
+    direct-cast quantization (~2e-7 at e9) survives into the 6th dp
+    of the difference — observed at the 1M-row blow-up. NaN is
+    filtered as missing up front (the nulls-fixture rule) so counts
+    and sums stay consistent. Assignment is the portable
     Knuth multiplicative hash (data_split_hash's gate) — any engine
     recomputes the identical arms. Scale: two stacked hash
     aggregates (3-row intermediate), one scan, map-side combined —
@@ -100,12 +124,12 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("value")
     g = v.groupBy("variant").agg(
         F.count(F.lit(1)).cast("double").alias("ni"),
-        dsum(x).alias("si"), dsum(x * x).alias("qi"))
+        _dsum_str(x).alias("si"), _dsum_str(x * x).alias("qi"))
     ni, si = F.col("ni"), F.col("si")
     t = g.agg(F.sum(ni.cast("long")).cast("double").alias("n"),
               F.count(F.lit(1)).cast("double").alias("k"),
-              dsum(si).alias("s"), dsum("qi").alias("q"),
-              dsum(si * si / ni).alias("sb"))
+              _dsum_str(si).alias("s"), _dsum_str(F.col("qi")).alias("q"),
+              _dsum_str(si * si / ni).alias("sb"))
     n, k = F.col("n"), F.col("k")
     s, q, sb = F.col("s"), F.col("q"), F.col("sb")
     ssb = sb - s * s / n

@@ -184,6 +184,19 @@ def assert_same_result(name: str,
 # lowercase. Complex types (array/map/struct) and raw timestamps raise —
 # those results are small-by-construction in the registry and use the
 # pandas path.
+#
+# The 6-dp-pre-round precondition is LOAD-BEARING, not advisory (probed
+# round 6, win_vwap at the 6M-row blow-up): for BIT-IDENTICAL doubles,
+# Java's format_string('%.6f', d) rounds the double's SHORTEST DECIMAL
+# REPR half-up, while C printf (DuckDB) and Python round the EXACT
+# BINARY EXPANSION — so any double whose shortest repr terminates at the
+# 7th fractional digit in 5 (e.g. 5e-7 → Spark '0.000001', DuckDB
+# '0.000000'; pinned in tests/test_digest_compare.py) digests
+# differently despite equal values. Ratios of short-decimal rationals
+# land on that grid with real probability. Ops that legitimately emit
+# UNROUNDED doubles (win_vwap, win_kalman_filter) therefore verify on
+# the pandas path — where both engines' values flow through ONE Python
+# formatter — and must not be digest-checked.
 
 _CHR_SEP = 31  # unit separator; cannot appear in house-rule string outputs
 

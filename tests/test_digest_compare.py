@@ -133,3 +133,22 @@ def test_registered_query_end_to_end(spark, duck, sf_dir):
     n = assert_same_digest("time_bucket_gapfill", sdf, duck,
                            orc["time_bucket_gapfill"])
     assert n > 0
+
+
+def test_formatter_tie_divergence_pins_the_preround_rule(spark, duck):
+    """WHY the digest path requires 6-dp-PRE-ROUNDED floats (round 6,
+    found via win_vwap at the 6M-row blow-up): for the SAME double,
+    Java's %.6f rounds the shortest decimal repr half-up while C's
+    printf rounds the exact binary expansion — 5e-7 (shortest repr a
+    7th-digit tie; exact expansion just below it) formats as 0.000001
+    in Spark but 0.000000 in DuckDB. This test pins the divergence so
+    the precondition can't be 'simplified' away: if either engine
+    changes formatter semantics, this fails and the digest rules must
+    be re-audited. Unrounded-emitting ops verify on the pandas path."""
+    s = spark.sql(
+        "SELECT format_string('%.6f', CAST('5e-7' AS DOUBLE)) AS f"
+    ).collect()[0]["f"]
+    d = duck.execute("SELECT printf('%.6f', '5e-7'::DOUBLE)").fetchone()[0]
+    assert s == "0.000001"   # Java: shortest-repr tie, HALF_UP
+    assert d == "0.000000"   # C: exact expansion below the tie
+    assert f"{5e-7:.6f}" == "0.000000"  # Python sides with C
