@@ -197,6 +197,28 @@ def dsum_dec_sql(expr: str) -> str:
             f" AS DECIMAL(38,12))) AS DECIMAL(38,12))")
 
 
+def dsum_str(col: Column | str) -> Column:
+    """Fully STRING-ROUTED exact sum, double output: the per-row
+    double→decimal cast AND the final decimal→double cast both go
+    through STRING (dsum_dec's argument, applied in both directions).
+    Use instead of ``dsum`` when the sum feeds a CANCELLING difference
+    of large terms: dsum's direct per-row cast quantizes half-ulp
+    differently per engine (~2.4e-7 absolute at e9 magnitude) —
+    invisible after a 6-dp round of the sum itself, but NOT after
+    subtracting two e9 sums that agree to 9 digits (found round 6:
+    stat_anova_oneway's SS_between at the 1M-row blow-up mismatched
+    in the 6th dp). NaN≡missing, same as dsum. Same per-row domain
+    bound as dsum_dec (~[1e-11, 1e16])."""
+    return (F.sum(_not_nan(_c(col)).cast("string").cast(DEC))
+             .cast("string").cast("double"))
+
+
+def dsum_str_sql(expr: str) -> str:
+    """DuckDB twin of ``dsum_str``."""
+    return (f"CAST(CAST(SUM(CAST(CAST(({_nn_sql(expr)}) AS STRING)"
+            f" AS DECIMAL(38,12))) AS STRING) AS DOUBLE)")
+
+
 def r6_sql(expr: str) -> str:
     return f"ROUND(({expr}), 6)"
 

@@ -32,7 +32,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dsum, dsum_sql, r6, r6_sql
+from ..functions.exact import (
+    dsum,
+    dsum_sql,
+    dsum_str,
+    dsum_str_sql,
+    r6,
+    r6_sql,
+)
 from .registry import query
 
 _DEC = "decimal(38,12)"
@@ -44,24 +51,11 @@ def _ln9(col):
     return F.round(F.log(col), 9)
 
 
-def _dsum_str(col):
-    """Fully STRING-ROUTED exact sum, double output: both the per-row
-    double→decimal cast AND the final decimal→double cast go through
-    STRING (functions/exact.py dsum_dec's argument, both directions).
-    Use instead of ``dsum`` when the SUM feeds a CANCELLING difference
-    of large terms: dsum's direct per-row cast quantizes differently
-    per engine (half-ulp — ~2.4e-7 absolute at e9 magnitude), which is
-    invisible after a 6-dp round of the sum itself but NOT after
-    subtracting two e9 sums that agree to 9 digits (stat_anova_oneway
-    at the 1M-row blow-up: ss_between 764.280316 vs .280315 — found
-    and fixed round 6)."""
-    return (F.sum(col.cast("string").cast(_DEC))
-             .cast("string").cast("double"))
-
-
-def _dsum_str_sql(expr: str) -> str:
-    return (f"CAST(CAST(SUM(CAST(CAST(({expr}) AS STRING)"
-            f" AS DECIMAL(38,12))) AS STRING) AS DOUBLE)")
+# stat_anova_oneway's string-routed sums were promoted to
+# functions/exact.py as dsum_str/dsum_str_sql (round 6); the local
+# aliases keep the oracle f-strings below readable.
+_dsum_str = dsum_str
+_dsum_str_sql = dsum_str_sql
 
 
 # ---------------------------------------------------------------------------

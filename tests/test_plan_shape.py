@@ -1025,3 +1025,63 @@ def test_kmeans_centroid_join_is_broadcast(spark, sf_dir):
     would re-exchange the corpus per iteration."""
     plan = _physical(QUERIES["ml_kmeans_two_iter"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_onehot_topk_join_is_broadcast(spark, sf_dir):
+    """feature_onehot_topk: the data-driven top-k slot table is k rows
+    at ANY scale — it must broadcast onto the events scan; a shuffled
+    slot join would exchange the full corpus to encode 3 categories."""
+    plan = _physical(QUERIES["feature_onehot_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scaler_fit_is_broadcast_no_data_shuffle(spark, sf_dir):
+    """feature_scaler_train_fit: the 1-row fit statistics broadcast
+    onto the scan (BroadcastNestedLoopJoin of a single row is the
+    legitimate scalar-broadcast shape); the rows being SCALED must
+    never hash-exchange — the only Exchange allowed is the output
+    ORDER BY's range partitioning."""
+    plan = _physical(QUERIES["feature_scaler_train_fit"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_star_except_prunes_readschema(spark, sf_dir):
+    """sql_star_except: * EXCEPT must column-prune exactly like an
+    explicit list — the excluded columns may not appear in the scan's
+    ReadSchema, and the price filter must push down."""
+    plan = _formatted(QUERIES["sql_star_except"](spark, sf_dir))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "o_custkey" not in rs[0], plan
+    assert "o_orderpriority" not in rs[0], plan
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan
+
+
+def test_vwap_single_window_single_exchange(spark, sf_dir):
+    """win_vwap: both running DECIMAL sums share ONE window frame over
+    one per-part sort — the plan must contain exactly one Window node
+    and one hash exchange (the partitionBy), plus only the output
+    sort's range exchange."""
+    plan = _physical(QUERIES["win_vwap"](spark, sf_dir))
+    assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_auc_groups_before_ranking(spark, sf_dir):
+    """ml_auc_roc: the midrank window must run over the DISTINCT-score
+    table, i.e. a HashAggregate appears BELOW the Window in the plan —
+    ranking raw rows would be the global-sort scale killer the
+    distinct-value collapse exists to avoid."""
+    plan = _physical(QUERIES["ml_auc_roc"](spark, sf_dir))
+    w = plan.find("Window")
+    assert w >= 0, plan
+    assert "HashAggregate" in plan[w:], plan
+
+
+def test_sma_crossover_shares_one_user_sort(spark, sf_dir):
+    """win_sma_crossover: the 5-row frame, the 20-row frame, and the
+    side-flip lag all ride the SAME (user_id; ts, event_id) ordering —
+    one hash exchange total."""
+    plan = _physical(QUERIES["win_sma_crossover"](spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
