@@ -462,7 +462,7 @@ WITH d AS (
   SELECT user_id, event_id, ts,
          value - lag(value) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS diff
-  FROM events),
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
 g AS (
   SELECT user_id, event_id,
          CAST(SUM(CAST(CASE WHEN diff > 0 THEN diff ELSE 0.0 END
@@ -491,9 +491,13 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gains+losses = 0) yields NULL by the safe-division house rule.
     One lag window then two DECIMAL sums sharing one frame; rows
     emitted only at full lookback (n_diffs = 14) so partition heads
-    don't leak partial windows. Scale: per-user sort, two stacked
+    don't leak partial windows. NaN/NULL values are filtered as
+    missing up front (the nulls-fixture rule: an unguarded NaN diff
+    meeting the DECIMAL cast faults DuckDB outright — caught by the
+    adversarial fixture). Scale: per-user sort, two stacked
     Window operators over the SAME partitioning — one exchange."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value"))
     ws = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select("user_id", "event_id", "ts",
                   (F.col("value") - F.lag("value").over(ws)).alias("diff"))
@@ -525,7 +529,7 @@ WITH k AS (
               THEN 100.0 * (value - MIN(value) OVER w)
                    / (MAX(value) OVER w - MIN(value) OVER w) END AS pct_k,
          COUNT(value) OVER w AS n_win
-  FROM events
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT user_id, event_id, ROUND(pct_k, 6) AS pct_k,
@@ -551,9 +555,12 @@ def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines since (v−min)/(max−min) is pure IEEE arithmetic of
     identical inputs). The %D window filters to full %K windows
     FIRST (n_win = 14) on both engines, so the 3-row average never
-    mixes partial-lookback values. Scale: both windows ride the same
+    mixes partial-lookback values. NaN/NULL filtered as missing up
+    front (the nulls-fixture rule — an unguarded NaN %K meeting the
+    DECIMAL cast faults DuckDB). Scale: both windows ride the same
     per-user sort — one exchange, two Window passes."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value"))
     ws = W.partitionBy("user_id").orderBy("ts", "event_id")
     wf = ws.rowsBetween(-13, 0)
     v = F.col("value")

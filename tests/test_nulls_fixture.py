@@ -56,6 +56,21 @@ GATE_IDS = [
     "text_quality_filter", "text_lang_id", "text_token_count",
     "text_gopher_quality", "dedup_ngram_jaccard", "text_tfidf_topk",
     "text_bm25_topk",
+    # round-6 h..o additions (the gate caught two real misses on day
+    # one: win_rsi and win_stochastic_osc lacked the NaN≡missing
+    # guard, so an unguarded NaN meeting their DECIMAL window casts
+    # faulted DuckDB outright — both now filter up front)
+    "stat_anova_oneway", "stat_kruskal_wallis", "stat_levene_test",
+    "stat_jarque_bera", "win_rsi", "win_stochastic_osc",
+    "win_growth_index", "win_atr", "win_parkinson_volatility",
+    "win_ulcer_index", "feature_scaler_train_fit",
+    "feature_quantile_binning", "agg_gini_split_gain",
+    "ml_auc_roc", "ml_log_loss", "ml_brier_score",
+    "ml_ece_calibration", "ml_lift_gain_deciles", "ml_psi_drift",
+    "ml_confusion_threshold", "ml_pr_auc", "ml_roc_curve",
+    "win_sma_crossover", "win_record_highs",
+    "text_char_entropy_filter", "text_llr_keyness",
+    "text_pmi_cooccurrence",
 ]
 
 
