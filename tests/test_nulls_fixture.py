@@ -70,7 +70,7 @@ GATE_IDS = [
     "ml_confusion_threshold", "ml_pr_auc", "ml_roc_curve",
     "win_sma_crossover", "win_record_highs",
     "text_char_entropy_filter", "text_llr_keyness",
-    "text_pmi_cooccurrence",
+    "text_pmi_cooccurrence", "ts_ljung_box", "win_underwater_duration",
 ]
 
 
