@@ -1085,3 +1085,39 @@ def test_sma_crossover_shares_one_user_sort(spark, sf_dir):
     one hash exchange total."""
     plan = _physical(QUERIES["win_sma_crossover"](spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_negative_sampling_bounded_and_antijoined(spark, sf_dir):
+    """data_negative_sampling: the hash gate must reach the cross join
+    as a FILTER (bounding fan-out to |parts|/50 per user) and the
+    positives must be removed by a hash/broadcast ANTI join — a
+    nested-loop anti join would rescan positives per candidate."""
+    plan = _physical(QUERIES["data_negative_sampling"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "% 50) = 0" in plan or "% 50) = 0".replace(" ", "") in \
+        plan.replace(" ", ""), plan
+
+
+def test_pmi_vocabulary_filter_is_broadcast(spark, sf_dir):
+    """text_pmi_cooccurrence: the top-20 vocabulary must broadcast
+    onto the (doc, term) table BEFORE the pair self-join — without it
+    the join space is the full vocabulary squared."""
+    plan = _physical(QUERIES["text_pmi_cooccurrence"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quantile_binning_edges_broadcast_apply_scan_parallel(spark, sf_dir):
+    """feature_quantile_binning: the 1-row edge table broadcasts onto
+    the apply-side scan (BroadcastNestedLoopJoin of one row); the
+    rows being binned never hash-exchange before the final tiny
+    aggregate."""
+    plan = _physical(QUERIES["feature_quantile_binning"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ljung_box_single_user_sort(spark, sf_dir):
+    """ts_ljung_box: the five lag columns must come from ONE window
+    over one user exchange — five separate sorts would quintuple the
+    dominant cost."""
+    plan = _physical(QUERIES["ts_ljung_box"](spark, sf_dir))
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
