@@ -71,6 +71,7 @@ GATE_IDS = [
     "win_sma_crossover", "win_record_highs",
     "text_char_entropy_filter", "text_llr_keyness",
     "text_pmi_cooccurrence", "ts_ljung_box", "win_underwater_duration",
+    "ml_matthews_corr", "ml_cohen_kappa", "agg_var_cvar",
 ]
 
 
