@@ -72,6 +72,8 @@ GATE_IDS = [
     "text_char_entropy_filter", "text_llr_keyness",
     "text_pmi_cooccurrence", "ts_ljung_box", "win_underwater_duration",
     "ml_matthews_corr", "ml_cohen_kappa", "agg_var_cvar",
+    "dedup_telemetry_debounce", "agg_interarrival_burstiness",
+    "agg_peak_to_avg_ratio",
 ]
 
 
