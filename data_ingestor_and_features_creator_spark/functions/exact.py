@@ -51,6 +51,14 @@ CAST(CAST(dec AS STRING) AS DOUBLE). A decimal printed to its exact
 digit string and re-parsed is correctly rounded on both engines
 (Java parseDouble and C strtod are required-correct; the direct
 casts are not — observed one ulp apart on a 17-digit x³ sum).
+
+FOURTH rule (round 7, scalar_rounding_conventions): a hash-checked
+DOUBLE output must never be able to carry −0.0. BigDecimal-backed
+rounding (Spark bround) has no signed zero, IEEE double arithmetic
+(DuckDB's 2·round(x/2) emulation) does — the driver's hash formats
+the sign and mismatches even though pandas' == treats them equal.
+Normalize with `+ 0.0` (−0.0 + 0.0 = +0.0 under IEEE round-to-nearest)
+or emit an integer type when the value is exact by construction.
 """
 
 from __future__ import annotations
@@ -136,8 +144,15 @@ def dsum_dec(col: Column | str) -> Column:
 
 
 def r6(col: Column) -> Column:
-    """Round a statistic to 6 dp (final oracle-stability guard)."""
-    return F.round(col, 6)
+    """Round a statistic to 6 dp (final oracle-stability guard).
+
+    The trailing ``+ 0.0`` normalizes signed zero (fourth float rule,
+    module docstring): ROUND of a tiny negative (−1e-9 → 6 dp) yields
+    −0.0 under IEEE arithmetic (DuckDB) but +0.0 under BigDecimal
+    (Spark), and the driver's hash formats the sign. IEEE guarantees
+    −0.0 + 0.0 = +0.0 and x + 0.0 = x for every other x (NULL/NaN/Inf
+    propagate unchanged), so the normalization is value-free."""
+    return F.round(col, 6) + F.lit(0.0)
 
 
 def safe_sqrt(x: Column) -> Column:
@@ -220,7 +235,9 @@ def dsum_str_sql(expr: str) -> str:
 
 
 def r6_sql(expr: str) -> str:
-    return f"ROUND(({expr}), 6)"
+    """DuckDB twin of r6 — same signed-zero normalization (−0.0 + 0.0
+    = +0.0; every other value, incl. NULL/NaN, passes through)."""
+    return f"(ROUND(({expr}), 6) + 0.0)"
 
 
 def safe_sqrt_sql(expr: str) -> str:

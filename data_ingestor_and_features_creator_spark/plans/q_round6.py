@@ -599,15 +599,19 @@ def data_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("win_rolling_iqr_anomaly", oracle="""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+  FROM events)
 SELECT event_id, user_id,
-       ROUND(quantile_cont(value, 0.5) OVER w, 6) AS med,
-       ROUND(quantile_cont(value, 0.75) OVER w
-             - quantile_cont(value, 0.25) OVER w, 6) AS iqr,
-       COALESCE(ABS(value - quantile_cont(value, 0.5) OVER w)
-                > 1.5 * (quantile_cont(value, 0.75) OVER w
-                         - quantile_cont(value, 0.25) OVER w),
+       ROUND(quantile_cont(v, 0.5) OVER w, 6) AS med,
+       ROUND(quantile_cont(v, 0.75) OVER w
+             - quantile_cont(v, 0.25) OVER w, 6) AS iqr,
+       COALESCE(ABS(v - quantile_cont(v, 0.5) OVER w)
+                > 1.5 * (quantile_cont(v, 0.75) OVER w
+                         - quantile_cont(v, 0.25) OVER w),
                 false) AS is_anomaly
-FROM events
+FROM g
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
 """)
@@ -620,18 +624,25 @@ def win_rolling_iqr_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     so unlike a rolling MAD — whose deviation column depends on each
     frame's own median and cannot be a plain window expression — the
     whole statistic stays JVM-side, one sort per user partition, no
-    Python. Flag COALESCEd to false (registry boolean house rule)."""
+    Python. Flag COALESCEd to false (registry boolean house rule).
+    NaN is mapped to NULL BEFORE the window (round-7 nulls sweep,
+    same divergence as agg_percentile: Spark's percentile sorts NaN
+    greatest, DuckDB's quantile_cont propagates it — a single NaN in
+    any 101-row frame poisoned every quartile differently per engine);
+    a NaN row itself then gets is_anomaly = false via the COALESCE."""
     ev = load_table(spark, sf_dir, "events")
+    v = F.expr("CASE WHEN isnan(value) THEN NULL ELSE value END")
+    g = ev.select("event_id", "user_id", "ts", v.alias("v"))
     w = (W.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(-50, 50))
-    med = F.expr("percentile(value, 0.5)").over(w)
-    q1 = F.expr("percentile(value, 0.25)").over(w)
-    q3 = F.expr("percentile(value, 0.75)").over(w)
-    return ev.select(
+    med = F.expr("percentile(v, 0.5)").over(w)
+    q1 = F.expr("percentile(v, 0.25)").over(w)
+    q3 = F.expr("percentile(v, 0.75)").over(w)
+    return g.select(
         "event_id", "user_id",
         F.round(med, 6).alias("med"),
         F.round(q3 - q1, 6).alias("iqr"),
-        F.coalesce(F.abs(F.col("value") - med) > 1.5 * (q3 - q1),
+        F.coalesce(F.abs(F.col("v") - med) > 1.5 * (q3 - q1),
                    F.lit(False)).alias("is_anomaly"))
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dmean, dmean_sql, r6, r6_sql
 from .registry import query, scratch_dir
 
 
@@ -32,7 +33,7 @@ from .registry import query, scratch_dir
 # Trimmed / winsorized mean per group (two-pass, broadcast fences)
 # ---------------------------------------------------------------------------
 
-@query("agg_trimmed_mean", oracle="""
+@query("agg_trimmed_mean", oracle=f"""
 WITH v AS (
   SELECT event_type, value FROM events
   WHERE value IS NOT NULL AND NOT isnan(value)),
@@ -43,11 +44,11 @@ f AS (
   FROM v GROUP BY event_type)
 SELECT v.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(CASE WHEN v.value >= f.p10 AND v.value <= f.p90
-                      THEN v.value END), 6) AS trimmed_mean,
-       ROUND(AVG(LEAST(GREATEST(v.value, f.p10), f.p90)), 6)
+       {r6_sql(dmean_sql('CASE WHEN v.value >= f.p10 AND v.value <= f.p90 THEN v.value END'))}
+         AS trimmed_mean,
+       {r6_sql(dmean_sql('LEAST(GREATEST(v.value, f.p10), f.p90)'))}
          AS winsorized_mean,
-       ROUND(AVG(v.value), 6) AS raw_mean
+       {r6_sql(dmean_sql('v.value'))} AS raw_mean
 FROM v JOIN f ON v.event_type = f.event_type
 GROUP BY v.event_type
 """)
@@ -63,7 +64,10 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     fence table broadcast back onto the rows — the corpus shuffles
     once on the group key and the fence join adds no exchange
     (broadcast, ≤ |event_type| rows). NaN/NULL rows excluded per the
-    nulls-hardened semantics; means rounded 6 dp on both engines."""
+    nulls-hardened semantics; all three means are assembled from
+    DECIMAL(38,12) exact sums (dmean/dmean_sql — ADVICE r6: plain AVG
+    over doubles is fold-order-dependent and diverges at the 6th dp
+    cross-engine) then rounded 6 dp on both engines."""
     ev = load_table(spark, sf_dir, "events")
     v = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
            .select("event_type", "value"))
@@ -77,9 +81,9 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("value") <= F.col("p90")), F.col("value"))
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(inside), 6).alias("trimmed_mean"),
-        F.round(F.avg(clamped), 6).alias("winsorized_mean"),
-        F.round(F.avg("value"), 6).alias("raw_mean"))
+        r6(dmean(inside)).alias("trimmed_mean"),
+        r6(dmean(clamped)).alias("winsorized_mean"),
+        r6(dmean(F.col("value"))).alias("raw_mean"))
 
 
 # ---------------------------------------------------------------------------
@@ -239,12 +243,20 @@ def time_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = 900_000_000
     bounds = v.groupBy("user_id").agg(F.min("t").alias("lo"),
                                       F.max("t").alias("hi"))
-    grid = (bounds.select(
-        "user_id",
-        F.explode(F.sequence(
-            (F.ceil(F.col("lo") / F.lit(float(step))).cast("bigint")
-             * F.lit(step)),
-            F.col("hi"), F.lit(step))).alias("t"))
+    # Guard (ADVICE r6): a user whose [lo, hi] span contains NO 900 s
+    # grid multiple would make sequence(start, stop) throw
+    # IllegalArgumentException (start > stop, positive step) and crash
+    # the whole job, while DuckDB's generate_series just returns empty
+    # — filter those users out BEFORE sequence so both engines agree
+    # (no grid point → no resampled rows for that user).
+    g0 = (F.ceil(F.col("lo") / F.lit(float(step))).cast("bigint")
+          * F.lit(step))
+    grid = (bounds.withColumn("g0", g0)
+        .filter(F.col("g0") <= F.col("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("g0"), F.col("hi"),
+                                 F.lit(step))).alias("t"))
         .withColumn("value", F.lit(None).cast("double"))
         .withColumn("is_grid", F.lit(1)))
     u = (v.withColumn("is_grid", F.lit(0))
@@ -305,11 +317,13 @@ SELECT dur AS t_days, d AS events, n_risk,
                  OVER (ORDER BY dur
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
             THEN 0.0
-            ELSE ROUND(exp(SUM(CASE WHEN d > 0 AND d < n_risk
-                               THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
-                               ELSE 0.0 END)
+            ELSE ROUND(exp(CAST(SUM(CAST(
+                     CASE WHEN d > 0 AND d < n_risk
+                          THEN ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                          ELSE 0.0 END AS DECIMAL(38,12)))
                  OVER (ORDER BY dur
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)),
              6) END AS survival
 FROM risk WHERE d > 0
 """)
@@ -322,9 +336,10 @@ def label_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's first event to first purchase (event) or last event
     (censored). S(t) = prod_{t_i <= t} (1 - d_i / n_i) over distinct
     event days, computed as exp(cumsum(ln(1 - d/n))) on BOTH engines —
-    the identical log-space fold, rounded 6 dp (the per-step 1-d/n is
-    an exact rational; the only libm is one ln+exp pair folded in the
-    same order both sides). n_at_risk is the reverse cumulative count
+    each ln step PINNED to 9 dp and the cumsum routed through
+    DECIMAL(38,12) (per-row libm ln drifts 1 ulp cross-engine and
+    float window sums are fold-order-dependent — the q_round6d
+    pinned-log discipline), rounded 6 dp. n_at_risk is the reverse cumulative count
     of subjects leaving — an exact integer window, no self-join.
 
     Scale shape: subjects reduce to ONE row per user (three partial
@@ -351,14 +366,21 @@ def label_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_asc = (W.orderBy("dur")
               .rowsBetween(W.unboundedPreceding, W.currentRow))
     risk = agg.withColumn("n_risk", F.sum("leaving").over(w_desc))
+    # Each log step is PINNED to 9 dp and the cumulative sum runs
+    # through DECIMAL(38,12) (ADVICE r6, q_round6d discipline):
+    # per-row libm ln drifts 1 ulp cross-engine, and an unpinned float
+    # window sum is fold-order-dependent — either can push the 6-dp
+    # rounded survival across a boundary between engines.
     step = (F.when((F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
-                   F.log(F.lit(1.0) - F.col("d").cast("double")
-                         / F.col("n_risk")))
+                   F.round(F.log(F.lit(1.0) - F.col("d").cast("double")
+                                 / F.col("n_risk")), 9))
              .otherwise(F.lit(0.0)))
     hit_zero = F.max(
         F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(w_asc)
+    cum = (F.sum(step.cast("decimal(38,12)")).over(w_asc)
+            .cast("double"))
     surv = (F.when(hit_zero == 1, F.lit(0.0))
-             .otherwise(F.round(F.exp(F.sum(step).over(w_asc)), 6)))
+             .otherwise(F.round(F.exp(cum), 6)))
     return (risk.withColumn("survival", surv)
                 .filter(F.col("d") > 0)
                 .select(F.col("dur").alias("t_days"),

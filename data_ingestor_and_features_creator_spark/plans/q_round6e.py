@@ -272,7 +272,8 @@ def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sink_compressed_codecs", oracle=f"""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        {_dsum_sql('value')} AS total_value
-FROM events WHERE value IS NOT NULL GROUP BY event_type
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type
 """)
 def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARQUET COMPRESSION CODECS round trip — snappy (the
@@ -286,10 +287,13 @@ def sink_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zstd < gzip < snappy-or-so) is asserted in tests, not the
     oracle (sizes are layout-dependent). At 100 TB: zstd for cold
     fact storage, snappy for hot intermediates — this op is the
-    correctness floor under that policy."""
+    correctness floor under that policy. NaN rows are filtered like
+    NULL on BOTH sides (ADVICE r6): an unguarded NaN faults the DuckDB
+    oracle's DECIMAL cast while Spark silently nulls it — the exact
+    divergence the _not_nan/_nn_sql guard exists for."""
     import os
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull())
+          .filter(F.col("value").isNotNull() & ~F.isnan("value"))
           .select("event_id", "event_type", "value"))
     base = scratch_dir("sink_codecs")
     outs = []

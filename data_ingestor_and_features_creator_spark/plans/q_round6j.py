@@ -308,11 +308,14 @@ tagged AS (
          CASE WHEN epoch_us(ts) * 2 <= epoch_us(f.lo) + epoch_us(f.hi)
               THEN 1 ELSE 0 END AS first_half
   FROM scored, f),
+allbins AS (
+  SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
 c AS (
-  SELECT bin,
-         CAST(SUM(first_half) + 1 AS BIGINT) AS ca,
-         CAST(SUM(1 - first_half) + 1 AS BIGINT) AS cb
-  FROM tagged GROUP BY bin),
+  SELECT allbins.bin,
+         CAST(COALESCE(SUM(first_half), 0) + 1 AS BIGINT) AS ca,
+         CAST(COALESCE(SUM(1 - first_half), 0) + 1 AS BIGINT) AS cb
+  FROM allbins LEFT JOIN tagged ON tagged.bin = allbins.bin
+  GROUP BY allbins.bin),
 n AS (SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
       FROM c),
 terms AS (
@@ -344,9 +347,19 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   <= F.unix_micros("lo") + F.unix_micros("hi"), 1).otherwise(0)
     tagged = (sc.crossJoin(F.broadcast(f_))
                 .select(bin_.alias("bin"), half.alias("first_half")))
-    c = tagged.groupBy("bin").agg(
-        (F.sum("first_half") + 1).alias("ca"),
-        (F.sum(1 - F.col("first_half")) + 1).alias("cb"))
+    # All 10 bin ids are generated EXPLICITLY and the counts
+    # left-joined (ADVICE r6): bins empty in BOTH halves would
+    # otherwise be absent from the aggregate — skipping their Laplace
+    # +1 and making n_first/n_second (= na − 10) off by the number of
+    # missing bins whenever fewer than 10 bins are populated.
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    counted = tagged.groupBy("bin").agg(
+        F.sum("first_half").alias("sa"),
+        F.sum(1 - F.col("first_half")).alias("sb"))
+    c = (bins.join(counted, "bin", "left")
+             .select("bin",
+                     (F.coalesce("sa", F.lit(0)) + 1).alias("ca"),
+                     (F.coalesce("sb", F.lit(0)) + 1).alias("cb")))
     n = c.agg(F.sum("ca").cast("double").alias("na"),
               F.sum("cb").cast("double").alias("nb"))
     cn = c.crossJoin(F.broadcast(n))

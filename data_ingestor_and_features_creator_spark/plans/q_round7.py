@@ -1,0 +1,140 @@
+"""Round-7 operator additions: copy-on-write snapshots (time travel +
+ACID-ish MERGE via the manifest-commit protocol) — VERDICT r6 asks 5-6.
+
+Provenance (SURVEY.md §0 applies — empty reference checkout): the
+manifest/snapshot protocol is the published Delta Lake / Apache
+Iceberg transaction-log design [PK], re-implemented from scratch on
+plain Spark + parquet + POSIX rename in operators/snapshots.py; no
+reference code exists to cite.
+
+House rules throughout (plans/registry.py): exact DECIMAL(38,12) sums
+for float totals on both engines, aliases identical, no raw arrays,
+no signable zeros, totals NaN≡missing via dsum/dsum_sql.
+
+Registered AFTER every earlier module so the driver-budget rotation
+(plans/__init__.py) keeps the existing never-sampled backlog ahead of
+these in the class-1 queue.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
+from ..operators import snapshots
+from .registry import query, scratch_dir
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time travel (manifest-commit protocol)
+# ---------------------------------------------------------------------------
+
+@query("snapshot_time_travel", oracle=f"""
+WITH v1 AS (
+  SELECT value FROM events WHERE event_id < 4000),
+v2 AS (
+  SELECT value FROM events WHERE event_id < 8000),
+v3 AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id < 8000)
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value FROM v1
+UNION ALL
+SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value FROM v2
+UNION ALL
+SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value FROM v3
+""")
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL reads over a copy-on-write parquet table
+    (operators/snapshots.py — the published Delta/Iceberg
+    manifest-commit protocol [PK], zero jars): v1 = initial load,
+    v2 = append commit, v3 = MERGE commit that doubles value for
+    event_id % 10 == 0. The query reads ALL THREE versions from the
+    SAME directory after the last commit and reports each version's
+    row count and exact value total — equality with the oracle's
+    direct derivations proves (a) committed versions are immutable
+    (v1 still reads exactly the initial load after two later
+    commits), (b) append never rewrites history, (c) MERGE replaces
+    matched rows and nothing else. Readers resolve manifests, so a
+    writer crash between part files and manifest can never produce a
+    torn read (pinned in tests/test_snapshots.py with a simulated
+    crash). At 100 TB: manifests are KB-sized JSON regardless of
+    table size; version reads list exactly the live files — no
+    directory listing of the whole table, no tombstone scans."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type", "value"))
+    tdir = os.path.join(scratch_dir("snapshot_tt"), "events_cow")
+    base = ev.filter(F.col("event_id") < 4000).repartition(4, "event_id")
+    snapshots.commit_snapshot(base, tdir, mode="overwrite")
+    delta = (ev.filter((F.col("event_id") >= 4000)
+                       & (F.col("event_id") < 8000))
+               .repartition(4, "event_id"))
+    snapshots.commit_snapshot(delta, tdir, mode="append")
+    src = (ev.filter((F.col("event_id") < 8000)
+                     & (F.col("event_id") % 10 == 0))
+             .withColumn("value", F.col("value") * 2))
+    snapshots.merge_cow(spark, tdir, src, "event_id")
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            snapshots.read_snapshot(spark, tdir, version=v)
+            .agg(F.lit(v).alias("version"),
+                 F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("total_value")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE (upsert) commit
+# ---------------------------------------------------------------------------
+
+@query("merge_cow_commit", oracle=f"""
+WITH tgt AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id < 5000),
+src AS (
+  SELECT event_id, event_type, value + 1000.0 AS value
+  FROM events WHERE event_id >= 2500 AND event_id < 7500),
+merged AS (
+  SELECT * FROM tgt
+  WHERE event_id NOT IN (SELECT event_id FROM src)
+  UNION ALL SELECT * FROM src)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value
+FROM merged GROUP BY event_type
+""")
+def merge_cow_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) through the copy-on-write commit: target =
+    events below 5000, source = events 2500-7499 with value shifted
+    +1000, so HALF the source updates existing keys and half inserts
+    new ones — the CDC-batch shape. operators/snapshots.merge_cow is
+    FILE-GRANULAR: it broadcasts the source key set, locates the data
+    files containing a matched key via input_file_name(), rewrites
+    ONLY those (anti-join out the replaced rows, union in the
+    source), and carries every untouched file into the new manifest
+    by reference (asserted in tests/test_snapshots.py). The oracle
+    states MERGE semantics directly (target-minus-matched UNION ALL
+    source). At 100 TB this is the upsert path that does NOT rewrite
+    the table: cost scales with affected files × file size, and the
+    atomic manifest rename means a reader never sees half a MERGE."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type", "value"))
+    tdir = os.path.join(scratch_dir("merge_cow"), "events_cow")
+    tgt = ev.filter(F.col("event_id") < 5000).repartition(8, "event_id")
+    snapshots.commit_snapshot(tgt, tdir, mode="overwrite")
+    src = (ev.filter((F.col("event_id") >= 2500)
+                     & (F.col("event_id") < 7500))
+             .withColumn("value", F.col("value") + 1000.0))
+    snapshots.merge_cow(spark, tdir, src, "event_id")
+    return (snapshots.read_snapshot(spark, tdir)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("total_value")))

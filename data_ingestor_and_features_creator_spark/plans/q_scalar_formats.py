@@ -485,11 +485,12 @@ WITH t AS (
                         x -> CAST(x AS BIGINT)) AS b
   FROM events WHERE event_id < 3000)
 SELECT event_id,
-       list_sort(list_distinct(list_filter(a,
-           x -> list_contains(b, x)))) AS inter,
-       list_sort(list_distinct(list_concat(a, b))) AS uni,
-       list_sort(list_distinct(list_filter(a,
-           x -> NOT list_contains(b, x)))) AS diff,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(a,
+           x -> list_contains(b, x)))), ','), '') AS inter,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           list_concat(a, b))), ','), '') AS uni,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(a,
+           x -> NOT list_contains(b, x)))), ','), '') AS diff,
        list_has_any(a, b) AS overlaps,
        CAST(COALESCE(list_position(b, 2), 0) AS INTEGER) AS pos2
 FROM t
@@ -504,7 +505,13 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic downstream consumer) must SORT set-semantic results,
     so both sides emit sorted+distinct arrays, and the oracle builds
     the set ops from list_filter/list_contains primitives. Position is
-    1-based on both engines (0 = absent via COALESCE)."""
+    1-based on both engines (0 = absent via COALESCE). The sorted
+    arrays are SERIALIZED to ',' CSV strings on both sides: the driver
+    canonicalizer pandas-sorts every output column, and raw list cells
+    are unhashable there (round-6 driver ERR) — house rule: no
+    hash-checked query may emit raw array/map columns. Empty-list
+    corner: Spark array_join([]) = '' but DuckDB array_to_string([]) =
+    NULL, so the oracle COALESCEs to ''."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
     a = F.sequence(F.lit(1).cast("long"),
                    (1 + F.col("user_id") % 4).cast("long"))
@@ -513,12 +520,12 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.select("event_id", a.alias("a"), b.alias("b"))
     return t.select(
         "event_id",
-        F.sort_array(F.array_distinct(F.array_intersect("a", "b")))
-         .alias("inter"),
-        F.sort_array(F.array_distinct(F.array_union("a", "b")))
-         .alias("uni"),
-        F.sort_array(F.array_distinct(F.array_except("a", "b")))
-         .alias("diff"),
+        F.array_join(F.sort_array(F.array_distinct(
+            F.array_intersect("a", "b"))), ",").alias("inter"),
+        F.array_join(F.sort_array(F.array_distinct(
+            F.array_union("a", "b"))), ",").alias("uni"),
+        F.array_join(F.sort_array(F.array_distinct(
+            F.array_except("a", "b"))), ",").alias("diff"),
         F.arrays_overlap("a", "b").alias("overlaps"),
         F.coalesce(F.array_position("b", 2), F.lit(0)).cast("int")
          .alias("pos2"))
@@ -620,9 +627,9 @@ WITH t AS (
          CAST(user_id % 19 AS DOUBLE) - 9.0 + 0.5 AS x
   FROM events WHERE event_id < 2000)
 SELECT event_id, x,
-       round(x) AS half_away,
-       CASE WHEN x - floor(x) = 0.5 THEN 2.0 * round(x / 2.0)
-            ELSE round(x) END AS half_even
+       CAST(round(x) AS BIGINT) AS half_away,
+       CAST(CASE WHEN x - floor(x) = 0.5 THEN 2.0 * round(x / 2.0)
+                 ELSE round(x) END AS BIGINT) AS half_even
 FROM t
 """)
 def scalar_rounding_conventions(spark: SparkSession,
@@ -635,13 +642,19 @@ def scalar_rounding_conventions(spark: SparkSession,
     oracle as 2·round(x/2) on exact halves, which lands on the nearest
     EVEN integer). This is the executable documentation of why r6
     exists and why fixed-fold-order results are emitted unrounded:
-    on a .5 boundary the two conventions differ by a full unit."""
+    on a .5 boundary the two conventions differ by a full unit.
+    Both convention columns are emitted as BIGINT — they are exact
+    integers by construction, and the DOUBLE form can carry −0.0
+    (DuckDB's 2·round(−0.25) = −0.0 vs Spark bround's BigDecimal +0.0,
+    the round-6 driver HASH FAIL): house rule — a hash-checked DOUBLE
+    must never be able to carry −0.0; normalize with `+ 0.0` or emit
+    an integer type."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     x = (F.col("user_id") % 19).cast("double") - 9.0 + 0.5
     t = ev.select("event_id", x.alias("x"))
     return t.select("event_id", "x",
-                    F.round("x").alias("half_away"),
-                    F.bround("x").alias("half_even"))
+                    F.round("x").cast("long").alias("half_away"),
+                    F.bround("x").cast("long").alias("half_even"))
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,16 @@ House rules for oracle hash-stability (SURVEY.md §5, §7 risk list):
 - Never ROUND a value that can land exactly on a .xxxxxx5 boundary
   (power-of-two-weighted sums do): Spark rounds half-up, DuckDB
   half-even. Emit unrounded when the fold order is fixed (win_ewma).
+- A hash-checked DOUBLE must never be able to carry −0.0: the driver's
+  hash formats the sign, so DuckDB's `2.0 * round(-0.25)` = −0.0 vs
+  Spark bround's BigDecimal +0.0 hash-mismatches (round-6
+  scalar_rounding_conventions). Normalize with `+ 0.0` (IEEE:
+  −0.0 + 0.0 = +0.0) or emit an integer type when exact.
+- No raw array/map columns in hash-checked output: the driver's
+  canonicalizer pandas-sorts every column and list cells are
+  unhashable there (round-6 array_set_funcs ERR). Serialize with
+  array_join/array_to_string (sorted first when set-semantic) or a
+  key-sorted k:v CSV for maps (agg_map_counts precedent).
 """
 
 from __future__ import annotations

@@ -126,6 +126,67 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def driver_canon_check(name: str, side: str,
+                       columns: list[str], rows: list[tuple]) -> None:
+    """Emulate the DRIVER canonicalizer's two strictnesses that this
+    repo's own compare is (deliberately) forgiving about — both bit us
+    in round 6, both now house rules (plans/registry.py):
+
+    1. The driver pandas-``sort_values`` over ALL columns before
+       hashing; a raw array/map cell is unhashable inside pandas'
+       factorize and the whole check ERRs (round-6 ``array_set_funcs``).
+       We reproduce the exact operation on the exact frame.
+    2. The driver's cell formatter is SIGN-SENSITIVE on zero: a −0.0
+       on one engine vs +0.0 on the other hash-mismatches even though
+       pandas/norm_cell equality collapses them (round-6
+       ``scalar_rounding_conventions``). We scan every float (and
+       Decimal) cell for signed zero and fail on ANY occurrence —
+       "never able to carry −0.0" is the rule, not "both sides agree".
+
+    Called from assert_same_result on BOTH frames, so the full-registry
+    parity gate (tests/test_oracle_parity.py) and tools/check_subset.py
+    enforce driver conformance on every run; tests/test_driver_canon.py
+    additionally sweeps all oracles and probes the failure classes."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(columns))
+    if len(pdf):
+        try:
+            pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        except Exception as exc:
+            raise AssertionError(
+                f"{name} [{side}]: driver canonicalizer would ERR — "
+                f"pandas sort_values over all columns raised {exc!r}. "
+                f"Serialize array/map output columns "
+                f"(plans/registry.py house rule)."
+            ) from exc
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype.kind == "f":
+            a = s.to_numpy()
+            bad = np.signbit(a) & (a == 0.0)
+            if bad.any():
+                raise AssertionError(
+                    f"{name} [{side}]: column {col!r} carries -0.0 "
+                    f"({int(bad.sum())} cells) — the driver's hash is "
+                    f"sign-sensitive; normalize with `+ 0.0` or emit an "
+                    f"integer type (plans/registry.py house rule).")
+        elif s.dtype == object:
+            for v in s:
+                if (isinstance(v, float) and v == 0.0
+                        and math.copysign(1.0, v) < 0.0) or (
+                        isinstance(v, decimal.Decimal)
+                        and v.is_zero() and v.is_signed()):
+                    raise AssertionError(
+                        f"{name} [{side}]: column {col!r} carries a "
+                        f"signed zero ({v!r}) — the driver's hash is "
+                        f"sign-sensitive; normalize with `+ 0.0` "
+                        f"(plans/registry.py house rule).")
+
+
 def assert_same_result(name: str,
                        spark_cols: list[str], spark_rows: list[tuple],
                        duck_cols: list[str], duck_rows: list[tuple]) -> None:
@@ -135,6 +196,8 @@ def assert_same_result(name: str,
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
+    driver_canon_check(name, "spark", spark_cols, spark_rows)
+    driver_canon_check(name, "duck", duck_cols, duck_rows)
     s = normalize(spark_cols, spark_rows)
     d = normalize(duck_cols, duck_rows)
     if s != d:

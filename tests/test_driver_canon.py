@@ -1,0 +1,91 @@
+"""Driver-canonicalizer conformance gate (VERDICT r6 ask #3).
+
+The round-6 driver reds (``array_set_funcs`` ERR, raw array columns;
+``scalar_rounding_conventions`` HASH FAIL, signed-zero DOUBLE) shared
+one root cause: the repo's own compare was MORE FORGIVING than the
+driver's canonicalizer. This module is the gate that emulates the
+driver's stricter path — pandas ``sort_values`` over all columns
+(throws on unhashable array/map cells) plus a sign-sensitive zero scan
+— and would have caught both reds before the driver did:
+
+- ``test_oracle_driver_canon`` sweeps ALL SQL oracles through DuckDB at
+  the test fixture and runs ``driver_canon_check`` on each frame (the
+  −0.0 in scalar_rounding_conventions and the list columns in
+  array_set_funcs both lived on the oracle side too, so this DuckDB-only
+  sweep alone catches both; it costs no Spark time).
+- The SPARK side of every oracle id is enforced by the same
+  ``driver_canon_check`` wired into ``assert_same_result`` — i.e. the
+  full-registry parity gate (tests/test_oracle_parity.py) and
+  tools/check_subset.py now fail any query whose Spark frame the driver
+  could not canonicalize.
+- The probe tests pin the two failure classes synthetically so a
+  regression in the checker itself is caught.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+
+from data_ingestor_and_features_creator_spark import plans
+
+from .oracle_compare import driver_canon_check, duck_fetch
+
+plans.load_all()
+_ORACLES = plans.oracles()
+_QUERIES = plans.queries()
+SQL_IDS = sorted(_ORACLES)
+
+
+@pytest.mark.parametrize("name", SQL_IDS)
+def test_oracle_driver_canon(name, duck):
+    pdf = duck_fetch(duck, _ORACLES[name])
+    driver_canon_check(name, "duck", list(pdf.columns),
+                       list(pdf.itertuples(index=False, name=None)))
+
+
+def test_probe_unhashable_array_cell_errs():
+    """A raw list cell must fail the gate the way the driver ERRs."""
+    with pytest.raises(AssertionError, match="sort_values"):
+        driver_canon_check("probe_array", "spark", ["k", "xs"],
+                           [(1, [1, 2]), (2, [3])])
+
+
+def test_probe_map_cell_errs():
+    with pytest.raises(AssertionError, match="sort_values"):
+        driver_canon_check("probe_map", "spark", ["k", "m"],
+                           [(1, {"a": 1}), (2, {"b": 2})])
+
+
+def test_probe_negative_zero_float_fails():
+    """−0.0 in a float column must fail even though −0.0 == 0.0."""
+    with pytest.raises(AssertionError, match="-0.0"):
+        driver_canon_check("probe_negzero", "duck", ["k", "v"],
+                           [(1, -0.0), (2, 1.5)])
+
+
+def test_probe_negative_zero_object_and_decimal_fail():
+    with pytest.raises(AssertionError, match="signed zero"):
+        driver_canon_check("probe_negzero_obj", "duck", ["k", "v"],
+                           [(1, -0.0), (2, "x")])
+    with pytest.raises(AssertionError, match="signed zero"):
+        driver_canon_check("probe_negzero_dec", "duck", ["k", "v"],
+                           [(1, decimal.Decimal("-0.000")), (2, None)])
+
+
+def test_probe_clean_frame_passes():
+    driver_canon_check("probe_clean", "spark", ["k", "v", "s"],
+                       [(1, 0.0, "a,b"), (2, -1.25, ""), (3, None, None)])
+
+
+def test_round6_reds_now_conform(spark, duck, sf_dir):
+    """End-to-end: the two round-6 driver-red ids, Spark AND oracle
+    frames, through the strict gate (they must stay conformant)."""
+    for name in ("array_set_funcs", "scalar_rounding_conventions"):
+        sdf = _QUERIES[name](spark, sf_dir).toPandas()
+        driver_canon_check(name, "spark", list(sdf.columns),
+                           list(sdf.itertuples(index=False, name=None)))
+        ddf = duck_fetch(duck, _ORACLES[name])
+        driver_canon_check(name, "duck", list(ddf.columns),
+                           list(ddf.itertuples(index=False, name=None)))

@@ -74,6 +74,31 @@ GATE_IDS = [
     "ml_matthews_corr", "ml_cohen_kappa", "agg_var_cvar",
     "dedup_telemetry_debounce", "agg_interarrival_burstiness",
     "agg_peak_to_avg_ratio",
+    # round-7 sweep (VERDICT r6 ask 8): every remaining round-6
+    # float-emitting oracle id — the adversarial NULL/NaN fixture is
+    # the only place their guards are exercised.
+    "ab_cuped_adjustment", "ab_power_sample_size", "ab_srm_check",
+    "agg_circular_mean", "agg_covariance_matrix",
+    "agg_dau_mau_stickiness", "agg_geometric_mean",
+    "agg_kl_divergence", "agg_kmv_distinct_sketch",
+    "agg_mannwhitney_u", "agg_ols_multivariate", "agg_regr_family",
+    "agg_shannon_entropy", "agg_trimmed_mean", "agg_tvd_drift",
+    "feature_rfm_scores", "feature_woe_iv", "geo_haversine_trips",
+    "label_survival_km", "ml_kmeans_two_iter",
+    "scalar_rounding_conventions", "scan_jsonl_corrupt",
+    "sink_compressed_codecs", "sink_sorted_clustered",
+    "sql_insert_dml", "sql_join_hints", "sql_pivot_unpivot",
+    "sql_values_table", "stat_bootstrap_ci_hash", "stat_cohens_d",
+    "stat_cramers_v", "stat_mutual_information", "stat_spearman_corr",
+    "stat_tukey_hsd", "stat_wilson_ci", "text_rake_keywords",
+    "text_readability", "text_unigram_logprob",
+    "time_resample_linear", "ts_acf_multi_lag",
+    "vec_random_projection_jl", "vocab_zipf_slope",
+    "win_bollinger_bands", "win_cross_sectional_rank",
+    "win_decay_score", "win_mann_kendall", "win_rolling_iqr_anomaly",
+    "win_theil_sen", "win_vwap",
+    # round-7 additions with float totals
+    "snapshot_time_travel", "merge_cow_commit",
 ]
 
 

@@ -1,0 +1,125 @@
+"""Copy-on-write snapshot layer: commit atomicity, time travel, and
+file-granular MERGE (VERDICT r6 ask 5).
+
+The load-bearing property is the torn-commit one: a writer that dies
+AFTER writing new part files but BEFORE publishing the manifest must
+leave readers on the previous version exactly — no partial state is
+ever visible, because the manifest is the only commit point and it
+appears atomically (write-temp + rename)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestor_and_features_creator_spark.operators import snapshots
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "cow_table")
+
+
+def _mk(spark, lo, hi, shift=0.0):
+    return (spark.range(lo, hi)
+            .select(F.col("id").alias("k"),
+                    (F.col("id").cast("double") + shift).alias("v")))
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_commit_and_read_roundtrip(spark, tdir):
+    v = snapshots.commit_snapshot(_mk(spark, 0, 100), tdir,
+                                  mode="overwrite")
+    assert v == 1
+    assert snapshots.snapshot_versions(tdir) == [1]
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == _rows(
+        _mk(spark, 0, 100))
+
+
+def test_crash_between_part_files_and_manifest_is_invisible(spark, tdir):
+    """Simulate the writer dying between step 1 (part files) and
+    step 2 (manifest): readers must keep seeing v1 exactly."""
+    snapshots.commit_snapshot(_mk(spark, 0, 50), tdir, mode="overwrite")
+    # step 1 of a v2 append happens... and the writer dies here.
+    snapshots._write_data_files(_mk(spark, 50, 100), tdir, version=2)
+    assert snapshots.snapshot_versions(tdir) == [1]
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == _rows(
+        _mk(spark, 0, 50))
+    # recovery: a later writer allocates v2 again and commits fully —
+    # the orphaned files are simply superseded (GC'able, never read).
+    v = snapshots.commit_snapshot(_mk(spark, 50, 100), tdir,
+                                  mode="append")
+    assert v == 2
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == _rows(
+        _mk(spark, 0, 100))
+
+
+def test_crash_mid_manifest_write_is_invisible(spark, tdir):
+    """A partially-written manifest temp file is never resolved: only
+    the atomic rename makes a version exist."""
+    snapshots.commit_snapshot(_mk(spark, 0, 50), tdir, mode="overwrite")
+    tmp = os.path.join(tdir, "_manifests", ".v2.json.tmp")
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 2, "files": ["data/v2/part-')  # torn JSON
+    assert snapshots.snapshot_versions(tdir) == [1]
+    assert len(_rows(snapshots.read_snapshot(spark, tdir))) == 50
+
+
+def test_append_does_not_rewrite_history(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 50), tdir, mode="overwrite")
+    v1_files = set(snapshots.read_manifest(tdir, 1)["files"])
+    snapshots.commit_snapshot(_mk(spark, 50, 80), tdir, mode="append")
+    v2_files = set(snapshots.read_manifest(tdir, 2)["files"])
+    assert v1_files < v2_files  # strict superset: old files by reference
+    assert len(_rows(snapshots.read_snapshot(spark, tdir, version=1))) == 50
+    assert len(_rows(snapshots.read_snapshot(spark, tdir, version=2))) == 80
+
+
+def test_time_travel_immutability_through_merge(spark, tdir):
+    base = _mk(spark, 0, 100)
+    snapshots.commit_snapshot(base, tdir, mode="overwrite")
+    src = _mk(spark, 90, 120, shift=1000.0)
+    snapshots.merge_cow(spark, tdir, src, "k")
+    # latest: keys 90-99 replaced, 100-119 inserted
+    latest = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert len(latest) == 120
+    assert latest[10] == 10.0
+    assert latest[95] == 1095.0 and latest[110] == 1110.0
+    # v1 unchanged after the merge
+    assert _rows(snapshots.read_snapshot(spark, tdir, version=1)) == _rows(
+        base)
+
+
+def test_merge_cow_is_file_granular(spark, tdir):
+    """Files containing no matched key must be carried into the new
+    manifest BY REFERENCE (same path), not rewritten — the property
+    that makes MERGE affordable at 100 TB. Range-partitioned base so
+    the matched keys (900+) land in a known file subset."""
+    base = (_mk(spark, 0, 1000).repartitionByRange(8, "k"))
+    snapshots.commit_snapshot(base, tdir, mode="overwrite")
+    v1_files = set(snapshots.read_manifest(tdir, 1)["files"])
+    assert len(v1_files) == 8
+    src = _mk(spark, 900, 950, shift=5000.0)
+    snapshots.merge_cow(spark, tdir, src, "k")
+    v2_files = set(snapshots.read_manifest(tdir, 2)["files"])
+    carried = v1_files & v2_files
+    rewritten = v1_files - v2_files
+    # most range files contain no key >= 900 → carried untouched
+    assert len(carried) >= 5, (len(carried), len(v1_files))
+    assert rewritten, "at least the file(s) holding 900-949 rewritten"
+    latest = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert len(latest) == 1000
+    assert latest[925] == 5925.0 and latest[0] == 0.0
+
+
+def test_manifest_is_sorted_json(tdir, spark):
+    snapshots.commit_snapshot(_mk(spark, 0, 10), tdir, mode="overwrite")
+    m = json.load(open(os.path.join(tdir, "_manifests", "v1.json")))
+    assert m["version"] == 1
+    assert m["files"] == sorted(m["files"])
