@@ -138,3 +138,88 @@ def merge_cow_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum("value").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Offset-resumable partitioned stream source (Kafka-shaped replay)
+# ---------------------------------------------------------------------------
+
+def _drain_event_log(spark: SparkSession, log_dir: str, sink: str,
+                     ckpt: str, per_trigger: int,
+                     max_restarts: int = 60) -> int:
+    """Replay the whole log through the rate-limited ``eventlog``
+    stream source into a parquet sink, restarting a FRESH query on the
+    SAME checkpoint until the committed frontier reaches the log end —
+    every iteration after the first IS an offset-recovery resume.
+    Returns the number of query (re)starts."""
+    import json
+    import os
+
+    from ..sources.pydatasource import EventLogStreamSource
+    spark.dataSource.register(EventLogStreamSource)
+    with open(os.path.join(log_dir, "_meta.json")) as fh:
+        sizes = json.load(fh)["sizes"]
+    total = sum(sizes.values())
+    starts = 0
+    while starts < max_restarts:
+        starts += 1
+        q = (spark.readStream.format("eventlog")
+             .option("path", log_dir)
+             .option("maxRowsPerTrigger", per_trigger)
+             .load()
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        try:
+            with open(os.path.join(log_dir, "_progress.json")) as fh:
+                done = sum(int(v) for v in json.load(fh).values())
+        except (OSError, ValueError):
+            done = 0
+        if done >= total:
+            break
+    return starts
+
+
+@query("stream_source_offsets", oracle=f"""
+SELECT CAST(user_id % 4 AS INT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_offsets,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_offset,
+       {dsum_sql('value')} AS total_value
+FROM events GROUP BY part
+""")
+def stream_source_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET-RESUMABLE PARTITIONED STREAM SOURCE (VERDICT r6 ask 6,
+    sources/pydatasource.py EventLogStreamSource): events are
+    materialized as a Kafka-shaped replay log — 4 partitions keyed by
+    user_id % 4, dense monotone offsets within each — then replayed
+    through the PySpark DataSourceStreamReader offset lifecycle
+    (initialOffset → latestOffset → partitions(start, end) → read →
+    commit) under a maxRowsPerTrigger rate limit, RESTARTING a fresh
+    query on the same checkpoint until drained (so the replay crosses
+    many micro-batches AND many restarts). The aggregate of the sink
+    must equal the batch oracle over raw events: any at-least-once
+    duplicate inflates n above the oracle count, any lost batch
+    deflates it, and max_offset = n−1 + n_offsets = n pin that the
+    offset ranges were delivered contiguously, exactly once. The
+    kill/resume recovery property is additionally pinned in
+    tests/test_streaming.py (restart mid-log, frontier resumes)."""
+    import os
+
+    from ..sources.pydatasource import write_event_log
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "value"))
+    base = scratch_dir("stream_offsets")
+    log_dir = os.path.join(base, "log")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    sizes = write_event_log(ev, log_dir, n_parts=4)
+    per_trigger = max(1000, max(sizes.values()) // 6)
+    _drain_event_log(spark, log_dir, sink, ckpt, per_trigger)
+    out = spark.read.parquet(sink)
+    return (out.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("log_offset").alias("n_offsets"),
+                 F.max("log_offset").alias("max_offset"),
+                 dsum("value").alias("total_value")))

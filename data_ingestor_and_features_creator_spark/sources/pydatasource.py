@@ -54,3 +54,172 @@ class SynthGridDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _GridReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Offset-resumable partitioned STREAM source (VERDICT r6 ask 6)
+# ---------------------------------------------------------------------------
+#
+# Kafka-shaped replay log: a directory with one parquet file per
+# partition (``p{N}.parquet``), each sorted by a dense 0-based
+# ``offset`` column, plus ``_meta.json`` recording the per-partition
+# record counts. The stream reader exposes the standard offset
+# lifecycle (``pyspark.sql.datasource.DataSourceStreamReader``
+# [SPARK]):
+#
+# - offsets are dicts ``{"0": n0, "1": n1, ...}`` — records consumed
+#   per partition (exclusive upper bound), monotonically increasing;
+# - ``latestOffset`` self-limits to ``maxRowsPerTrigger`` NEW rows per
+#   partition per micro-batch (the maxFilesPerTrigger analog — Python
+#   stream sources get no JVM ReadLimit, so the cap lives here), and
+#   PERSISTS the advanced frontier to the log's own ``_progress.json``
+#   (atomic rename) at that moment. Persisting at latestOffset — not
+#   commit — time matters: under trigger(availableNow) Spark fixes the
+#   end boundary with ONE latestOffset call per query start and
+#   terminates after that batch WITHOUT calling commit, so a
+#   commit-time frontier would never advance and every restart would
+#   re-plan the same capped range forever (observed). The SPARK
+#   checkpoint remains the source of truth for delivery —
+#   ``partitions(start, end)`` always serves the checkpointed range,
+#   so a crash between the frontier persist and the batch commit just
+#   means the restarted query's first batch covers both ranges (the
+#   cap is best-effort across crashes, exactness is not);
+# - ``commit(end)`` additionally folds Spark's committed frontier into
+#   the same file (max-merge) when the engine does call it.
+#
+# ``read`` slices the partition file with pyarrow and yields ONE
+# RecordBatch (vectorized path). At real scale the slice would prune
+# parquet row groups by the offset column's min/max stats instead of
+# reading the file — same interface, bigger files.
+
+
+class _OffsetSpan(InputPartition):
+    def __init__(self, path: str, pid: int, start: int, end: int):
+        self.path, self.pid, self.start, self.end = path, pid, start, end
+
+
+class EventLogStreamReader:
+    # Duck-typed DataSourceStreamReader (imported lazily in
+    # streamReader() so batch-only use never touches streaming paths).
+
+    def __init__(self, options: dict):
+        import json
+        import os
+
+        self.path = options["path"]
+        self.per_trigger = int(options.get("maxRowsPerTrigger", 1000))
+        with open(os.path.join(self.path, "_meta.json")) as fh:
+            meta = json.load(fh)
+        self.sizes = {str(k): int(v) for k, v in meta["sizes"].items()}
+        self._frontier = self._load_progress()
+
+    # -- self-managed committed frontier (restart-safe rate limiting) --
+    def _progress_path(self) -> str:
+        import os
+        return os.path.join(self.path, "_progress.json")
+
+    def _load_progress(self) -> dict:
+        import json
+        import os
+        try:
+            with open(self._progress_path()) as fh:
+                got = json.load(fh)
+            return {k: int(got.get(k, 0)) for k in self.sizes}
+        except (OSError, ValueError):
+            return {k: 0 for k in self.sizes}
+
+    def initialOffset(self) -> dict:
+        return {k: 0 for k in self.sizes}
+
+    def _persist(self, frontier: dict) -> None:
+        import json
+        import os
+
+        tmp = self._progress_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(frontier, fh)
+        os.rename(tmp, self._progress_path())
+
+    def latestOffset(self) -> dict:
+        self._frontier = {
+            k: min(self.sizes[k], self._frontier[k] + self.per_trigger)
+            for k in self.sizes}
+        self._persist(self._frontier)
+        return dict(self._frontier)
+
+    def partitions(self, start: dict, end: dict):
+        import os
+        out = []
+        for k in sorted(self.sizes, key=int):
+            lo, hi = int(start.get(k, 0)), int(end.get(k, 0))
+            if hi > lo:
+                out.append(_OffsetSpan(
+                    os.path.join(self.path, f"p{k}.parquet"),
+                    int(k), lo, hi))
+        return out
+
+    def read(self, part: _OffsetSpan):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part.path)
+        yield from (tbl.slice(part.start, part.end - part.start)
+                    .combine_chunks().to_batches())
+
+    def commit(self, end: dict) -> None:
+        self._frontier = {k: max(self._frontier.get(k, 0),
+                                 int(end.get(k, 0)))
+                          for k in self.sizes}
+        self._persist(self._frontier)
+
+    def stop(self) -> None:
+        pass
+
+
+class EventLogStreamSource(DataSource):
+    """``spark.readStream.format("eventlog").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventlog"
+
+    def schema(self) -> str:
+        return ("part int, log_offset bigint, event_id bigint, "
+                "user_id bigint, value double")
+
+    def streamReader(self, schema):
+        from pyspark.sql.datasource import DataSourceStreamReader
+
+        class _R(EventLogStreamReader, DataSourceStreamReader):
+            pass
+
+        return _R(self.options)
+
+
+def write_event_log(df, log_dir: str, n_parts: int = 4) -> dict:
+    """Materialize a DataFrame as an offset-ordered replay log:
+    partition = ``user_id % n_parts`` (the Kafka key-hash analog),
+    offset = dense 0-based rank within the partition ordered by
+    (event_id) — deterministic, so replays are reproducible. One
+    parquet file per partition via pyarrow (the log is a FIXTURE
+    artifact; the scalable path would be Spark partitionBy with
+    per-partition sorted row groups)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(log_dir, exist_ok=True)
+    pdf = df.toPandas().sort_values("event_id").reset_index(drop=True)
+    pdf["part"] = (pdf["user_id"] % n_parts).astype("int32")
+    sizes = {}
+    for pid in range(n_parts):
+        sub = pdf[pdf["part"] == pid].reset_index(drop=True)
+        sub["log_offset"] = sub.index.astype("int64")
+        sub = sub[["part", "log_offset", "event_id", "user_id", "value"]]
+        pq.write_table(pa.Table.from_pandas(sub, preserve_index=False),
+                       os.path.join(log_dir, f"p{pid}.parquet"))
+        sizes[str(pid)] = len(sub)
+    with open(os.path.join(log_dir, "_meta.json"), "w") as fh:
+        json.dump({"sizes": sizes}, fh)
+    return sizes

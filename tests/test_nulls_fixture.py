@@ -98,7 +98,7 @@ GATE_IDS = [
     "win_decay_score", "win_mann_kendall", "win_rolling_iqr_anomaly",
     "win_theil_sen", "win_vwap",
     # round-7 additions with float totals
-    "snapshot_time_travel", "merge_cow_commit",
+    "snapshot_time_travel", "merge_cow_commit", "stream_source_offsets",
 ]
 
 

@@ -382,3 +382,58 @@ def test_pbcompat_gate_status_is_explicit(spark):
             "pbcompat gate OFF — google.protobuf runtime vanished from "
             f"{SDK_GAE}; de-registered ids: {', '.join(gated)} "
             "(coverage drop is THIS skip, not a silent absence)")
+
+
+# --- offset-resumable custom stream source (round 7, VERDICT r6 ask 6) -----
+
+
+def test_eventlog_source_kill_resume_offset_recovery(spark, sf_dir,
+                                                     tmp_path):
+    """Offset recovery across query restarts for the custom
+    partitioned stream source (sources/pydatasource.py): replay a
+    4-partition offset log under a rate limit, killing the query
+    (fresh start on the same checkpoint) between micro-batches. The
+    committed frontier must advance monotonically, the first restart
+    must NOT re-deliver committed offsets, and the fully-drained sink
+    must hold each (part, offset) exactly once — at-least-once
+    delivery would duplicate, offset loss would leave holes."""
+    import json
+    import os
+
+    from data_ingestor_and_features_creator_spark.plans.q_round7 import (
+        _drain_event_log)
+    from data_ingestor_and_features_creator_spark.sources.pydatasource import (
+        write_event_log)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 3000)
+          .select("event_id", "user_id", "value"))
+    log_dir = str(tmp_path / "log")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sizes = write_event_log(ev, log_dir, n_parts=4)
+    total = sum(sizes.values())
+    per_trigger = max(50, max(sizes.values()) // 5)
+
+    starts = _drain_event_log(spark, log_dir, sink, ckpt, per_trigger)
+    assert starts > 1, "rate limit never forced a restart — test vacuous"
+
+    with open(os.path.join(log_dir, "_progress.json")) as fh:
+        frontier = json.load(fh)
+    assert {k: int(v) for k, v in frontier.items()} == sizes
+
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    # exactly-once at (part, offset) grain: no dups, no holes
+    assert out.select("part", "log_offset").distinct().count() == total
+    per_part = {r["part"]: (r["n"], r["mx"])
+                for r in out.groupBy("part")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.max("log_offset").alias("mx")).collect()}
+    for pid, n in sizes.items():
+        assert per_part[int(pid)] == (n, n - 1)
+    # content equality with the batch source
+    assert (sorted(tuple(r) for r in
+                   out.select("event_id", "user_id").collect())
+            == sorted(tuple(r) for r in
+                      ev.select("event_id", "user_id").collect()))
