@@ -34,13 +34,14 @@ from .registry import query, scratch_dir
 # ---------------------------------------------------------------------------
 
 @query("snapshot_time_travel", oracle=f"""
-WITH v1 AS (
-  SELECT value FROM events WHERE event_id < 4000),
+WITH m AS (SELECT (MAX(event_id) + 1) // 2 AS h FROM events),
+v1 AS (
+  SELECT value FROM events, m WHERE event_id < m.h),
 v2 AS (
-  SELECT value FROM events WHERE event_id < 8000),
+  SELECT value FROM events),
 v3 AS (
   SELECT CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
-  FROM events WHERE event_id < 8000)
+  FROM events)
 SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
        {dsum_sql('value')} AS total_value FROM v1
 UNION ALL
@@ -70,14 +71,17 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .select("event_id", "event_type", "value"))
     tdir = os.path.join(scratch_dir("snapshot_tt"), "events_cow")
-    base = ev.filter(F.col("event_id") < 4000).repartition(4, "event_id")
+    # Bounds are DATA-RELATIVE (half the id span) so every fixture —
+    # 1k-row sf0.001 through 1M-row sf1ish — commits non-empty
+    # versions; fixed literals made v2 an empty append at sf0.001 and
+    # the oracle matched vacuously (the memory-listed pitfall).
+    half = (ev.agg(F.max("event_id")).first()[0] + 1) // 2
+    base = ev.filter(F.col("event_id") < half).repartition(4, "event_id")
     snapshots.commit_snapshot(base, tdir, mode="overwrite")
-    delta = (ev.filter((F.col("event_id") >= 4000)
-                       & (F.col("event_id") < 8000))
+    delta = (ev.filter(F.col("event_id") >= half)
                .repartition(4, "event_id"))
     snapshots.commit_snapshot(delta, tdir, mode="append")
-    src = (ev.filter((F.col("event_id") < 8000)
-                     & (F.col("event_id") % 10 == 0))
+    src = (ev.filter(F.col("event_id") % 10 == 0)
              .withColumn("value", F.col("value") * 2))
     snapshots.merge_cow(spark, tdir, src, "event_id")
     outs = []
@@ -98,11 +102,13 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query("merge_cow_commit", oracle=f"""
-WITH tgt AS (
-  SELECT event_id, event_type, value FROM events WHERE event_id < 5000),
+WITH m AS (SELECT (MAX(event_id) + 1) // 4 AS q FROM events),
+tgt AS (
+  SELECT event_id, event_type, value FROM events, m
+  WHERE event_id < 2 * m.q),
 src AS (
   SELECT event_id, event_type, value + 1000.0 AS value
-  FROM events WHERE event_id >= 2500 AND event_id < 7500),
+  FROM events, m WHERE event_id >= m.q AND event_id < 3 * m.q),
 merged AS (
   SELECT * FROM tgt
   WHERE event_id NOT IN (SELECT event_id FROM src)
@@ -112,10 +118,10 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM merged GROUP BY event_type
 """)
 def merge_cow_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE (upsert) through the copy-on-write commit: target =
-    events below 5000, source = events 2500-7499 with value shifted
-    +1000, so HALF the source updates existing keys and half inserts
-    new ones — the CDC-batch shape. operators/snapshots.merge_cow is
+    """MERGE (upsert) through the copy-on-write commit: target = the
+    first two id-quartiles of events, source = quartiles 2-3 with
+    value shifted +1000, so HALF the source updates existing keys and
+    half inserts new ones — the CDC-batch shape. operators/snapshots.merge_cow is
     FILE-GRANULAR: it broadcasts the source key set, locates the data
     files containing a matched key via input_file_name(), rewrites
     ONLY those (anti-join out the replaced rows, union in the
@@ -128,10 +134,12 @@ def merge_cow_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .select("event_id", "event_type", "value"))
     tdir = os.path.join(scratch_dir("merge_cow"), "events_cow")
-    tgt = ev.filter(F.col("event_id") < 5000).repartition(8, "event_id")
+    # Data-relative quartile bounds (see snapshot_time_travel note).
+    q = (ev.agg(F.max("event_id")).first()[0] + 1) // 4
+    tgt = ev.filter(F.col("event_id") < 2 * q).repartition(8, "event_id")
     snapshots.commit_snapshot(tgt, tdir, mode="overwrite")
-    src = (ev.filter((F.col("event_id") >= 2500)
-                     & (F.col("event_id") < 7500))
+    src = (ev.filter((F.col("event_id") >= q)
+                     & (F.col("event_id") < 3 * q))
              .withColumn("value", F.col("value") + 1000.0))
     snapshots.merge_cow(spark, tdir, src, "event_id")
     return (snapshots.read_snapshot(spark, tdir)

@@ -99,6 +99,8 @@ GATE_IDS = [
     "win_theil_sen", "win_vwap",
     # round-7 additions with float totals
     "snapshot_time_travel", "merge_cow_commit", "stream_source_offsets",
+    "snapshot_schema_evolution_cow", "snapshot_incremental_diff",
+    "snapshot_vacuum_orphans", "snapshot_concurrent_writers",
 ]
 
 

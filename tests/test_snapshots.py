@@ -123,3 +123,53 @@ def test_manifest_is_sorted_json(tdir, spark):
     m = json.load(open(os.path.join(tdir, "_manifests", "v1.json")))
     assert m["version"] == 1
     assert m["files"] == sorted(m["files"])
+
+
+def test_concurrent_writers_cas_exactly_one_wins(spark, tdir):
+    """Two writers race for the same version: the put-if-absent
+    manifest publish lets exactly one win; the loser's rebase keeps
+    BOTH writers' rows (no lost update)."""
+    snapshots.commit_snapshot(_mk(spark, 0, 40), tdir, mode="overwrite")
+    fa = snapshots._write_data_files(_mk(spark, 40, 60), tdir, 2, "a")
+    fb = snapshots._write_data_files(_mk(spark, 60, 90), tdir, 2, "b")
+    assert snapshots.commit_files(tdir, fa, mode="append") == 2
+    with pytest.raises(snapshots.VersionConflict):
+        snapshots._publish_manifest(tdir, 2, fb)
+    assert snapshots.commit_files(tdir, fb, mode="append") == 3
+    assert len(_rows(snapshots.read_snapshot(spark, tdir))) == 90
+    # no lost update: A's rows survived B's rebased commit
+    assert dict(_rows(snapshots.read_snapshot(spark, tdir)))[45] == 45.0
+
+
+def test_vacuum_removes_only_unreferenced(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 50), tdir, mode="overwrite")
+    snapshots._write_data_files(_mk(spark, 50, 80), tdir, 2, "crashed")
+    snapshots.commit_snapshot(_mk(spark, 80, 100), tdir, mode="append")
+    orphans = snapshots.vacuum(tdir, dry_run=True)
+    assert orphans and all("crashed" in f for f in orphans)
+    before = set(snapshots.list_data_files(tdir))
+    removed = snapshots.vacuum(tdir)
+    assert set(removed) == set(orphans)
+    assert set(snapshots.list_data_files(tdir)) == before - set(orphans)
+    # every committed version still reads after vacuum
+    assert len(_rows(snapshots.read_snapshot(spark, tdir, version=1))) == 50
+    assert len(_rows(snapshots.read_snapshot(spark, tdir, version=2))) == 70
+
+
+def test_schema_evolution_null_fills_old_files(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 30), tdir, mode="overwrite")
+    v2 = _mk(spark, 30, 50).withColumn("tag", F.lit("new"))
+    snapshots.commit_snapshot(v2, tdir, mode="append")
+    got = snapshots.read_snapshot(spark, tdir, merge_schema=True)
+    assert set(got.columns) == {"k", "v", "tag"}
+    by_tag = {r["tag"]: r["n"] for r in
+              got.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert by_tag == {None: 30, "new": 20}
+
+
+def test_version_diff_reads_only_new_files(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 60), tdir, mode="overwrite")
+    snapshots.commit_snapshot(_mk(spark, 60, 75), tdir, mode="append")
+    diff = snapshots.read_version_diff(spark, tdir, 2)
+    assert _rows(diff) == _rows(_mk(spark, 60, 75))
