@@ -101,6 +101,8 @@ GATE_IDS = [
     "snapshot_time_travel", "merge_cow_commit", "stream_source_offsets",
     "snapshot_schema_evolution_cow", "snapshot_incremental_diff",
     "snapshot_vacuum_orphans", "snapshot_concurrent_writers",
+    "stat_two_proportion_z", "agg_page_hinkley_drift",
+    "stat_rank_biserial", "win_kaufman_er",
 ]
 
 
