@@ -103,6 +103,8 @@ GATE_IDS = [
     "snapshot_vacuum_orphans", "snapshot_concurrent_writers",
     "stat_two_proportion_z", "agg_page_hinkley_drift",
     "stat_rank_biserial", "win_kaufman_er",
+    "feature_cyclical_time_encode", "ab_sequential_sprt",
+    "vec_prefix_energy_matryoshka",
 ]
 
 
