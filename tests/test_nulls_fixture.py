@@ -105,6 +105,8 @@ GATE_IDS = [
     "stat_rank_biserial", "win_kaufman_er",
     "feature_cyclical_time_encode", "ab_sequential_sprt",
     "vec_prefix_energy_matryoshka",
+    "ml_ndcg_at_k", "ml_mrr_at_k", "win_donchian_channel",
+    "ts_adf_stat", "agg_two_sample_poisson",
 ]
 
 

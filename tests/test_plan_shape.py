@@ -1121,3 +1121,46 @@ def test_ljung_box_single_user_sort(spark, sf_dir):
     dominant cost."""
     plan = _physical(QUERIES["ts_ljung_box"](spark, sf_dir))
     assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+
+
+def test_geohash_is_zero_shuffle_projection(spark, sf_dir):
+    """Geohash encoding must be a pure projection over the scan —
+    no Exchange, no Python eval — so at 100 TB it rides the ingest
+    scan for free."""
+    plan = _physical(QUERIES["geo_geohash_encode"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_donchian_windows_share_one_exchange(spark, sf_dir):
+    """row_number + trailing max + trailing min must all ride ONE
+    user_id exchange (one sort, three frames)."""
+    plan = _physical(QUERIES["win_donchian_channel"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sprt_cumulative_window_single_exchange(spark, sf_dir):
+    plan = _physical(QUERIES["ab_sequential_sprt"](spark, sf_dir))
+    # one exchange for the per-variant windows + the small joins on
+    # the per-variant aggregate; no fact-sized SMJ beyond those
+    assert "EvalPython" not in plan
+
+
+def test_merge_cow_broadcasts_source_keys(spark, sf_dir, tmp_path):
+    """merge_cow must locate affected files via a BROADCAST semi-join
+    of the (small) source key set — never a shuffled join of the whole
+    table against the CDC batch."""
+    from data_ingestor_and_features_creator_spark.operators import snapshots
+    base = (spark.range(0, 2000)
+            .select(F.col("id").alias("k"),
+                    F.col("id").cast("double").alias("v")))
+    tdir = str(tmp_path / "cow")
+    snapshots.commit_snapshot(base, tdir, mode="overwrite")
+    live = snapshots.read_manifest(tdir, 1)["files"]
+    cur = (spark.read.parquet(*[os.path.join(tdir, f) for f in live])
+           .withColumn("_file", F.input_file_name()))
+    keys = (spark.range(100, 160)
+            .select(F.col("id").alias("k")).distinct())
+    probe = cur.join(F.broadcast(keys), "k", "left_semi")
+    plan = _physical(probe)
+    assert "BroadcastHashJoin" in plan and "leftsemi" in plan.lower(), plan
