@@ -52,6 +52,7 @@ def load_all() -> None:
     from . import q_round7c  # noqa: F401  (tail of the priority order)
     from . import q_round7d  # noqa: F401  (tail of the priority order)
     from . import q_round7e  # noqa: F401  (tail of the priority order)
+    from . import q_round7f  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round

@@ -157,8 +157,8 @@ v AS (
          date_diff('day', CAST(ts AS DATE), (SELECT hi FROM f)) AS age
   FROM events)
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND({_dsum_sql(
-           f"ROUND(power(0.5, age / {_HALF_LIFE_DAYS}), 9)")}, 6)
+       {_dsum_sql(
+           f"ROUND(power(0.5, age / {_HALF_LIFE_DAYS}), 9)")}
          AS decay_score
 FROM v GROUP BY user_id
 """)
@@ -171,8 +171,15 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard recency quantile. Age anchors at the frontier max date
     (never now()); each power term is pinned to 9 dp (the
     pinned-log discipline — power's 1-ulp cross-engine drift only
-    matters on a 9-dp boundary) then DECIMAL-summed. One map-side-
-    combined aggregate + a 1-row broadcast frontier."""
+    matters on a 9-dp boundary) then DECIMAL-summed and emitted
+    UNROUNDED: the sum of 9-dp-grid terms is itself exactly on the
+    1e-9 grid, so a further 6-dp ROUND can land exactly on the
+    7th-digit half-grid where the engines' conventions split — the
+    round-7 SKEW gate caught precisely that on the fat partition
+    (one user's 200k identical-age terms summed to ...X5). The
+    decimal→double cast is exact here (≤11 significant digits, far
+    inside the 16-digit bound). One map-side-combined aggregate +
+    a 1-row broadcast frontier."""
     ev = load_table(spark, sf_dir, "events")
     hi = ev.agg(F.max(F.to_date("ts")).alias("hi"))
     v = (ev.crossJoin(F.broadcast(hi))
@@ -182,7 +189,7 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("age") / F.lit(_HALF_LIFE_DAYS)), 9)
     return (v.groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("n_events"),
-                  F.round(_ds(term), 6).alias("decay_score")))
+                  _ds(term).alias("decay_score")))
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,8 @@ GATE_IDS = [
     "vec_prefix_energy_matryoshka",
     "ml_ndcg_at_k", "ml_mrr_at_k", "win_donchian_channel",
     "ts_adf_stat", "agg_two_sample_poisson",
+    "stream_cow_upsert_sink", "agg_ratio_delta_method",
+    "ts_hurst_exponent",
 ]
 
 

@@ -101,6 +101,25 @@ def test_window_family_correct_on_fat_partition(spark, skew_duck):
     _oracle_check("win_anomaly_zscore", spark, skew_duck)
 
 
+# Round-7 extension (VERDICT r6 ask 8): every round-6/7 window op
+# whose FRAME the hot key changes (trailing bands, cumulative
+# detectors, per-key regressions — a 200k-row partition exercises
+# frame eviction, running sums, and rank paths the uniform fixtures
+# never stress) must stay oracle-exact on the planted-skew data.
+SKEW_WINDOW_IDS = [
+    "win_donchian_channel", "win_kaufman_er", "win_rolling_iqr_anomaly",
+    "agg_page_hinkley_drift", "ts_adf_stat", "ab_sequential_sprt",
+    "win_bollinger_bands", "win_decay_score", "win_cusum_drift",
+    "win_rolling_skew_kurt",
+]
+
+
+@needs_skew
+@pytest.mark.parametrize("name", SKEW_WINDOW_IDS)
+def test_round7_window_ops_correct_under_skew(name, spark, skew_duck):
+    _oracle_check(name, spark, skew_duck)
+
+
 @needs_skew
 def test_aqe_skew_join_split_fires(spark):
     """A merge join of the hot-custkey orders against the customer
