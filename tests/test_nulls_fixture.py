@@ -109,6 +109,8 @@ GATE_IDS = [
     "ts_adf_stat", "agg_two_sample_poisson",
     "stream_cow_upsert_sink", "agg_ratio_delta_method",
     "ts_hurst_exponent",
+    "stat_permutation_test_hash", "graph_jaccard_link_predict",
+    "stat_sign_test", "agg_mcnemar_test",
 ]
 
 
