@@ -111,6 +111,7 @@ GATE_IDS = [
     "ts_hurst_exponent",
     "stat_permutation_test_hash", "graph_jaccard_link_predict",
     "stat_sign_test", "agg_mcnemar_test",
+    "ml_pinball_loss", "agg_cochran_q", "audit_pii_scrub_regex",
 ]
 
 
