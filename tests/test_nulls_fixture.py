@@ -112,6 +112,7 @@ GATE_IDS = [
     "stat_permutation_test_hash", "graph_jaccard_link_predict",
     "stat_sign_test", "agg_mcnemar_test",
     "ml_pinball_loss", "agg_cochran_q", "audit_pii_scrub_regex",
+    "dedup_lsh_recall_eval", "seq_markov_entropy_rate",
 ]
 
 
