@@ -113,6 +113,8 @@ GATE_IDS = [
     "stat_sign_test", "agg_mcnemar_test",
     "ml_pinball_loss", "agg_cochran_q", "audit_pii_scrub_regex",
     "dedup_lsh_recall_eval", "seq_markov_entropy_rate",
+    "label_cumhazard_nelson_aalen", "agg_hodges_lehmann",
+    "data_class_weight_balanced", "ts_durbin_watson",
 ]
 
 
