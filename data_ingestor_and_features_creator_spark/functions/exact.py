@@ -143,6 +143,25 @@ def dsum_dec(col: Column | str) -> Column:
     return F.sum(_not_nan(_c(col)).cast("string").cast(DEC)).cast(DEC)
 
 
+def dsum_dec_str(col: Column | str) -> Column:
+    """``dsum_dec`` emitted as its exact fixed-point STRING — the
+    DRIVER-BOUNDARY form of the scale-robust sum (round 8, from the
+    round-7 driver red on agg_rollup_decimal_exact). A DECIMAL-typed
+    output column is digit-exact inside both engines, but the DRIVER's
+    fetch paths disagree about its *representation*: Spark's toPandas
+    keeps decimal.Decimal('…115399985363') while DuckDB's pandas fetch
+    degrades to float64 ('…1154') — identical values, different cell
+    reprs, hash mismatch. Casting the decimal to STRING removes the
+    representation from the engines' hands: both print DECIMAL(38,12)
+    as the same full 12-dp fixed-point form (verified incl. zero,
+    negatives, 24-digit magnitudes — neither engine uses scientific
+    notation for decimals), so the column is digit-exact at any
+    magnitude AND hash-stable through any fetch path. House rule
+    (plans/registry.py): no DecimalType column may reach hash-checked
+    output — this helper is the sanctioned replacement."""
+    return dsum_dec(col).cast("string")
+
+
 def r6(col: Column) -> Column:
     """Round a statistic to 6 dp (final oracle-stability guard).
 
@@ -210,6 +229,12 @@ def dsum_dec_sql(expr: str) -> str:
     NaN≡missing)."""
     return (f"CAST(SUM(CAST(CAST(({_nn_sql(expr)}) AS STRING)"
             f" AS DECIMAL(38,12))) AS DECIMAL(38,12))")
+
+
+def dsum_dec_str_sql(expr: str) -> str:
+    """DuckDB twin of ``dsum_dec_str`` (VARCHAR-typed, same fixed-point
+    print both engines)."""
+    return f"CAST({dsum_dec_sql(expr)} AS VARCHAR)"
 
 
 def dsum_str(col: Column | str) -> Column:

@@ -26,6 +26,31 @@ between rewriting a partition and rewriting the table — the source
 keys are broadcast to locate affected files (one scan), then only
 those files' rows are shuffled through the rewrite.
 
+MERGE-ON-READ (round 8, VERDICT r7 ask #5): when the CDC batch is
+SCATTERED — a few rows in every file, the documented COW worst case
+where file-granular MERGE degenerates to a full table rewrite
+(BASELINE round-7 throughput row: 62k scattered rows rewrote all 32
+files) — ``merge_mor`` commits POSITIONAL DELETION VECTORS instead: a
+DV sidecar parquet listing (data_file, row_position) pairs to skip,
+plus one small insert file holding the source batch; NO data file is
+rewritten. Readers apply the DVs with an anti-join on
+(``_metadata.file_path``, ``_metadata.row_index``) — the Iceberg v2
+positional-delete / Delta deletion-vector read path [PK]. Read debt
+accumulates per MERGE, so ``compact_dvs`` folds the DVs back into
+rewritten data files (exactly the COW rewrite, deferred and batched
+across many MERGEs) and clears them. Write cost: MOR ~O(batch),
+COW ~O(touched files); read cost: COW zero overhead, MOR one
+runtime-broadcast anti-join — the same trade the production formats
+expose as 'merge-on-read table mode'.
+
+Concurrency (ADVICE r7): every writer's step-1 data directory is
+namespaced by a per-writer token (uuid4 by default), so two writers
+racing for the same version can NEVER overwrite each other's part
+files — the manifest put-if-absent is the only contended step.
+``vacuum`` additionally honors a retention window (Delta/Iceberg
+pattern [PK]): files younger than ``retain_seconds`` are never GC'd,
+so an in-flight writer between step 1 and step 2 keeps its files.
+
 [PK] Delta/Iceberg papers & docs describe this protocol publicly;
 implementation below is from scratch on the Spark DataFrame API.
 """
@@ -34,6 +59,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,7 +116,8 @@ def _write_data_files(df: DataFrame, table_dir: str, version: int,
 
 
 def _publish_manifest(table_dir: str, version: int,
-                      files: list[str]) -> None:
+                      files: list[str],
+                      dvs: list[str] | None = None) -> None:
     """Step 2 of a commit: atomically publish the manifest via
     ``os.link`` — link is BOTH atomic (readers never observe a partial
     file list) AND exclusive (EEXIST if another writer won the race
@@ -99,8 +127,14 @@ def _publish_manifest(table_dir: str, version: int,
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.json.tmp.{os.getpid()}")
+    manifest: dict = {"version": version, "files": sorted(files)}
+    if dvs:
+        # Deletion-vector sidecars live under "dvs" so pre-MOR readers
+        # of old manifests (no key) behave identically; an EMPTY list
+        # is omitted — "no DVs" has one spelling.
+        manifest["dvs"] = sorted(dvs)
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": sorted(files)}, fh,
+        json.dump(manifest, fh,
                   indent=1, sort_keys=True)
         fh.flush()
         os.fsync(fh.fileno())
@@ -125,11 +159,21 @@ def commit_snapshot(df: DataFrame, table_dir: str,
     the next version — the data files were written once and are
     version-agnostic, so only the manifest step repeats. An
     ``overwrite`` rebase is trivial (ours replaces everything); an
-    ``append`` rebase re-reads the new head's file list."""
+    ``append`` rebase re-reads the new head's file list.
+
+    The step-1 data directory is namespaced with a fresh uuid token
+    (ADVICE r7): two writers that both compute the same next version
+    would otherwise write to the same ``data/v{N}`` with
+    mode('overwrite') — the second writer's overwrite deleting the
+    first's part files BEFORE the manifest CAS decides the winner,
+    so the winning manifest could reference deleted files. With
+    per-writer tokens the manifest publish is the only contended
+    step, as the module docstring advertises."""
     assert mode in ("append", "overwrite"), mode
     versions = snapshot_versions(table_dir)
     version = (versions[-1] + 1) if versions else 1
-    new_files = _write_data_files(df, table_dir, version)
+    new_files = _write_data_files(df, table_dir, version,
+                                  token=uuid.uuid4().hex[:12])
     return commit_files(table_dir, new_files, mode=mode,
                         max_retries=max_retries)
 
@@ -137,22 +181,39 @@ def commit_snapshot(df: DataFrame, table_dir: str,
 def commit_files(table_dir: str, new_files: list[str],
                  mode: str = "append", max_retries: int = 5) -> int:
     """Publish already-written data files as the next version, with
-    the optimistic-concurrency rebase loop (see commit_snapshot)."""
+    the optimistic-concurrency rebase loop (see commit_snapshot).
+    An ``append`` rebase carries the head's deletion vectors forward
+    unchanged (they delete positions in files that remain live); an
+    ``overwrite`` replaces the file set, so no DV can apply."""
     assert mode in ("append", "overwrite"), mode
     version = 0
     for _ in range(max_retries + 1):
         head = snapshot_versions(table_dir)
         version = max(version + 1, (head[-1] + 1) if head else 1)
-        files = new_files
+        files, dvs = new_files, None
         if mode == "append" and head:
-            files = read_manifest(table_dir, head[-1])["files"] + new_files
+            prev = read_manifest(table_dir, head[-1])
+            files = prev["files"] + new_files
+            dvs = prev.get("dvs")
         try:
-            _publish_manifest(table_dir, version, files)
+            _publish_manifest(table_dir, version, files, dvs=dvs)
             return version
         except VersionConflict:
             continue
     raise VersionConflict(
         f"gave up after {max_retries} rebases on {table_dir}")
+
+
+def _rel_file_expr() -> F.Column:
+    """Table-relative path of the row's source file, computed from the
+    ``_metadata.file_path`` URI: everything after the LAST '/data/'
+    (the table-level data dir — version subdirs are 'v{N}[-token]'
+    and can never re-introduce the separator), prefixed back with
+    'data/'. Matches the manifest's path spelling exactly, so DV rows
+    written from one scan anti-join rows read by another."""
+    return F.concat(
+        F.lit("data/"),
+        F.substring_index(F.col("_metadata.file_path"), "/data/", -1))
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
@@ -161,19 +222,36 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     """Read the table at ``version`` (default: latest committed).
     ``merge_schema`` unions the file schemas (parquet mergeSchema):
     columns added by later commits null-fill in older files — the
-    additive schema-evolution contract."""
+    additive schema-evolution contract.
+
+    MERGE-ON-READ path: if the manifest carries deletion vectors, the
+    scan is anti-joined against them on (file, row_position) — the DV
+    side is CDC-batch-sized, so AQE promotes it to a broadcast at
+    runtime and the table side never shuffles; deleted positions drop
+    at read time without any file having been rewritten."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     v = versions[-1] if version is None else version
-    files = read_manifest(table_dir, v)["files"]
+    manifest = read_manifest(table_dir, v)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"version {v} of {table_dir} lists no files")
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(
-        *[os.path.join(table_dir, f) for f in files])
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in files])
+    dvs = manifest.get("dvs")
+    if dvs:
+        dv = (spark.read.parquet(
+                  *[os.path.join(table_dir, f) for f in dvs])
+              .select("_file", "_pos").distinct())
+        cols = df.columns
+        df = (df.withColumn("_file", _rel_file_expr())
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(dv, ["_file", "_pos"], "left_anti")
+                .select(*cols))
+    return df
 
 
 def read_version_diff(spark: SparkSession, table_dir: str,
@@ -206,16 +284,38 @@ def list_data_files(table_dir: str) -> list[str]:
     return sorted(out)
 
 
-def vacuum(table_dir: str, dry_run: bool = False) -> list[str]:
+def vacuum(table_dir: str, dry_run: bool = False,
+           retain_seconds: float = 86400.0) -> list[str]:
     """GC files referenced by NO manifest (crashed writers' orphans,
-    compacted-away files). Safe by construction: every committed
-    version keeps its full file list, so vacuum never breaks time
-    travel — it removes only what NO version can read. Returns the
-    orphan list (and deletes it unless ``dry_run``)."""
+    compacted-away files). Every committed version keeps its full file
+    list — data AND deletion-vector sidecars count as live — so vacuum
+    never breaks time travel: it removes only what NO version can
+    read.
+
+    RETENTION WINDOW (ADVICE r7, the Delta/Iceberg pattern [PK]):
+    files younger than ``retain_seconds`` (default 24 h) are kept even
+    if unreferenced — an IN-FLIGHT writer between step 1 (part files
+    written) and step 2 (manifest publish) is indistinguishable from a
+    crashed one by reference-counting alone, and GC'ing its files
+    would let its subsequent commit publish a manifest pointing at
+    deleted data. Pass ``retain_seconds=0`` only when the caller
+    KNOWS no writer is in flight (tests, single-writer maintenance
+    windows). Returns the orphan list (and deletes it unless
+    ``dry_run``)."""
     live: set[str] = set()
     for v in snapshot_versions(table_dir):
-        live.update(read_manifest(table_dir, v)["files"])
-    orphans = [f for f in list_data_files(table_dir) if f not in live]
+        m = read_manifest(table_dir, v)
+        live.update(m["files"])
+        live.update(m.get("dvs", []))
+    cutoff = time.time() - retain_seconds
+    orphans = []
+    for f in list_data_files(table_dir):
+        if f in live:
+            continue
+        if retain_seconds > 0 and os.path.getmtime(
+                os.path.join(table_dir, f)) > cutoff:
+            continue  # possibly an in-flight writer's step-1 files
+        orphans.append(f)
     if not dry_run:
         for f in orphans:
             os.unlink(os.path.join(table_dir, f))
@@ -236,12 +336,22 @@ def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame,
     rewritten (anti-join drops the replaced ones, union inserts the
     source). The broadcast assumption is the MERGE norm — a CDC batch
     is small next to the table; for a giant source, swap the broadcast
-    for a shuffle join, same protocol."""
+    for a shuffle join, same protocol.
+
+    Precondition: the head carries no deletion vectors (run
+    ``compact_dvs`` first on a merge-on-read table) — COW's
+    anti-join-and-rewrite reads raw files and would resurrect
+    DV-deleted rows otherwise."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     prev = versions[-1]
-    live = read_manifest(table_dir, prev)["files"]
+    manifest = read_manifest(table_dir, prev)
+    if manifest.get("dvs"):
+        raise ValueError(
+            f"{table_dir} head has deletion vectors; run compact_dvs "
+            f"before a copy-on-write MERGE (or keep using merge_mor)")
+    live = manifest["files"]
     version = prev + 1
 
     cur = (spark.read.parquet(*[os.path.join(table_dir, f) for f in live])
@@ -263,6 +373,104 @@ def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame,
         rewritten = kept.unionByName(source)
     else:
         rewritten = source
-    new_files = _write_data_files(rewritten, table_dir, version)
+    new_files = _write_data_files(rewritten, table_dir, version,
+                                  token=uuid.uuid4().hex[:12])
     _publish_manifest(table_dir, version, untouched + new_files)
+    return version
+
+
+def merge_mor(spark: SparkSession, table_dir: str, source: DataFrame,
+              key: str) -> int:
+    """MERGE (upsert) with MERGE-ON-READ commits: positional DELETION
+    VECTORS instead of file rewrites. Target rows whose ``key``
+    appears in ``source`` are tombstoned by (file, row_position) in a
+    DV sidecar parquet; the source batch lands as one new insert file;
+    EVERY existing data file is carried by reference. Returns the
+    committed version.
+
+    This is the scattered-CDC path (VERDICT r7 ask #5): when a batch
+    touches a few rows in EVERY file, copy-on-write degenerates to a
+    full table rewrite (the BASELINE round-7 worst-case row), while
+    MOR's write cost stays O(batch) — one scan to locate matched
+    positions (source keys runtime-broadcast), one DV file, one
+    insert file. Readers pay one anti-join until ``compact_dvs``
+    folds the debt back into data files — the Iceberg v2
+    positional-delete / Delta DV protocol [PK].
+
+    Repeated MOR merges stack: older DVs stay in the manifest and new
+    positions are appended; a position tombstoned twice dedupes at
+    read (the DV join is over DISTINCT (file, pos)). The position
+    scan reads raw files (not DV-filtered) — re-tombstoning an
+    already-deleted position is idempotent, and a matched key
+    re-inserted by a LATER merge lives in a newer insert file whose
+    position the scan sees, so its tombstone is correct too."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    prev = versions[-1]
+    manifest = read_manifest(table_dir, prev)
+    live = manifest["files"]
+    version = prev + 1
+    token = uuid.uuid4().hex[:12]
+
+    cur = (spark.read.parquet(*[os.path.join(table_dir, f) for f in live])
+           .select(F.col(key),
+                   _rel_file_expr().alias("_file"),
+                   F.col("_metadata.row_index").alias("_pos")))
+    keys = source.select(key).distinct()
+    deletes = (cur.join(keys, key, "left_semi")
+                  .select("_file", "_pos"))
+    # DV sidecar: same immutable-part-file discipline as data files,
+    # one '-dv' suffixed directory per commit, coalesced small (a DV
+    # is CDC-sized; at 100 TB shard it like any batch).
+    dv_rel_dir = os.path.join("data", f"v{version}-{token}-dv")
+    deletes.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(table_dir, dv_rel_dir))
+    new_dvs = sorted(
+        os.path.join(dv_rel_dir, f)
+        for f in os.listdir(os.path.join(table_dir, dv_rel_dir))
+        if f.endswith(".parquet"))
+    insert_files = _write_data_files(source, table_dir, version,
+                                     token=token)
+    _publish_manifest(table_dir, version, live + insert_files,
+                      dvs=manifest.get("dvs", []) + new_dvs)
+    return version
+
+
+def compact_dvs(spark: SparkSession, table_dir: str) -> int:
+    """Fold accumulated deletion vectors back into data files: rewrite
+    ONLY the files that have tombstoned positions (anti-join applied
+    once, at write time), carry every clean file by reference, and
+    publish a DV-free manifest. Read debt returns to zero; time travel
+    to pre-compaction versions still sees their DVs (manifests are
+    immutable). No-op (returns the head version) when no DVs exist.
+
+    The rewrite set is discovered FROM THE DVS (distinct file list —
+    CDC-batch-bounded, collected as a small list), not by scanning the
+    table, so compaction cost scales with the delete debt, not the
+    table."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    prev = versions[-1]
+    manifest = read_manifest(table_dir, prev)
+    dvs = manifest.get("dvs")
+    if not dvs:
+        return prev
+    live = manifest["files"]
+    version = prev + 1
+    dv = (spark.read.parquet(*[os.path.join(table_dir, f) for f in dvs])
+          .select("_file", "_pos").distinct())
+    dirty = {r["_file"] for r in dv.select("_file").distinct().collect()}
+    clean = [f for f in live if f not in dirty]
+    touched = [f for f in live if f in dirty]
+    kept = (spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in touched])
+            .withColumn("_file", _rel_file_expr())
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(dv, ["_file", "_pos"], "left_anti")
+            .drop("_file", "_pos"))
+    new_files = _write_data_files(kept, table_dir, version,
+                                  token=uuid.uuid4().hex[:12])
+    _publish_manifest(table_dir, version, clean + new_files)
     return version

@@ -74,16 +74,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketch is engine-specific
+@query("agg_approx_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       true AS within_5rsd
+FROM lineitem GROUP BY l_returnflag
+""")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=2%): the 100 TB path
-    where exact distinct's shuffle would dominate. Deterministic for a
-    fixed input but not hash-comparable across engines by design."""
+    where exact distinct's shuffle would dominate. The raw estimate is
+    deterministic for a fixed input but engine-specific, so it cannot
+    be hash-compared; instead the query emits a BOUNDS CHECK the
+    oracle recomputes exactly (the dedup_lsh_recall_eval pattern,
+    VERDICT r7 ask #4): |estimate − exact| ≤ 5·rsd·exact, a bound the
+    HLL++ guarantee puts ~5 sigma out — the oracle recomputes the
+    exact distinct and pins the boolean true, so a broken sketch
+    (estimate drifting past 10% of truth) hash-mismatches. Estimate
+    TIGHTNESS (the eyeball value) stays pinned by
+    tests/test_oracle_parity.py::test_approx_distinct_estimate_quality.
+    The boolean is COALESCE-guarded non-null (house rule) and
+    non-vacuous by construction: exact_parts ≥ 1 per flag in every
+    fixture, so the bound genuinely constrains."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),  # for eyeballing error
-    )
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", 0.02)
+                  .alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts"))
+            .select("l_returnflag", "exact_parts",
+                    F.coalesce(
+                        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                        <= 0.10 * F.col("exact_parts"),
+                        F.lit(False)).alias("within_5rsd")))
 
 
 @query("agg_percentile", oracle=f"""
@@ -396,22 +417,52 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("metric"))
 
 
-@query("agg_hll_sketch_merge")  # rows-only: sketch estimates are not SQL-exact
+@query("agg_hll_sketch_merge", oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(DISTINCT o_custkey) AS exact_custs,
+       true AS within_bounds,
+       true AS merge_consistent
+FROM orders GROUP BY month
+""")
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pattern for 100 TB distinct counts: build one
     HLL sketch per day partition (Datasketches binary, `hll_sketch_agg`),
     then `hll_union_agg` merges the partials into per-month estimates —
     the shape that lets daily jobs precompute sketches and any rollup
-    combine them without re-scanning raw data. Estimate-vs-exact error
-    is pinned in tests/test_oracle_parity.py."""
+    combine them without re-scanning raw data. The binary sketch and
+    its estimate are engine-specific, so the query emits the TWO
+    INVARIANTS that make the pattern sound, both SQL-oracle-able
+    (VERDICT r7 ask #4, the dedup_lsh_recall_eval shape):
+    `within_bounds` — the merged estimate is within 10% of the exact
+    per-month distinct (Datasketches lgK=12 ⇒ rsd ≈ 1.6%, so the bound
+    sits ~6 sigma out; a broken union drifts far past it);
+    `merge_consistent` — merging daily partials equals building ONE
+    sketch over the whole month (merge ≡ rebuild is what licenses
+    daily precomputation; both sides computed in-Spark, compared
+    exactly). The oracle recomputes the exact distinct and pins both
+    booleans true. Month leaves as DATE (house rule: no raw
+    timestamps). Estimate tightness stays pinned by
+    tests/test_oracle_parity.py."""
     o = load_table(spark, sf_dir, "orders")
     daily = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"),
                        F.date_trunc("day", "o_orderdate").alias("day"))
               .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
-    return (daily.groupBy("month")
-                 .agg(F.hll_sketch_estimate(
-                          F.hll_union_agg("sk")).alias("approx_custs"))
-                 .orderBy("month"))
+    merged = (daily.groupBy("month")
+                   .agg(F.hll_sketch_estimate(
+                            F.hll_union_agg("sk")).alias("approx_custs")))
+    onepass = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+                .agg(F.countDistinct("o_custkey").alias("exact_custs"),
+                     F.hll_sketch_estimate(
+                         F.hll_sketch_agg("o_custkey")).alias("onepass")))
+    return (merged.join(onepass, "month")
+            .select(F.col("month").cast("date").alias("month"),
+                    "exact_custs",
+                    F.coalesce(
+                        F.abs(F.col("approx_custs") - F.col("exact_custs"))
+                        <= 0.10 * F.col("exact_custs"),
+                        F.lit(False)).alias("within_bounds"),
+                    F.coalesce(F.col("approx_custs") == F.col("onepass"),
+                               F.lit(False)).alias("merge_consistent")))
 
 
 @query("rollup_time_hierarchy", oracle=f"""

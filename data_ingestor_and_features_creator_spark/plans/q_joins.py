@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dsum, dsum_dec, dsum_dec_sql, dsum_sql
+from ..functions.exact import (dsum, dsum_dec_str, dsum_dec_sql, dsum_sql)
 from ..operators.asof import asof_join, asof_join_nearest
 from .registry import query
 
@@ -247,7 +247,8 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("join_star_multi", oracle=f"""
 SELECT r.r_name, o.o_orderpriority,
        COUNT(*) AS n_items,
-       {dsum_dec_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+       CAST({dsum_dec_sql('l.l_extendedprice * (1 - l.l_discount)')}
+            AS VARCHAR) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -259,10 +260,15 @@ GROUP BY r.r_name, o.o_orderpriority
 def join_star_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-style star join: one fact shuffle (lineitem⋈orders), every
     dim broadcast; AQE free to reorder. Revenue per region/priority.
-    Revenue is DECIMAL(38,12)-typed via dsum_dec (round 5): at the
-    6M-row sf1-ish blow-up the e10-magnitude sums exceed a double's
-    significant digits and the double-typed form diverged at the last
-    ulp — the decimal output matches digit-exactly at any scale."""
+    Revenue is computed as a DECIMAL(38,12) exact sum via dsum_dec
+    (round 5): at the 6M-row sf1-ish blow-up the e10-magnitude sums
+    exceed a double's significant digits and the double-typed form
+    diverged at the last ulp. Emitted as the decimal's FIXED-POINT
+    STRING (round 8, dsum_dec_str): a DecimalType column at the driver
+    boundary hash-mismatches because the driver's two fetch paths
+    represent it differently (the round-7 agg_rollup_decimal_exact
+    red) — the string form stays digit-exact at any scale AND
+    hash-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -277,7 +283,8 @@ def join_star_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum_dec_str(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 

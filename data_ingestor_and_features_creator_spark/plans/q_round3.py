@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import DEC, dsum, dsum_dec, dsum_dec_sql
+from ..functions.exact import DEC, dsum, dsum_dec_str, dsum_dec_sql
 from .registry import query, scratch_dir
 
 
@@ -386,7 +386,7 @@ def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("join_dpp_partitioned", oracle=f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {dsum_dec_sql('o_totalprice')} AS revenue
+       CAST({dsum_dec_sql('o_totalprice')} AS VARCHAR) AS revenue
 FROM orders
 WHERE strftime(o_orderdate, '%Y-%m') <= '1996-12'
 GROUP BY month
@@ -424,7 +424,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(F.broadcast(months), "month")
     return (joined.groupBy("month")
                   .agg(F.count(F.lit(1)).alias("n_orders"),
-                       dsum_dec("o_totalprice").alias("revenue")))
+                       dsum_dec_str("o_totalprice").alias("revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -567,10 +567,16 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One tokenize pass (C4 normalization), bounded shingle explode, then
     a SEMI join of training shingles against the DISTINCT eval-shingle
-    table — which is eval-set-sized (small by construction), so at
-    100 TB it broadcasts and the corpus side never shuffles; output is
-    a per-training-doc boolean (COALESCEd, per the registry boolean
-    house rule). Flagging (not dropping) keeps the decision auditable."""
+    table. The eval side carries NO static broadcast hint (round 8,
+    VERDICT r7 #3): a production eval suite's gram set is genuinely
+    small and AQE promotes it to a broadcast at runtime from ACTUAL
+    shuffle bytes (the session's two-threshold posture), while this
+    fixture's %97 slice — 1% of the corpus's distinct grams, which at
+    100 TB is way past any broadcast threshold — would make a forced
+    hint a driver OOM; unhinted, that regime degrades gracefully to a
+    shuffle semi-join. Output is a per-training-doc boolean (COALESCEd,
+    per the registry boolean house rule). Flagging (not dropping)
+    keeps the decision auditable."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
@@ -586,7 +592,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = (grams.filter(F.col("doc_id") % 97 == 0)
                        .select("gram").distinct())
     contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
-                         .join(F.broadcast(eval_grams), "gram", "left_semi")
+                         .join(eval_grams, "gram", "left_semi")
                          .select("doc_id").distinct())
     return (docs.filter(F.col("doc_id") % 97 != 0)
                 .join(contaminated.withColumn("c", F.lit(True)),
@@ -1028,10 +1034,14 @@ def llm_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus scan; the dedup window shuffles on the
     32-byte digest (uniform), the shingle explode is bounded by token
-    count, the eval-gram and rate tables are tiny and broadcast, and
-    packing reuses a per-source window. The full-chain oracle makes
-    stage-boundary regressions (filter before vs after dedup, rates
-    before vs after cleaning) hash-visible."""
+    count, the rate table is scalar-broadcast, and packing reuses a
+    per-source window. The eval-gram side carries NO static broadcast
+    hint (round 8, VERDICT r7 #3): AQE promotes it at runtime from
+    actual shuffle bytes — a production eval suite earns the
+    broadcast, this fixture's corpus-derived %97 slice at 100 TB
+    would not, and a forced hint there is a driver OOM. The
+    full-chain oracle makes stage-boundary regressions (filter before
+    vs after dedup, rates before vs after cleaning) hash-visible."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "))
@@ -1050,7 +1060,7 @@ def llm_prep_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = (grams.filter(F.col("doc_id") % 97 == 0)
                        .select("gram").distinct())
     contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
-                         .join(F.broadcast(eval_grams), "gram", "left_semi")
+                         .join(eval_grams, "gram", "left_semi")
                          .select("doc_id").distinct())
     clean = (dedup.filter(F.col("doc_id") % 97 != 0)
                   .join(contaminated, "doc_id", "left_anti"))
@@ -1264,15 +1274,16 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(38,12)))
-            AS DECIMAL(38,12)) AS sum_qty,
-       CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(38,12)))
-            AS DECIMAL(38,12)) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS STRING)
-                     AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sum_disc_price,
-       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+       CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(38,12)))
+            AS DECIMAL(38,12)) AS STRING) AS sum_qty,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(38,12)))
+            AS DECIMAL(38,12)) AS STRING) AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS STRING)
+                     AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS STRING)
+            AS sum_disc_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                           AS STRING) AS DECIMAL(38,12)))
-            AS DECIMAL(38,12)) AS sum_charge,
+            AS DECIMAL(38,12)) AS STRING) AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= CAST('1998-09-01' AS DATE)
@@ -1287,14 +1298,18 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.sql` over the catalog's registered views here, DuckDB over
     its parquet views as the oracle — so the op pins dialect
     compatibility of the whole statement, not just expression
-    semantics. The four price aggregates are DECIMAL(38,12)-typed
-    END-TO-END (round 5): at sf1-ish their e10-magnitude 6-dp sums
-    exceed a double's ~16 significant digits, so any final
+    semantics. The four price aggregates are computed as
+    DECIMAL(38,12) exact sums (round 5): at sf1-ish their e10-magnitude
+    6-dp sums exceed a double's ~16 significant digits, so any final
     DECIMAL→DOUBLE cast diverges between engines at the last ulp
-    (functions/exact.py scale note) — emitting the exact decimal is
-    the only scale-robust form, and the compare path
-    (tests/oracle_compare.py duck_fetch + norm_cell) now preserves it
-    digit-exactly. The per-row double→decimal cast routes through
+    (functions/exact.py scale note) — and EMITTED AS FIXED-POINT
+    STRINGS (round 8): the driver's fetch paths represent a decimal
+    column differently (Spark toPandas keeps decimal.Decimal, DuckDB
+    degrades to float64 — the round-7 agg_rollup_decimal_exact red),
+    while both engines print DECIMAL(38,12) identically, so the string
+    form is digit-exact at any magnitude AND hash-stable
+    (dsum_dec_str house rule). The per-row double→decimal cast routes
+    through
     STRING because the engines' DIRECT casts disagree: Spark quantizes
     the shortest round-trip representation (BigDecimal of
     Double.toString, '42034.26'), DuckDB the exact binary expansion

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import (DEC, dsum_dec, dsum_dec_sql, dsum_sql)
+from ..functions.exact import (DEC, dsum_dec_sql, dsum_sql)
 from .registry import query
 
 
@@ -229,34 +229,40 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       {dsum_dec_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+       CAST({dsum_dec_sql('l_extendedprice * (1 - l_discount)')}
+            AS VARCHAR) AS revenue
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """)
 def agg_rollup_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HIERARCHICAL REVENUE ROLLUP on the round-5 DECIMAL-typed
-    exact-sum path: revenue at (returnflag, linestatus), per-flag, and
-    grand-total levels in ONE pass via ROLLUP, with every total
-    emitted as DECIMAL(38,12) through dsum_dec (functions/exact.py) —
-    so the grand total stays digit-exact even when it exceeds a
-    double's ~16 significant digits, the regime where the double-typed
-    form diverges cross-engine (measured at sf1-ish on TPC-H q1 and
-    join_star_multi). Grouping-set NULLs are COALESCEd to the 'ALL'
-    sentinel (the fixture flags are non-null, so the sentinel is
-    unambiguous). Rollup is partial-aggregation-friendly: Spark
-    expands the sets AFTER the map-side combine, so the fact is read
-    and pre-aggregated once — and the STRING→DECIMAL row cast is
-    PROJECTED BEFORE the rollup, so Expand replicates a computed
-    decimal value per grouping set, never the cast expression (the
-    ×|sets| recompute the first cut paid — sweep 7.3 s → warm 1.7 s
-    → this shape)."""
+    """HIERARCHICAL REVENUE ROLLUP on the exact-decimal sum path:
+    revenue at (returnflag, linestatus), per-flag, and grand-total
+    levels in ONE pass via ROLLUP, with every total computed as
+    DECIMAL(38,12) through dsum_dec (functions/exact.py) — digit-exact
+    even when the grand total exceeds a double's ~16 significant
+    digits — and EMITTED AS ITS FIXED-POINT STRING (round 8): the
+    round-7 driver red showed the DRIVER's two fetch paths represent a
+    decimal column differently (Spark toPandas keeps decimal.Decimal,
+    DuckDB's pandas fetch degrades to float64 — identical values,
+    divergent hashes). Both engines print DECIMAL(38,12) as the same
+    full 12-dp fixed-point string, so the string column is digit-exact
+    at any magnitude AND hash-stable (dsum_dec_str house rule: no
+    DecimalType at the driver boundary). Grouping-set NULLs are
+    COALESCEd to the 'ALL' sentinel (the fixture flags are non-null,
+    so the sentinel is unambiguous). Rollup is partial-aggregation-
+    friendly: Spark expands the sets AFTER the map-side combine, so
+    the fact is read and pre-aggregated once — and the STRING→DECIMAL
+    row cast is PROJECTED BEFORE the rollup, so Expand replicates a
+    computed decimal value per grouping set, never the cast expression
+    (the ×|sets| recompute the first cut paid — sweep 7.3 s → warm
+    1.7 s → this shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pre = li.select("l_returnflag", "l_linestatus",
                     rev.cast("string").cast(DEC).alias("rev_dec"))
     return (pre.rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum("rev_dec").cast(DEC).alias("revenue"))
+                 F.sum("rev_dec").cast(DEC).cast("string").alias("revenue"))
             .select(F.coalesce("l_returnflag", F.lit("ALL"))
                      .alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL"))

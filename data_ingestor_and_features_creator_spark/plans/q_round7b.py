@@ -177,8 +177,11 @@ def snapshot_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots.commit_snapshot(
         ev.filter((F.col("event_id") >= 2 * q) & (F.col("event_id") < 3 * q))
           .repartition(4, "event_id"), tdir, mode="append")
-    orphans = snapshots.vacuum(tdir, dry_run=True)
-    deleted = snapshots.vacuum(tdir)
+    # retain_seconds=0: this op IS the exclusive writer (the staged
+    # "crash" just happened, seconds ago) — the default 24 h retention
+    # window exists to protect OTHER writers' in-flight step-1 files.
+    orphans = snapshots.vacuum(tdir, dry_run=True, retain_seconds=0)
+    deleted = snapshots.vacuum(tdir, retain_seconds=0)
     assert sorted(orphans) == sorted(deleted)
     v1 = snapshots.read_snapshot(spark, tdir, version=1)
     v2 = snapshots.read_snapshot(spark, tdir, version=2)

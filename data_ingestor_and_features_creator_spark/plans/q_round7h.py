@@ -202,7 +202,7 @@ loss AS (
            GREATEST(0.9 * (value - p90), (0.9 - 1.0) * (value - p90))
              AS l FROM ev)
   GROUP BY event_type, q)
-SELECT event_type, q, n, mean_pinball FROM loss
+SELECT event_type, CAST(q AS DOUBLE) AS q, n, mean_pinball FROM loss
 """)
 def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PINBALL (QUANTILE) LOSS [PK — Koenker's quantile-regression

@@ -36,6 +36,17 @@ House rules for oracle hash-stability (SURVEY.md §5, §7 risk list):
   unhashable there (round-6 array_set_funcs ERR). Serialize with
   array_join/array_to_string (sorted first when set-semantic) or a
   key-sorted k:v CSV for maps (agg_map_counts precedent).
+- No DecimalType column may reach hash-checked output (round-7 driver
+  red, agg_rollup_decimal_exact): the driver's two fetch paths
+  REPRESENT a decimal differently — Spark toPandas keeps
+  decimal.Decimal('…115399985363'), DuckDB's pandas fetch degrades to
+  float64 ('…1154') — identical values, divergent cell reprs, hash
+  mismatch. When >16-significant-digit exactness must survive, emit
+  the decimal's fixed-point STRING (dsum_dec_str / dsum_dec_str_sql:
+  both engines print DECIMAL(38,12) identically, incl. zero/negatives
+  — digit-exact at any magnitude AND hash-stable); when the magnitude
+  fits a double, dsum_str. Enforced by driver_canon_check (rejects any
+  Decimal cell) and the schema scan in tests/test_driver_canon.py.
 """
 
 from __future__ import annotations

@@ -143,6 +143,16 @@ def driver_canon_check(name: str, side: str,
        Decimal) cell for signed zero and fail on ANY occurrence —
        "never able to carry −0.0" is the rule, not "both sides agree".
 
+    3. (Round 7/8, ``agg_rollup_decimal_exact``.) The driver's two
+       fetch paths REPRESENT a DecimalType cell differently — Spark
+       toPandas keeps ``decimal.Decimal``, DuckDB's pandas fetch
+       degrades to float64 — so identical values hash differently.
+       norm_cell deliberately forgives this (a Decimal may match a
+       float64 of the same value); the driver does not. ANY
+       ``decimal.Decimal`` cell in a hash-checked frame fails here:
+       emit the fixed-point STRING instead (functions/exact.py
+       dsum_dec_str — both engines print DECIMAL(38,12) identically).
+
     Called from assert_same_result on BOTH frames, so the full-registry
     parity gate (tests/test_oracle_parity.py) and tools/check_subset.py
     enforce driver conformance on every run; tests/test_driver_canon.py
@@ -176,10 +186,17 @@ def driver_canon_check(name: str, side: str,
                     f"integer type (plans/registry.py house rule).")
         elif s.dtype == object:
             for v in s:
+                if isinstance(v, decimal.Decimal):
+                    raise AssertionError(
+                        f"{name} [{side}]: column {col!r} carries a "
+                        f"decimal.Decimal cell ({v!r}) — the driver's "
+                        f"fetch paths represent DecimalType divergently "
+                        f"(Spark keeps Decimal, DuckDB degrades to "
+                        f"float64; round-7 agg_rollup_decimal_exact "
+                        f"red). Emit the fixed-point STRING instead "
+                        f"(dsum_dec_str, plans/registry.py house rule).")
                 if (isinstance(v, float) and v == 0.0
-                        and math.copysign(1.0, v) < 0.0) or (
-                        isinstance(v, decimal.Decimal)
-                        and v.is_zero() and v.is_signed()):
+                        and math.copysign(1.0, v) < 0.0):
                     raise AssertionError(
                         f"{name} [{side}]: column {col!r} carries a "
                         f"signed zero ({v!r}) — the driver's hash is "

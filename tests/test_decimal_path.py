@@ -57,14 +57,29 @@ def test_duck_fetch_plain_query_uses_df_path():
 
 
 @pytest.mark.usefixtures()
-def test_tpch_q1_output_is_decimal_typed(spark, sf_dir):
+def test_tpch_q1_output_is_fixed_point_string(spark, sf_dir):
+    """Round 8 (driver red r7): the four exact sums leave the query as
+    FIXED-POINT STRINGS — digit-exact like the round-5 decimal form,
+    but representation-stable through the driver's divergent fetch
+    paths (Spark toPandas keeps Decimal, DuckDB .df() degrades to
+    float64). Every cell must parse back to a 12-dp decimal exactly —
+    i.e. the string IS the full fixed-point print, not scientific
+    notation or a truncated float repr."""
     from data_ingestor_and_features_creator_spark import plans
 
     plans.load_all()
     df = plans.queries()["sql_tpch_q1"](spark, sf_dir)
     types = dict(df.dtypes)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        assert types[c] == "decimal(38,12)", (c, types[c])
+    cols = ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")
+    for c in cols:
+        assert types[c] == "string", (c, types[c])
+    for row in df.collect():
+        for c in cols:
+            v = row[c]
+            assert "E" not in v and "e" not in v, (c, v)
+            frac = v.split(".")[1]
+            assert len(frac) == 12, (c, v)
+            Decimal(v)  # parses exactly
 
 
 def test_string_routed_cast_agrees_in_domain(spark, duck):

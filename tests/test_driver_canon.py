@@ -69,9 +69,75 @@ def test_probe_negative_zero_object_and_decimal_fail():
     with pytest.raises(AssertionError, match="signed zero"):
         driver_canon_check("probe_negzero_obj", "duck", ["k", "v"],
                            [(1, -0.0), (2, "x")])
-    with pytest.raises(AssertionError, match="signed zero"):
+    with pytest.raises(AssertionError, match="decimal.Decimal"):
         driver_canon_check("probe_negzero_dec", "duck", ["k", "v"],
                            [(1, decimal.Decimal("-0.000")), (2, None)])
+
+
+def test_probe_decimal_cell_fails():
+    """Round 8 (driver red r7, agg_rollup_decimal_exact): ANY Decimal
+    cell — even a perfectly ordinary positive one — must fail the gate,
+    because the driver's Spark fetch keeps decimal.Decimal while its
+    DuckDB fetch degrades to float64 and the cell reprs hash apart."""
+    with pytest.raises(AssertionError, match="decimal.Decimal"):
+        driver_canon_check(
+            "probe_decimal", "spark", ["k", "v"],
+            [(1, decimal.Decimal("1008514289.115399985363")), (2, None)])
+
+
+def _decimal_fields(dt, path=""):
+    """Recursively collect DecimalType leaves (incl. inside arrays/
+    structs/maps — nested decimals surface as Decimal objects after
+    toPandas just the same)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        yield path or "<root>"
+    elif isinstance(dt, T.ArrayType):
+        yield from _decimal_fields(dt.elementType, path + "[]")
+    elif isinstance(dt, T.MapType):
+        yield from _decimal_fields(dt.keyType, path + "<key>")
+        yield from _decimal_fields(dt.valueType, path + "<value>")
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            yield from _decimal_fields(f.dataType, f"{path}.{f.name}")
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_spark_schema_has_no_decimal_type(name, spark, sf_dir):
+    """SHAPE scan over every registered query's Spark output schema
+    (VERDICT r7 ask #1, generalized from the round-6 lesson: the gate
+    must scan shapes, not just sampled values): no DecimalType column
+    may reach the driver boundary — the driver's fetch paths represent
+    it divergently (registry.py house rule). This catches a decimal
+    output even when the value-level sweep happens not to sample the
+    op."""
+    df = _QUERIES[name](spark, sf_dir)
+    bad = [f"{f.name}:{sub}" for f in df.schema.fields
+           for sub in _decimal_fields(f.dataType)]
+    assert not bad, (
+        f"{name}: DecimalType at the driver boundary in {bad} — emit "
+        f"the fixed-point STRING (dsum_dec_str) or a double/bigint "
+        f"(plans/registry.py house rule).")
+
+
+def test_oracle_schema_has_no_scaled_decimal(duck):
+    """Oracle-side twin of the shape scan, execution-free: DESCRIBE
+    every SQL oracle and fail on any DECIMAL(p, s>0) output column
+    (scale-0 decimals are DuckDB's HUGEINT image — the .df() float64
+    degradation there is driver-faithful and house-rule-covered by
+    the BIGINT-cast rule)."""
+    import re
+
+    dec_re = re.compile(r"^DECIMAL\((\d+),(\d+)\)$")
+    bad = []
+    for name in SQL_IDS:
+        for col, typ, *_ in duck.execute(
+                "DESCRIBE " + _ORACLES[name]).fetchall():
+            m = dec_re.match(typ or "")
+            if m and int(m.group(2)) > 0:
+                bad.append((name, col, typ))
+    assert not bad, bad
 
 
 def test_probe_clean_frame_passes():

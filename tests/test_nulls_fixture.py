@@ -115,6 +115,9 @@ GATE_IDS = [
     "dedup_lsh_recall_eval", "seq_markov_entropy_rate",
     "label_cumhazard_nelson_aalen", "agg_hodges_lehmann",
     "data_class_weight_balanced", "ts_durbin_watson",
+    # round-8 additions with float totals
+    "snapshot_mor_read", "snapshot_mor_compact",
+    "agg_approx_distinct", "agg_hll_sketch_merge",
 ]
 
 

@@ -40,27 +40,57 @@ def test_rows_only_runs(name, spark, sf_dir):
 
 
 def test_hll_sketch_estimate_accuracy_and_mergeability(spark, sf_dir):
-    """Merged daily partials must estimate within HLL error of the exact
-    per-month distinct count AND agree exactly with a sketch built in
-    one pass over the month (merge ≡ rebuild is what makes daily
-    precomputation sound)."""
+    """VACUITY GUARD for the agg_hll_sketch_merge oracle booleans
+    (round 8: the op moved from rows-only to the bounds-check oracle
+    shape): the merged-daily-partials estimate must sit within TIGHT
+    HLL error (5%, vs the oracle's loose 10% gate) of the exact
+    per-month distinct AND agree exactly with a one-pass sketch —
+    recomputed here from raw orders so a query that went vacuous
+    (e.g. comparing a sketch to itself) still fails."""
     from pyspark.sql import functions as F
     from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans.q_aggregates import (
         agg_hll_sketch_merge)
-    merged = {r["month"]: r["approx_custs"]
-              for r in agg_hll_sketch_merge(spark, sf_dir).collect()}
+    out = {r["month"]: r for r in agg_hll_sketch_merge(spark, sf_dir).collect()}
     o = load_table(spark, sf_dir, "orders")
     month = F.date_trunc("month", "o_orderdate").alias("month")
-    exact = {r["month"]: r["n"] for r in
+    daily = (o.groupBy(month, F.date_trunc("day", "o_orderdate").alias("day"))
+              .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    merged = {r["month"].date(): r["n"] for r in
+              daily.groupBy("month")
+                   .agg(F.hll_sketch_estimate(
+                            F.hll_union_agg("sk")).alias("n")).collect()}
+    exact = {r["month"].date(): r["n"] for r in
              o.groupBy(month).agg(F.countDistinct("o_custkey").alias("n"))
               .collect()}
-    onepass = {r["month"]: r["n"] for r in
+    onepass = {r["month"].date(): r["n"] for r in
                o.groupBy(month)
                 .agg(F.hll_sketch_estimate(
                          F.hll_sketch_agg("o_custkey")).alias("n"))
                 .collect()}
-    assert merged.keys() == exact.keys()
-    for m, est in merged.items():
+    assert out.keys() == exact.keys() and len(out) > 1
+    for m, row in out.items():
+        est = merged[m]
         assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
         assert est == onepass[m], (m, est, onepass[m])
+        assert row["exact_custs"] == exact[m]
+        assert row["within_bounds"] and row["merge_consistent"]
+
+
+def test_approx_distinct_estimate_quality(spark, sf_dir):
+    """VACUITY GUARD for the agg_approx_distinct oracle boolean: the
+    HLL++ estimate (rsd 2%) must sit within 6% of exact — three sigma,
+    far tighter than the oracle's 10% gate — and be a non-trivial
+    positive count, so the within_5rsd flag can never pass on a
+    degenerate (zero/NULL) estimate."""
+    from pyspark.sql import functions as F
+    from data_ingestor_and_features_creator_spark.catalog import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey", 0.02).alias("a"),
+                   F.countDistinct("l_partkey").alias("e")).collect())
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["e"] > 10
+        assert abs(r["a"] - r["e"]) / r["e"] < 0.06, (r["l_returnflag"],
+                                                      r["a"], r["e"])

@@ -1140,10 +1140,36 @@ def test_donchian_windows_share_one_exchange(spark, sf_dir):
 
 
 def test_sprt_cumulative_window_single_exchange(spark, sf_dir):
+    """ab_sequential_sprt: the per-variant cumulative windows plus the
+    tiny per-variant-aggregate joins must ride a BOUNDED number of
+    hash exchanges — 3 as built (one for the fact-side window sort,
+    two for the variant-cardinality aggregate/join sides); a plan
+    regression that adds a fact-sized exchange breaks the count
+    (ADVICE r7: the EvalPython-only form couldn't catch that)."""
     plan = _physical(QUERIES["ab_sequential_sprt"](spark, sf_dir))
-    # one exchange for the per-variant windows + the small joins on
-    # the per-variant aggregate; no fact-sized SMJ beyond those
     assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_eval_gram_side_has_no_static_broadcast_hint(spark, sf_dir):
+    """VERDICT r7 #3: the eval-decontamination semi-join must NOT force
+    a broadcast of the eval-gram set. On the fixture the %97 slice is
+    tiny, but at 100 TB 1% of a corpus's distinct 4-grams is far past
+    any broadcast threshold — a static hint there is a driver OOM,
+    while unhinted plans let the optimizer decide from sizes (static
+    file estimates scale with the input; AQE re-judges from actual
+    shuffle bytes). text_contamination_ngram must carry ZERO broadcast
+    hints; llm_prep_pipeline_full exactly its two scalar-broadcast
+    hints (the 1-row sqrt-max and the |sources|-row rate table), none
+    on the gram join."""
+    a = _analyzed(QUERIES["text_contamination_ngram"](spark, sf_dir))
+    assert "ResolvedHint" not in a, a
+    a = _analyzed(QUERIES["llm_prep_pipeline_full"](spark, sf_dir))
+    assert a.count("ResolvedHint (strategy=broadcast)") == 2, a
 
 
 def test_merge_cow_broadcasts_source_keys(spark, sf_dir, tmp_path):

@@ -145,10 +145,15 @@ def test_vacuum_removes_only_unreferenced(spark, tdir):
     snapshots.commit_snapshot(_mk(spark, 0, 50), tdir, mode="overwrite")
     snapshots._write_data_files(_mk(spark, 50, 80), tdir, 2, "crashed")
     snapshots.commit_snapshot(_mk(spark, 80, 100), tdir, mode="append")
-    orphans = snapshots.vacuum(tdir, dry_run=True)
+    # Retention window (ADVICE r7): the just-written orphans are
+    # younger than the default 24 h window, so a DEFAULT vacuum must
+    # keep them — they are indistinguishable from an in-flight
+    # writer's step-1 files.
+    assert snapshots.vacuum(tdir, dry_run=True) == []
+    orphans = snapshots.vacuum(tdir, dry_run=True, retain_seconds=0)
     assert orphans and all("crashed" in f for f in orphans)
     before = set(snapshots.list_data_files(tdir))
-    removed = snapshots.vacuum(tdir)
+    removed = snapshots.vacuum(tdir, retain_seconds=0)
     assert set(removed) == set(orphans)
     assert set(snapshots.list_data_files(tdir)) == before - set(orphans)
     # every committed version still reads after vacuum
@@ -166,6 +171,100 @@ def test_schema_evolution_null_fills_old_files(spark, tdir):
               got.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
               .collect()}
     assert by_tag == {None: 30, "new": 20}
+
+
+def test_merge_mor_rewrites_nothing(spark, tdir):
+    """The scattered-CDC shape (a few keys in EVERY file — the COW
+    worst case where file-granular MERGE rewrites the whole table):
+    merge_mor must carry every v1 data file BY REFERENCE, add exactly
+    one insert file plus a DV sidecar, and the read must apply the
+    upsert exactly."""
+    base = _mk(spark, 0, 1000).repartitionByRange(8, "k")
+    snapshots.commit_snapshot(base, tdir, mode="overwrite")
+    v1_files = set(snapshots.read_manifest(tdir, 1)["files"])
+    assert len(v1_files) == 8
+    # every 100th key → one matched row in each range file
+    src = (_mk(spark, 0, 1000, shift=9000.0)
+           .filter(F.col("k") % 100 == 0)
+           .unionByName(_mk(spark, 1000, 1010, shift=9000.0)))
+    v = snapshots.merge_mor(spark, tdir, src, "k")
+    assert v == 2
+    m2 = snapshots.read_manifest(tdir, 2)
+    assert v1_files < set(m2["files"])  # all carried by reference
+    assert len(set(m2["files"]) - v1_files) >= 1  # insert file(s)
+    assert m2["dvs"], "a DV sidecar must be referenced"
+    latest = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert len(latest) == 1010
+    assert latest[300] == 9300.0 and latest[1005] == 10005.0
+    assert latest[7] == 7.0  # unmatched rows untouched
+    # time travel: v1 reads WITHOUT the DVs
+    assert dict(_rows(snapshots.read_snapshot(spark, tdir, 1)))[300] == 300.0
+
+
+def test_merge_mor_stacks_and_compacts(spark, tdir):
+    """Two stacked MOR merges (the second re-updating a key the first
+    inserted) must read correctly; compact_dvs must then fold the debt
+    into rewritten files, clear the manifest's DVs, preserve the
+    values, and leave pre-compaction versions time-travelable."""
+    snapshots.commit_snapshot(_mk(spark, 0, 400).repartitionByRange(4, "k"),
+                              tdir, mode="overwrite")
+    snapshots.merge_mor(spark, tdir, _mk(spark, 100, 110, shift=1000.0), "k")
+    snapshots.merge_mor(spark, tdir, _mk(spark, 105, 115, shift=2000.0), "k")
+    latest = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert latest[102] == 1102.0        # first merge survives
+    assert latest[107] == 2107.0        # second overrides the first
+    assert latest[112] == 2112.0        # second-insert
+    assert len(latest) == 400
+    v = snapshots.compact_dvs(spark, tdir)
+    assert v == 4
+    m = snapshots.read_manifest(tdir, v)
+    assert "dvs" not in m
+    compacted = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert compacted == latest
+    # idempotent: no DVs → no-op
+    assert snapshots.compact_dvs(spark, tdir) == v
+    # pre-compaction version still reads with its DVs applied
+    v3 = dict(_rows(snapshots.read_snapshot(spark, tdir, 3)))
+    assert v3 == latest
+
+
+def test_merge_cow_refuses_dv_head(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 100), tdir, mode="overwrite")
+    snapshots.merge_mor(spark, tdir, _mk(spark, 0, 5, shift=50.0), "k")
+    with pytest.raises(ValueError, match="compact_dvs"):
+        snapshots.merge_cow(spark, tdir, _mk(spark, 5, 9), "k")
+
+
+def test_append_after_mor_carries_dvs(spark, tdir):
+    """An append commit on a DV-carrying head must keep the DVs (they
+    tombstone positions in files that remain live) — dropping them
+    would resurrect deleted rows."""
+    snapshots.commit_snapshot(_mk(spark, 0, 100), tdir, mode="overwrite")
+    snapshots.merge_mor(spark, tdir, _mk(spark, 10, 20, shift=700.0), "k")
+    snapshots.commit_snapshot(_mk(spark, 100, 120), tdir, mode="append")
+    m = snapshots.read_manifest(tdir, 3)
+    assert m.get("dvs"), "append must carry the head's deletion vectors"
+    latest = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert len(latest) == 120
+    assert latest[15] == 715.0 and latest[110] == 110.0
+
+
+def test_concurrent_commit_snapshot_data_dirs_never_clobber(spark, tdir):
+    """ADVICE r7 (medium): two commit_snapshot callers that both
+    compute the same next version must land their part files in
+    DISTINCT (token-namespaced) directories, so the CAS loser's
+    rebased commit still references intact files."""
+    snapshots.commit_snapshot(_mk(spark, 0, 10), tdir, mode="overwrite")
+    # simulate the race: both writers compute version=2 and write
+    # their data before either publishes (commit_snapshot's uuid token
+    # namespaces each); then both publish through the rebase loop.
+    fa = snapshots._write_data_files(
+        _mk(spark, 10, 20), tdir, 2, token="w" + os.urandom(4).hex())
+    v_b = snapshots.commit_snapshot(_mk(spark, 20, 30), tdir, mode="append")
+    assert v_b == 2
+    # A's files survived B's v2 write (distinct dirs) → A commits as v3
+    assert snapshots.commit_files(tdir, fa, mode="append") == 3
+    assert len(_rows(snapshots.read_snapshot(spark, tdir))) == 30
 
 
 def test_version_diff_reads_only_new_files(spark, tdir):
