@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum_str, dsum_str_sql
 from .registry import query
 
 
@@ -186,7 +187,7 @@ def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Haversine trip distances (pinned-trig great circles)
 # ---------------------------------------------------------------------------
 
-@query("geo_haversine_trips", oracle="""
+@query("geo_haversine_trips", oracle=f"""
 WITH pts AS (
   SELECT user_id, ts, event_id,
          (CAST((event_id * 37) % 18000 AS DOUBLE) / 100.0) - 90.0
@@ -208,9 +209,8 @@ d AS (
                * sin(radians(lon - plon) / 2))), 9) AS leg_km
   FROM legs WHERE plat IS NOT NULL)
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
-       ROUND(CAST(SUM(CAST(leg_km AS DECIMAL(38,12))) AS DOUBLE), 6)
-         AS total_km,
-       ROUND(MAX(leg_km), 6) AS longest_leg_km
+       {dsum_str_sql('leg_km')} AS total_km,
+       MAX(leg_km) AS longest_leg_km
 FROM d GROUP BY user_id
 """)
 def geo_haversine_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,9 +223,18 @@ def geo_haversine_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pinned-log discipline extended to TRIG: each leg's full
     haversine (4 sin/cos + asin + sqrt) is computed per row and
     pinned to 9 dp BEFORE the DECIMAL sum — per-row 1-ulp libm
-    drift cannot accumulate across a user's thousands of legs, and
-    the 9-dp pin's boundary risk is measure-zero. One lag window +
-    one aggregate sharing the user_id sort."""
+    drift cannot accumulate across a user's thousands of legs. The
+    totals ship UNROUNDED through dsum_str (round 8, caught by the
+    sf1ish sweep of never-driver-sampled ids): the old 6-dp ROUND of
+    a sum of 9-dp-PINNED terms is the win_decay_score half-grid class
+    — at 1M rows a user's exact 1e-9-grid sum lands on ...5 at the
+    7th digit, where Spark HALF_UP (shortest repr) and DuckDB
+    HALF_EVEN (exact expansion) split — and legs reach 2e4 km, where
+    even the DIRECT double→decimal cast's half-ulp (9e-13 at that
+    magnitude) can cross the 1e-12 quantize boundary, so the per-row
+    cast routes through STRING too. MAX of bit-identical pinned legs
+    is bit-identical — also unrounded. One lag window + one aggregate
+    sharing the user_id sort."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
     pts = ev.select(
@@ -247,9 +256,8 @@ def geo_haversine_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = legs.select("user_id", leg.alias("leg_km"))
     return (d.groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("n_legs"),
-                  F.round(F.sum(F.col("leg_km").cast("decimal(38,12)"))
-                           .cast("double"), 6).alias("total_km"),
-                  F.round(F.max("leg_km"), 6).alias("longest_leg_km")))
+                  dsum_str("leg_km").alias("total_km"),
+                  F.max("leg_km").alias("longest_leg_km")))
 
 
 # ---------------------------------------------------------------------------

@@ -166,10 +166,16 @@ def data_token_budget_allocate(spark: SparkSession,
     inv = (docs.groupBy("source")
                .agg(F.sum("n_chars").cast("long").alias("weight")))
     t = inv.agg(F.sum("weight").cast("long").alias("total"))
+    # DIV, not `/`-then-cast (ADVICE r7): Spark's `/` on bigints is
+    # DOUBLE division — for budget·weight > 2^53 or a quotient within
+    # an ulp of an integer, the rounded double can truncate to a
+    # different floor than the oracle's exact integer `//`. DIV keeps
+    # both engines on exact bigint arithmetic, honoring the
+    # "INTEGER-EXACT end to end" contract below.
     q = (inv.crossJoin(F.broadcast(t))
             .select("source", "weight",
-                    ((F.lit(_BUDGET) * F.col("weight"))
-                     / F.col("total")).cast("long").alias("floor_alloc"),
+                    F.expr(f"({_BUDGET} * weight) DIV total")
+                     .alias("floor_alloc"),
                     ((F.lit(_BUDGET) * F.col("weight"))
                      % F.col("total")).alias("rem")))
     wall = W.orderBy(F.desc("rem"), "source")

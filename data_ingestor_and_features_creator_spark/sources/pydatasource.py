@@ -108,6 +108,22 @@ class EventLogStreamReader:
 
         self.path = options["path"]
         self.per_trigger = int(options.get("maxRowsPerTrigger", 1000))
+        # ADVICE r7: an UNscoped progress file is shared by every query
+        # that ever read this log — a stale frontier from a previous
+        # query makes a fresh query's first capped batch silently cover
+        # [0, stale frontier + cap]. Callers that run multiple queries
+        # over one log pass progressScope (e.g. the checkpoint path);
+        # its hash lands in the filename so each scope rate-limits
+        # independently. initialOffset() additionally RESETS the scoped
+        # frontier (it only fires on a fresh checkpoint), so even a
+        # reused scope can't leak a stale frontier into a new query.
+        scope = options.get("progressScope", "")
+        if scope:
+            import hashlib
+            self._scope_tag = "-" + hashlib.md5(
+                scope.encode()).hexdigest()[:8]
+        else:
+            self._scope_tag = ""
         with open(os.path.join(self.path, "_meta.json")) as fh:
             meta = json.load(fh)
         self.sizes = {str(k): int(v) for k, v in meta["sizes"].items()}
@@ -116,7 +132,7 @@ class EventLogStreamReader:
     # -- self-managed committed frontier (restart-safe rate limiting) --
     def _progress_path(self) -> str:
         import os
-        return os.path.join(self.path, "_progress.json")
+        return os.path.join(self.path, f"_progress{self._scope_tag}.json")
 
     def _load_progress(self) -> dict:
         import json
@@ -129,6 +145,15 @@ class EventLogStreamReader:
             return {k: 0 for k in self.sizes}
 
     def initialOffset(self) -> dict:
+        # Spark asks for the initial offset ONLY when the checkpoint is
+        # fresh — the query genuinely starts at 0, so any persisted
+        # frontier is a LEFTOVER from a previous query against this log
+        # (ADVICE r7: trusting it made the first micro-batch cover
+        # [0, stale frontier + cap], silently defeating the per-trigger
+        # cap). Reset it; checkpointed restarts never land here and
+        # keep their rate-limit continuity.
+        self._frontier = {k: 0 for k in self.sizes}
+        self._persist(self._frontier)
         return {k: 0 for k in self.sizes}
 
     def _persist(self, frontier: dict) -> None:
@@ -138,6 +163,11 @@ class EventLogStreamReader:
         tmp = self._progress_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(frontier, fh)
+            # fsync BEFORE rename (ADVICE r7): rename-without-sync can
+            # leave a zero-length/torn file after a crash — readable as
+            # "no progress" (cap resets), but the window is avoidable.
+            fh.flush()
+            os.fsync(fh.fileno())
         os.rename(tmp, self._progress_path())
 
     def latestOffset(self) -> dict:

@@ -118,6 +118,8 @@ GATE_IDS = [
     # round-8 additions with float totals
     "snapshot_mor_read", "snapshot_mor_compact",
     "agg_approx_distinct", "agg_hll_sketch_merge",
+    "ml_ks_separation", "ml_fairness_parity",
+    "agg_median_of_means", "maintain_clustering_depth",
 ]
 
 
