@@ -58,9 +58,10 @@ def main() -> None:
     n_src = src.count()
 
     out = {"rows": li.count(), "cdc_rows": n_src}
+    base = scratch_dir("mor_bench")  # ONE call: scratch_dir wipes per call
     tables = {}
     for tag in ("cow", "mor"):
-        tdir = os.path.join(scratch_dir("mor_bench"), f"li_{tag}")
+        tdir = os.path.join(base, f"li_{tag}")
         shutil.rmtree(tdir, ignore_errors=True)
         snapshots.commit_snapshot(
             li.repartitionByRange(32, "_k"), tdir, mode="overwrite")
