@@ -120,6 +120,7 @@ GATE_IDS = [
     "agg_approx_distinct", "agg_hll_sketch_merge",
     "ml_ks_separation", "ml_fairness_parity",
     "agg_median_of_means", "maintain_clustering_depth",
+    "stream_mor_upsert_sink", "feature_target_encoding_cumulative",
 ]
 
 
