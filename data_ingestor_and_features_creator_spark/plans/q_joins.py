@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import (dsum, dsum_dec_str, dsum_dec_sql, dsum_sql)
+from ..functions.exact import dsum, dsum_sql
 from ..operators.asof import asof_join, asof_join_nearest
 from .registry import query
 
@@ -244,11 +244,13 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("signup_id_asof").alias("signup_id_tol"))
 
 
-@query("join_star_multi", oracle=f"""
+@query("join_star_multi", oracle="""
 SELECT r.r_name, o.o_orderpriority,
        COUNT(*) AS n_items,
-       CAST({dsum_dec_sql('l.l_extendedprice * (1 - l.l_discount)')}
-            AS VARCHAR) AS revenue
+       CAST(CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount * 100)
+                                        AS BIGINT)) AS DECIMAL(30,0)))
+                 * 0.0001 AS DECIMAL(38,12)) AS VARCHAR) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -260,15 +262,17 @@ GROUP BY r.r_name, o.o_orderpriority
 def join_star_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-style star join: one fact shuffle (lineitem⋈orders), every
     dim broadcast; AQE free to reorder. Revenue per region/priority.
-    Revenue is computed as a DECIMAL(38,12) exact sum via dsum_dec
-    (round 5): at the 6M-row sf1-ish blow-up the e10-magnitude sums
-    exceed a double's significant digits and the double-typed form
-    diverged at the last ulp. Emitted as the decimal's FIXED-POINT
-    STRING (round 8, dsum_dec_str): a DecimalType column at the driver
-    boundary hash-mismatches because the driver's two fetch paths
-    represent it differently (the round-7 agg_rollup_decimal_exact
-    red) — the string form stays digit-exact at any scale AND
-    hash-stable."""
+    Revenue is INTEGER-CENTS EXACT (round 8, the sql_tpch_q1 path):
+    price and discount are exact 2-dp values (pinned by
+    tests/test_decimal_path.py), so ROUND(x·100)→BIGINT recovers
+    exact cents, the product is exact integer arithmetic, and the
+    DECIMAL(30,0) sum is exact at ANY magnitude — emitted as the
+    DECIMAL(38,12) FIXED-POINT STRING, which is digit-exact where the
+    old double-typed form diverged at the last ulp (6M-row blow-up)
+    AND hash-stable where DecimalType output broke the driver (the
+    round-7 red). Pure codegen integer math — no per-row string
+    round-trip (which cost 178 s / GC-bound variance on q1 at the
+    60M-row blow-up)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -283,8 +287,11 @@ def join_star_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum_dec_str(F.col("l_extendedprice")
-                         * (1 - F.col("l_discount"))).alias("revenue"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100)"
+                " AS BIGINT) * (100 - CAST(ROUND(l_discount * 100)"
+                " AS BIGINT)) AS DECIMAL(30,0))) * 0.0001"
+                " AS DECIMAL(38,12)) AS STRING)").alias("revenue"),
         )
     )
 

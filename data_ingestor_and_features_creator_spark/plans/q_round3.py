@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import DEC, dsum, dsum_dec_str, dsum_dec_sql
+from ..functions.exact import DEC, dsum
 from .registry import query, scratch_dir
 
 
@@ -383,10 +383,12 @@ def cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dynamic partition pruning over a partitioned fact table
 # ---------------------------------------------------------------------------
 
-@query("join_dpp_partitioned", oracle=f"""
+@query("join_dpp_partitioned", oracle="""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST({dsum_dec_sql('o_totalprice')} AS VARCHAR) AS revenue
+       CAST(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS DECIMAL(30,0))) * 0.01
+                 AS DECIMAL(38,12)) AS VARCHAR) AS revenue
 FROM orders
 WHERE strftime(o_orderdate, '%Y-%m') <= '1996-12'
 GROUP BY month
@@ -424,7 +426,17 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(F.broadcast(months), "month")
     return (joined.groupBy("month")
                   .agg(F.count(F.lit(1)).alias("n_orders"),
-                       dsum_dec_str("o_totalprice").alias("revenue")))
+                       # integer-cents exact sum (round 8, the
+                       # sql_tpch_q1 path: o_totalprice is exact 2-dp,
+                       # pinned by tests/test_decimal_path.py) —
+                       # digit-exact at any magnitude, hash-stable
+                       # string emission, zero per-row string work
+                       F.expr(
+                           "CAST(CAST(SUM(CAST(CAST(ROUND("
+                           "o_totalprice * 100) AS BIGINT)"
+                           " AS DECIMAL(30,0))) * 0.01"
+                           " AS DECIMAL(38,12)) AS STRING)")
+                       .alias("revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -1273,20 +1285,26 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 _Q1_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+         100 - CAST(ROUND(l_discount * 100) AS BIGINT) AS dmc,
+         100 + CAST(ROUND(l_tax * 100) AS BIGINT) AS tpc
+  FROM lineitem
+  WHERE l_shipdate <= CAST('1998-09-01' AS DATE)
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(38,12)))
-            AS DECIMAL(38,12)) AS STRING) AS sum_qty,
-       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(38,12)))
-            AS DECIMAL(38,12)) AS STRING) AS sum_base_price,
-       CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS STRING)
-                     AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS STRING)
-            AS sum_disc_price,
-       CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          AS STRING) AS DECIMAL(38,12)))
-            AS DECIMAL(38,12)) AS STRING) AS sum_charge,
+       CAST(CAST(SUM(CAST(qc AS DECIMAL(30,0))) * 0.01
+                 AS DECIMAL(38,12)) AS STRING) AS sum_qty,
+       CAST(CAST(SUM(CAST(pc AS DECIMAL(30,0))) * 0.01
+                 AS DECIMAL(38,12)) AS STRING) AS sum_base_price,
+       CAST(CAST(SUM(CAST(pc * dmc AS DECIMAL(30,0))) * 0.0001
+                 AS DECIMAL(38,12)) AS STRING) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(pc * dmc * tpc AS DECIMAL(30,0))) * 0.000001
+                 AS DECIMAL(38,12)) AS STRING) AS sum_charge,
        CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= CAST('1998-09-01' AS DATE)
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -1298,28 +1316,27 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.sql` over the catalog's registered views here, DuckDB over
     its parquet views as the oracle — so the op pins dialect
     compatibility of the whole statement, not just expression
-    semantics. The four price aggregates are computed as
-    DECIMAL(38,12) exact sums (round 5): at sf1-ish their e10-magnitude
-    6-dp sums exceed a double's ~16 significant digits, so any final
-    DECIMAL→DOUBLE cast diverges between engines at the last ulp
-    (functions/exact.py scale note) — and EMITTED AS FIXED-POINT
-    STRINGS (round 8): the driver's fetch paths represent a decimal
-    column differently (Spark toPandas keeps decimal.Decimal, DuckDB
-    degrades to float64 — the round-7 agg_rollup_decimal_exact red),
-    while both engines print DECIMAL(38,12) identically, so the string
-    form is digit-exact at any magnitude AND hash-stable
-    (dsum_dec_str house rule). The per-row double→decimal cast routes
-    through
-    STRING because the engines' DIRECT casts disagree: Spark quantizes
-    the shortest round-trip representation (BigDecimal of
-    Double.toString, '42034.26'), DuckDB the exact binary expansion
-    ('42034.259999999998…') — a ~1e-12/row difference that the old
-    DOUBLE output absorbed but an exact-decimal output exposes; both
-    engines PRINT a double as its shortest round-trip form, so casting
-    the string pins identical per-row decimals and bit-identical sums
-    (verified digit-exact at sf0.01 and the 6M-row sf1-ish blow-up).
-    The scan-heavy single-agg shape is the canonical map-side-combine
-    benchmark query."""
+    semantics. The four price aggregates are INTEGER-CENTS EXACT
+    (round 8): every money column in the schema is an exact 2-dp
+    value (pinned by tests/test_decimal_path.py), so
+    ROUND(x·100)→BIGINT recovers the exact cents — never near a .5
+    boundary, so Spark's and DuckDB's different ROUND/CAST
+    conventions can't split — and the three products are exact
+    INTEGER arithmetic (charge cents·dmc·tpc ≤ ~1.2e11/row), summed
+    through DECIMAL(30,0) (exact at ANY scale: 1e30 ≫ any corpus),
+    scale-shifted by exact decimal literals, and emitted as
+    DECIMAL(38,12) FIXED-POINT STRINGS (digit-exact at any magnitude
+    AND hash-stable through the driver's divergent decimal fetch
+    paths — the round-7 red). This replaces the round-5
+    string-routed-per-row form, which was digit-exact but allocated
+    four 17-digit strings per row: at the 60M-row sf10ish blow-up
+    that path ran 178 s cold with 8→30 s warm-run GC variance; the
+    integer-cents form is pure codegen integer math + intrinsic
+    decimal sums (~6 s cold, stable) with IDENTICAL output. The
+    general mechanism for >16-digit exactness on arbitrary (non-2-dp)
+    doubles remains dsum_dec_str (functions/exact.py). The scan-heavy
+    single-agg shape is the canonical map-side-combine benchmark
+    query."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q1_SQL)
 

@@ -60,20 +60,28 @@ def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation comes from DISTINCT lineitem pairs (no partsupp) and the
     correlated MIN(ps_supplycost) becomes MAX(s_acctbal) — same shape:
     a correlated-aggregate subquery de-correlated into agg + join-back.
-    Plan for 100 TB: the only big input is lineitem, reduced to
-    distinct pairs ONCE (shuffle on partkey); part/supplier/nation/
-    region all broadcast; the per-part max is a tiny aggregate that
-    broadcasts back onto the eligible set. The double-equality join on
-    s_acctbal is safe because both sides carry the identical
-    scan-native double. Total order before LIMIT 100."""
+    Plan for 100 TB: the only big input is lineitem, and the highly
+    selective part predicate (p_size=15 AND STANDARD) is pushed as a
+    broadcast SEMI-join BELOW the distinct (round 8: the distinct's
+    shuffle was the whole query's cost — filtering first shrinks its
+    input by the predicate's selectivity, ~50× here, before any
+    exchange); part/supplier/nation/region all broadcast; the
+    per-part max is a tiny aggregate that broadcasts back onto the
+    eligible set. The double-equality join on s_acctbal is safe
+    because both sides carry the identical scan-native double. Total
+    order before LIMIT 100."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    elig = (ps.join(F.broadcast(p.filter((F.col("p_size") == 15)
-                                         & (F.col("p_type") == "STANDARD"))),
+    pfilt = p.filter((F.col("p_size") == 15)
+                     & (F.col("p_type") == "STANDARD"))
+    ps = (li.select("l_partkey", "l_suppkey")
+            .join(F.broadcast(pfilt.select("p_partkey")),
+                  F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .distinct())
+    elig = (ps.join(F.broadcast(pfilt),
                     ps.l_partkey == p.p_partkey)
               .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -462,18 +470,25 @@ def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes, a NOT IN realized as a broadcast LEFT ANTI join (null-safe
     here because s_suppkey is a key, never null — the SQL NOT IN
     null-trap is documented, not silently repeated), and
-    COUNT(DISTINCT supplier) per part-attribute group."""
+    COUNT(DISTINCT supplier) per part-attribute group. Round 8: both
+    the part SEMI-join and the bad-supplier ANTI-join are pushed
+    BELOW the distinct — the distinct's fact shuffle was the query's
+    whole cost, and filtering first shrinks its input by the part
+    predicate's selectivity before any exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
     bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     pf = p.filter((F.col("p_brand") != "Brand#5")
                   & (F.col("p_type") != "PROMO")
                   & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
-    return (ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey,
-                    "left_anti")
-              .join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
+    ps = (li.select("l_partkey", "l_suppkey")
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(pf.select("p_partkey")),
+                  F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .distinct())
+    return (ps.join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 

@@ -82,6 +82,27 @@ def test_tpch_q1_output_is_fixed_point_string(spark, sf_dir):
             Decimal(v)  # parses exactly
 
 
+def test_money_columns_are_exact_2dp(duck):
+    """PRECONDITION PIN for the integer-cents exact-sum path (round 8:
+    sql_tpch_q1, join_star_multi, join_dpp_partitioned): every money
+    column those ops ROUND(x·100)→BIGINT must be an exactly
+    representable 2-dp value — then the scaled double is within one
+    ulp of an integer, never near a .5 boundary, and Spark's and
+    DuckDB's different ROUND/CAST conventions cannot split. A future
+    fixture generation that breaks 2-dp-ness fails HERE loudly instead
+    of as a silent oracle drift."""
+    for table, col in (("lineitem", "l_quantity"),
+                       ("lineitem", "l_extendedprice"),
+                       ("lineitem", "l_discount"),
+                       ("lineitem", "l_tax"),
+                       ("orders", "o_totalprice")):
+        bad = duck.execute(
+            f"SELECT COUNT(*) FROM {table} "
+            f"WHERE CAST(ROUND({col} * 100) AS BIGINT) / 100.0 <> {col}"
+        ).fetchone()[0]
+        assert bad == 0, (table, col, bad)
+
+
 def test_string_routed_cast_agrees_in_domain(spark, duck):
     """The dsum_dec STRING-routed per-row cast (functions/exact.py)
     must agree between Spark (Java 17 Double.toString) and DuckDB
