@@ -1172,6 +1172,51 @@ def test_eval_gram_side_has_no_static_broadcast_hint(spark, sf_dir):
     assert a.count("ResolvedHint (strategy=broadcast)") == 2, a
 
 
+def test_mor_read_applies_dv_without_table_shuffle(spark, tmp_path):
+    """read_snapshot on a DV-carrying manifest must apply the deletes
+    with an ANTI join whose DV side is broadcast-able at runtime — the
+    table side must NOT plan a hash-partition exchange for the join
+    (the DV is CDC-sized; shuffling 100 TB of table to drop 0.01% of
+    rows would defeat merge-on-read). Executed under AQE, the final
+    plan's anti join must be a BroadcastHashJoin."""
+    from data_ingestor_and_features_creator_spark.operators import snapshots
+    base = (spark.range(0, 5000)
+            .select(F.col("id").alias("k"),
+                    F.col("id").cast("double").alias("v")))
+    tdir = str(tmp_path / "mor")
+    snapshots.commit_snapshot(base.repartitionByRange(4, "k"), tdir,
+                              mode="overwrite")
+    src = (spark.range(0, 5000)
+           .filter(F.col("id") % 100 == 0)
+           .select(F.col("id").alias("k"),
+                   (F.col("id") + 9000).cast("double").alias("v")))
+    snapshots.merge_mor(spark, tdir, src, "k")
+    df = snapshots.read_snapshot(spark, tdir)
+    df.collect()  # AQE finalizes the join strategy at runtime
+    plan = _physical(df)
+    assert "leftanti" in plan.lower(), plan
+    import re
+    anti_line = next(l for l in plan.splitlines()
+                     if "LeftAnti" in l or "leftanti" in l.lower())
+    assert "Broadcast" in anti_line, anti_line
+
+
+def test_tpch_q1_cents_single_scan_no_strings(spark, sf_dir):
+    """sql_tpch_q1's integer-cents form (round 8): ONE parquet scan,
+    map-side-combinable hash aggregate, and NO per-row string cast in
+    the plan — the 178 s GC-bound string round-trip must never creep
+    back into the hot path (the final 6-row decimal→string projection
+    is fine; a cast to string BELOW the aggregate is not)."""
+    plan = _physical(QUERIES["sql_tpch_q1"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+    agg_at = plan.index("HashAggregate")
+    below = plan[agg_at:]
+    # everything below the FIRST (final) aggregate: the partial agg and
+    # the scan-side projection — no string casts allowed there
+    assert "as string" not in below.lower(), below[:2000]
+
+
 def test_merge_cow_broadcasts_source_keys(spark, sf_dir, tmp_path):
     """merge_cow must locate affected files via a BROADCAST semi-join
     of the (small) source key set — never a shuffled join of the whole
