@@ -63,64 +63,67 @@ HEADLINE = [
 
 
 # Committed per-query baseline slots at sf0.1 (VERDICT r6 ask 7):
-# elementwise MIN of two quiet-window bench runs (loadavg-at-start
-# 0.19 / 4.2 on 32 cores, 2026-08-15 round 7 — the full table with
-# protocol notes lives in BASELINE.md). bench.py emits
-# ratio_vs_slot per query so a judge can separate regression from
-# machine load mechanically; same-code noise band on this box is
-# 14-37 s under external load, so only ratios from low-loadavg runs
-# are meaningful.
+# elementwise MIN across quiet-window bench runs — round-7 protocol,
+# tightened round 8 with two more runs (close run at loadavg-at-start
+# 0.01: headline 14.49 s vs the 13.68 s slot sum); join_star_multi
+# re-baselined to 1.16 s after its integer-cents revenue retype.
+# bench.py emits ratio_vs_slot per query so a judge can separate
+# regression from machine load mechanically; same-code noise band on
+# this box is 14-37 s under external load, so only ratios from
+# low-loadavg runs are meaningful.
 BASELINE_SLOTS = {
     "flagship_event_features": 1.01,
-    "join_star_multi": 1.36,
+    "join_star_multi": 1.16,
     "win_sliding_range": 0.23,
-    "hrv_time_domain": 0.77,
-    "hrv_time_domain_sliding": 0.72,
-    "hrv_freq_domain": 0.94,
-    "dedup_fuzzy_minhash": 1.07,
-    "sim_knn_bruteforce": 0.49,
-    "hrv_pipeline_full": 0.71,
-    "dedup_ngram_jaccard": 0.65,
-    "dedup_embedding_lsh": 0.85,
-    "text_bm25_topk": 0.51,
-    "sessionize_timeout": 0.25,
-    "llm_prep_pipeline_full": 1.85,
-    "dedup_minhash_cluster": 2.47,
-    "ts_seasonal_decompose": 0.41,
+    "hrv_time_domain": 0.67,
+    "hrv_time_domain_sliding": 0.57,
+    "hrv_freq_domain": 0.8,
+    "dedup_fuzzy_minhash": 0.88,
+    "sim_knn_bruteforce": 0.41,
+    "hrv_pipeline_full": 0.61,
+    "dedup_ngram_jaccard": 0.54,
+    "dedup_embedding_lsh": 0.75,
+    "text_bm25_topk": 0.41,
+    "sessionize_timeout": 0.21,
+    "llm_prep_pipeline_full": 1.77,
+    "dedup_minhash_cluster": 2.45,
+    "ts_seasonal_decompose": 0.4,
     "analytics_pipeline_full": 0.53,
     "ml_training_set_build": 0.28,
 }
 
 # Committed per-query TPC-H slots at sf0.1 (VERDICT r7 ask 7):
-# elementwise MIN of THREE same-code bench runs (loadavg-at-start
-# 4.6 / 6.4 / 0.7 on 32 cores, totals 12.32 / 12.05 / 13.88 s —
-# tight run-to-run agreement; protocol otherwise identical to
-# BASELINE_SLOTS above, 2026-08-15 round 8), so a single-query TPC-H
-# regression is attributable even when the 22-query total moves under
-# machine load. Slot sum 11.43 s.
+# elementwise MIN of FIVE bench runs, 2026-08-15 round 8 (three
+# mid-round at loadavg 4.6/6.4/0.7, two at close incl. a fully quiet
+# loadavg-0.01 run: tpch_power_total 9.39 s vs the 9.29 s slot sum).
+# q1/q2/q16 re-baselined from the close runs only — their round-8
+# plan work (integer-cents q1, filter-below-distinct q2/q16) moved
+# them 1.29/0.97/1.05 → 0.71/0.72/0.57 s. A single-query TPC-H
+# regression is attributable even when the 22-query total moves
+# under machine load.
 TPCH_SLOTS = {
-    "sql_tpch_q1": 1.29,
-    "sql_tpch_q2": 0.97,
-    "sql_tpch_q3": 0.75,
+    "sql_tpch_q1": 0.71,
+    "sql_tpch_q2": 0.72,
+    "sql_tpch_q3": 0.63,
     "sql_tpch_q4": 0.53,
-    "sql_tpch_q5": 0.44,
+    "sql_tpch_q5": 0.43,
     "sql_tpch_q6": 0.16,
     "sql_tpch_q7": 0.49,
-    "sql_tpch_q8": 0.52,
-    "sql_tpch_q9": 0.54,
-    "sql_tpch_q10": 0.44,
-    "sql_tpch_q11": 0.33,
-    "sql_tpch_q12": 0.38,
-    "sql_tpch_q13": 0.33,
-    "sql_tpch_q14": 0.3,
-    "sql_tpch_q15": 0.21,
-    "sql_tpch_q16": 1.05,
-    "sql_tpch_q17": 0.26,
-    "sql_tpch_q18": 0.45,
+    "sql_tpch_q8": 0.48,
+    "sql_tpch_q9": 0.44,
+    "sql_tpch_q10": 0.4,
+    "sql_tpch_q11": 0.29,
+    "sql_tpch_q12": 0.3,
+    "sql_tpch_q13": 0.3,
+    "sql_tpch_q14": 0.24,
+    "sql_tpch_q15": 0.2,
+    "sql_tpch_q16": 0.57,
+    "sql_tpch_q17": 0.18,
+    "sql_tpch_q18": 0.35,
     "sql_tpch_q19": 0.29,
-    "sql_tpch_q20": 0.66,
-    "sql_tpch_q21": 0.75,
-    "sql_tpch_q22": 0.29,
+    "sql_tpch_q20": 0.64,
+    "sql_tpch_q21": 0.67,
+    "sql_tpch_q22": 0.27,
 }
 
 
