@@ -121,6 +121,7 @@ GATE_IDS = [
     "ml_ks_separation", "ml_fairness_parity",
     "agg_median_of_means", "maintain_clustering_depth",
     "stream_mor_upsert_sink", "feature_target_encoding_cumulative",
+    "audit_split_exact_leak", "vocab_coverage_curve",
 ]
 
 
