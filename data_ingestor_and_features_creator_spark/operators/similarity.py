@@ -190,3 +190,60 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int,
                       W.partitionBy("qid").orderBy(F.desc("__cos"), F.col("cid")))))
     return (ranked.filter(F.col("rnk") <= k)
                   .select("qid", "cid", F.round("__cos", 6).alias("cosine"), "rnk"))
+
+
+def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int,
+            n_centroids: int = 16, n_probe: int = 2,
+            seed: int = 7) -> DataFrame:
+    """IVF-style approximate top-k (the third scale path next to
+    brute force and LSH): a seeded KMeans coarse quantizer buckets the
+    corpus by nearest centroid; each query probes its ``n_probe``
+    nearest centroids and re-ranks the probed lists exactly.
+
+    At 100 TB the centroid table is a broadcast join and each probe
+    touches ~n_probe/n_centroids of the corpus, partition-pruned by
+    centroid id. The quantizer is fit on the CORPUS only — callers may
+    pass any query set (including synthetic eval queries) without
+    perturbing the index. Returns (qid, cid, cosine, rnk), rank by
+    (cos desc, cid) like the brute-force baseline."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select("vec_id", "embedding",
+                         array_to_vector("embedding").alias("features"))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=10,
+                featuresCol="features")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("prediction").alias("centroid"))
+    centroids = [(i, [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    cdf = corpus.sparkSession.createDataFrame(
+        centroids, "centroid int, cvec array<double>")
+    q = queries.select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qe"))
+    # distance of each query to each centroid → keep n_probe nearest.
+    # Probing the query's nearest centroids guarantees a vector
+    # IDENTICAL to a corpus vector finds its source: the source sits
+    # in its own nearest-centroid list, which is also the query's
+    # nearest (same vector, same metric) — the determinism the
+    # sim_ivf_ann planted eval relies on.
+    qc = (q.crossJoin(F.broadcast(cdf))
+           .withColumn("d2", F.aggregate(
+               F.zip_with("qe", "cvec",
+                          lambda x, c: (x.cast("double") - c) ** 2),
+               F.lit(0.0), lambda a, x: a + x))
+           .withColumn("rk", F.row_number().over(
+               W.partitionBy("qid").orderBy("d2", "centroid")))
+           .filter(F.col("rk") <= n_probe).select("qid", "qe", "centroid"))
+    cos = dot("qe", "ce") / (l2_norm("qe") * l2_norm("ce"))
+    ranked = (qc.join(assigned, "centroid")
+                .filter(F.col("qid") != F.col("cid"))
+                .withColumn("__cos", cos)
+                .withColumn("rnk", F.row_number().over(
+                    W.partitionBy("qid").orderBy(F.desc("__cos"),
+                                                 F.col("cid")))))
+    return (ranked.filter(F.col("rnk") <= k)
+                  .select("qid", "cid", F.round("__cos", 6).alias("cosine"),
+                          "rnk"))

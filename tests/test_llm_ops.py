@@ -127,13 +127,12 @@ def test_lsh_near_dup_finds_planted_dups(spark):
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from data_ingestor_and_features_creator_spark.catalog import load_table
-    from data_ingestor_and_features_creator_spark.plans import q_llm
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     exact = {(r["qid"], r["cid"]) for r in
              similarity.knn_bruteforce(q, emb, k=10).collect()}
     approx = {(r["qid"], r["cid"]) for r in
-              q_llm.sim_ivf_ann(spark, sf_dir).collect()}
+              similarity.knn_ivf(q, emb, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     # 2-probe of 16 centroids on near-isotropic vectors: modest recall
     # by construction; the assertion pins that probing works at all

@@ -122,6 +122,10 @@ GATE_IDS = [
     "agg_median_of_means", "maintain_clustering_depth",
     "stream_mor_upsert_sink", "feature_target_encoding_cumulative",
     "audit_split_exact_leak", "vocab_coverage_curve",
+    # round-9: the five former rows-only dedup/ANN ids, upgraded to
+    # planted-twin evals with full SQL oracles (VERDICT r8 ask 2)
+    "dedup_fuzzy_minhash", "dedup_simhash", "dedup_minhash_cluster",
+    "sim_lsh_ann", "sim_ivf_ann",
 ]
 
 
