@@ -67,6 +67,23 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 
+# Internal working-column names for the DV anti-join (ADVICE r8): the
+# DV sidecar FILES keep their compact `_file`/`_pos` schema, but every
+# join against the DATA schema renames them to these — a user table
+# whose schema already contains `_file`/`_pos` would otherwise be
+# silently clobbered by withColumn and the anti-join keyed on corrupt
+# values. A residual collision on THESE names raises loudly instead.
+_DV_FILE = "__snapshot_dv_file__"
+_DV_POS = "__snapshot_dv_pos__"
+
+
+def _check_dv_cols(df: DataFrame, where: str) -> None:
+    bad = {_DV_FILE, _DV_POS} & set(df.columns)
+    if bad:
+        raise ValueError(
+            f"{where}: table schema contains reserved internal "
+            f"column(s) {sorted(bad)}")
+
 
 class VersionConflict(Exception):
     """Another writer committed this version first (optimistic
@@ -243,13 +260,15 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     df = reader.parquet(*[os.path.join(table_dir, f) for f in files])
     dvs = manifest.get("dvs")
     if dvs:
+        _check_dv_cols(df, "read_snapshot")
         dv = (spark.read.parquet(
                   *[os.path.join(table_dir, f) for f in dvs])
-              .select("_file", "_pos").distinct())
+              .select(F.col("_file").alias(_DV_FILE),
+                      F.col("_pos").alias(_DV_POS)).distinct())
         cols = df.columns
-        df = (df.withColumn("_file", _rel_file_expr())
-                .withColumn("_pos", F.col("_metadata.row_index"))
-                .join(dv, ["_file", "_pos"], "left_anti")
+        df = (df.withColumn(_DV_FILE, _rel_file_expr())
+                .withColumn(_DV_POS, F.col("_metadata.row_index"))
+                .join(dv, [_DV_FILE, _DV_POS], "left_anti")
                 .select(*cols))
     return df
 
@@ -354,23 +373,31 @@ def merge_cow(spark: SparkSession, table_dir: str, source: DataFrame,
     live = manifest["files"]
     version = prev + 1
 
-    cur = (spark.read.parquet(*[os.path.join(table_dir, f) for f in live])
-           .withColumn("_file", F.input_file_name()))
+    # mergeSchema on both scans (ADVICE r8): live files may carry
+    # heterogeneous (additively evolved) schemas; a footer-sampled
+    # schema would silently drop late-added columns from the rewrite.
+    cur = (spark.read.option("mergeSchema", "true")
+           .parquet(*[os.path.join(table_dir, f) for f in live]))
+    _check_dv_cols(cur, "merge_cow")
+    cur = cur.withColumn(_DV_FILE, F.input_file_name())
     keys = source.select(key).distinct()
     touched_abs = {
-        r["_file"] for r in
+        r[_DV_FILE] for r in
         (cur.join(F.broadcast(keys), key, "left_semi")
-            .select("_file").distinct().collect())}
+            .select(_DV_FILE).distinct().collect())}
     # input_file_name() returns a URI; match manifest entries by suffix.
     untouched = [f for f in live
                  if not any(t.endswith(f.replace(os.sep, "/"))
                             for t in touched_abs)]
     touched = [f for f in live if f not in set(untouched)]
     if touched:
-        kept = (spark.read.parquet(
+        kept = (spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(table_dir, f) for f in touched])
                 .join(F.broadcast(keys), key, "left_anti"))
-        rewritten = kept.unionByName(source)
+        # allowMissingColumns: an evolved kept-side column the source
+        # doesn't carry (or vice versa) null-fills — the same additive
+        # contract read_snapshot(merge_schema=True) exposes.
+        rewritten = kept.unionByName(source, allowMissingColumns=True)
     else:
         rewritten = source
     new_files = _write_data_files(rewritten, table_dir, version,
@@ -432,9 +459,34 @@ def merge_mor(spark: SparkSession, table_dir: str, source: DataFrame,
         if f.endswith(".parquet"))
     insert_files = _write_data_files(source, table_dir, version,
                                      token=token)
-    _publish_manifest(table_dir, version, live + insert_files,
-                      dvs=manifest.get("dvs", []) + new_dvs)
-    return version
+    # Optimistic append-rebase (ADVICE r8): losing the version CAS to
+    # a concurrent PURE APPEND is semantically safe to retry — the
+    # appended files cannot be referenced by our DV (the position scan
+    # ran before they existed), so serializing our merge AFTER the
+    # append only means the appended rows survive it, exactly as if
+    # they had arrived a tick later. Any other winner (overwrite,
+    # compaction, another MOR merge — head lost files or gained DVs)
+    # still raises: our tombstones were computed against a file set
+    # that is no longer the head's, and our already-written DV/insert
+    # files become vacuum-reclaimable orphans.
+    carried = manifest.get("dvs", [])
+    files_base = live
+    for _ in range(6):
+        try:
+            _publish_manifest(table_dir, version,
+                              files_base + insert_files,
+                              dvs=carried + new_dvs)
+            return version
+        except VersionConflict:
+            head = snapshot_versions(table_dir)[-1]
+            hm = read_manifest(table_dir, head)
+            if not (set(hm["files"]) >= set(files_base)
+                    and set(hm.get("dvs", [])) == set(carried)):
+                raise
+            files_base = hm["files"]
+            version = head + 1
+    raise VersionConflict(
+        f"gave up after 5 append-rebases on {table_dir}")
 
 
 def compact_dvs(spark: SparkSession, table_dir: str) -> int:
@@ -460,16 +512,25 @@ def compact_dvs(spark: SparkSession, table_dir: str) -> int:
     live = manifest["files"]
     version = prev + 1
     dv = (spark.read.parquet(*[os.path.join(table_dir, f) for f in dvs])
-          .select("_file", "_pos").distinct())
-    dirty = {r["_file"] for r in dv.select("_file").distinct().collect()}
+          .select(F.col("_file").alias(_DV_FILE),
+                  F.col("_pos").alias(_DV_POS)).distinct())
+    dirty = {r[_DV_FILE] for r in dv.select(_DV_FILE).distinct().collect()}
     clean = [f for f in live if f not in dirty]
     touched = [f for f in live if f in dirty]
-    kept = (spark.read.parquet(
-                *[os.path.join(table_dir, f) for f in touched])
-            .withColumn("_file", _rel_file_expr())
-            .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(dv, ["_file", "_pos"], "left_anti")
-            .drop("_file", "_pos"))
+    # mergeSchema (ADVICE r8, medium): the module's additive
+    # schema-evolution contract (read_snapshot merge_schema=True)
+    # allows touched files with heterogeneous schemas — a footer-
+    # sampled single schema would silently DROP columns absent from
+    # the sampled file from the rewritten files, permanent data loss
+    # after compaction on an evolved table.
+    kept = (spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table_dir, f) for f in touched]))
+    _check_dv_cols(kept, "compact_dvs")
+    kept = (kept
+            .withColumn(_DV_FILE, _rel_file_expr())
+            .withColumn(_DV_POS, F.col("_metadata.row_index"))
+            .join(dv, [_DV_FILE, _DV_POS], "left_anti")
+            .drop(_DV_FILE, _DV_POS))
     new_files = _write_data_files(kept, table_dir, version,
                                   token=uuid.uuid4().hex[:12])
     _publish_manifest(table_dir, version, clean + new_files)

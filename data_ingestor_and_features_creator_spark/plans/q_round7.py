@@ -163,7 +163,7 @@ def _drain_event_log(spark: SparkSession, log_dir: str, sink: str,
     import json
     import os
 
-    from ..sources.pydatasource import EventLogStreamSource
+    from ..sources.pydatasource import EventLogStreamSource, progress_path
     spark.dataSource.register(EventLogStreamSource)
     with open(os.path.join(log_dir, "_meta.json")) as fh:
         sizes = json.load(fh)["sizes"]
@@ -171,16 +171,21 @@ def _drain_event_log(spark: SparkSession, log_dir: str, sink: str,
     starts = 0
     while starts < max_restarts:
         starts += 1
+        # progressScope = the checkpoint location (ADVICE r8): the
+        # rate-limit frontier file is per-QUERY, so a fresh query's
+        # initialOffset reset can never clobber a concurrently running
+        # query's shared state on the same log.
         q = (spark.readStream.format("eventlog")
              .option("path", log_dir)
              .option("maxRowsPerTrigger", per_trigger)
+             .option("progressScope", ckpt)
              .load()
              .writeStream.format("parquet")
              .option("path", sink).option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
         try:
-            with open(os.path.join(log_dir, "_progress.json")) as fh:
+            with open(progress_path(log_dir, ckpt)) as fh:
                 done = sum(int(v) for v in json.load(fh).values())
         except (OSError, ValueError):
             done = 0

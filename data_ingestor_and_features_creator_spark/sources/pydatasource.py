@@ -93,6 +93,18 @@ class SynthGridDataSource(DataSource):
 # reading the file — same interface, bigger files.
 
 
+def progress_path(log_dir: str, scope: str = "") -> str:
+    """Filesystem path of the persisted rate-limit frontier for a
+    given ``progressScope`` — the one spelling shared by the reader
+    and by callers that poll drain progress (q_round7._drain_event_log,
+    tests). Scope '' is the legacy shared file."""
+    import hashlib
+    import os
+
+    tag = "-" + hashlib.md5(scope.encode()).hexdigest()[:8] if scope else ""
+    return os.path.join(log_dir, f"_progress{tag}.json")
+
+
 class _OffsetSpan(InputPartition):
     def __init__(self, path: str, pid: int, start: int, end: int):
         self.path, self.pid, self.start, self.end = path, pid, start, end
@@ -117,13 +129,7 @@ class EventLogStreamReader:
         # independently. initialOffset() additionally RESETS the scoped
         # frontier (it only fires on a fresh checkpoint), so even a
         # reused scope can't leak a stale frontier into a new query.
-        scope = options.get("progressScope", "")
-        if scope:
-            import hashlib
-            self._scope_tag = "-" + hashlib.md5(
-                scope.encode()).hexdigest()[:8]
-        else:
-            self._scope_tag = ""
+        self._scope = options.get("progressScope", "")
         with open(os.path.join(self.path, "_meta.json")) as fh:
             meta = json.load(fh)
         self.sizes = {str(k): int(v) for k, v in meta["sizes"].items()}
@@ -131,8 +137,7 @@ class EventLogStreamReader:
 
     # -- self-managed committed frontier (restart-safe rate limiting) --
     def _progress_path(self) -> str:
-        import os
-        return os.path.join(self.path, f"_progress{self._scope_tag}.json")
+        return progress_path(self.path, self._scope)
 
     def _load_progress(self) -> dict:
         import json
@@ -147,13 +152,24 @@ class EventLogStreamReader:
     def initialOffset(self) -> dict:
         # Spark asks for the initial offset ONLY when the checkpoint is
         # fresh — the query genuinely starts at 0, so any persisted
-        # frontier is a LEFTOVER from a previous query against this log
-        # (ADVICE r7: trusting it made the first micro-batch cover
-        # [0, stale frontier + cap], silently defeating the per-trigger
-        # cap). Reset it; checkpointed restarts never land here and
-        # keep their rate-limit continuity.
+        # frontier is a LEFTOVER from a previous query against this
+        # SCOPE (ADVICE r7: trusting it made the first micro-batch
+        # cover [0, stale frontier + cap], silently defeating the
+        # per-trigger cap). Reset it; checkpointed restarts never land
+        # here and keep their rate-limit continuity.
+        #
+        # The file reset happens ONLY for a scoped reader (ADVICE r8):
+        # pass progressScope=<checkpoint location> so the reset touches
+        # this query's own file. With the legacy UNscoped shared file,
+        # zeroing it here would actively reset a concurrently running
+        # query's rate-limit state at new-query start (its restart
+        # would read frontier 0 and emit empty batches until the cap
+        # re-advanced past its checkpointed offset) — so the unscoped
+        # reset is in-memory only, which still fixes the r7 stale-
+        # frontier bug for THIS query without touching neighbors.
         self._frontier = {k: 0 for k in self.sizes}
-        self._persist(self._frontier)
+        if self._scope:
+            self._persist(self._frontier)
         return {k: 0 for k in self.sizes}
 
     def _persist(self, frontier: dict) -> None:

@@ -272,3 +272,216 @@ def test_version_diff_reads_only_new_files(spark, tdir):
     snapshots.commit_snapshot(_mk(spark, 60, 75), tdir, mode="append")
     diff = snapshots.read_version_diff(spark, tdir, 2)
     assert _rows(diff) == _rows(_mk(spark, 60, 75))
+
+
+# --- round 9: MOR commit-protocol crash injection (VERDICT r8 ask 3) ------
+
+
+def test_mor_crash_between_dv_write_and_publish_is_invisible(
+        spark, tdir, monkeypatch):
+    """Kill the MOR writer BETWEEN the DV-sidecar write and the
+    manifest publish: readers of the old head must never see the
+    orphaned DV (no row disappears), and vacuum(retain=0) must reclaim
+    exactly the orphaned sidecar + insert files."""
+    snapshots.commit_snapshot(
+        _mk(spark, 0, 100).repartition(4, "k"), tdir, mode="overwrite")
+    before = _rows(snapshots.read_snapshot(spark, tdir))
+    src = _mk(spark, 50, 60, shift=100.0)
+
+    real = snapshots._publish_manifest
+
+    def die(*a, **kw):
+        raise RuntimeError("writer killed before manifest publish")
+
+    monkeypatch.setattr(snapshots, "_publish_manifest", die)
+    with pytest.raises(RuntimeError):
+        snapshots.merge_mor(spark, tdir, src, "k")
+    monkeypatch.setattr(snapshots, "_publish_manifest", real)
+
+    # the manifest is the only commit point: head unchanged, old read
+    # exact — the orphaned DV is invisible (no tombstone applied)
+    assert snapshots.snapshot_versions(tdir) == [1]
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == before
+
+    # the sidecar and insert files ARE on disk, unreferenced...
+    orphans = snapshots.vacuum(tdir, dry_run=True, retain_seconds=0.0)
+    assert any("-dv/" in f for f in orphans), orphans
+    assert any("-dv/" not in f for f in orphans), orphans
+    # ...and vacuum reclaims exactly them, after which the table is
+    # byte-identical in behavior and a rerun merge commits cleanly
+    assert snapshots.vacuum(tdir, retain_seconds=0.0) == orphans
+    assert snapshots.vacuum(tdir, dry_run=True, retain_seconds=0.0) == []
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == before
+    v = snapshots.merge_mor(spark, tdir, src, "k")
+    assert v == 2
+    got = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert all(got[k] == k + 100.0 for k in range(50, 60))
+    assert all(got[k] == float(k) for k in range(0, 50))
+
+
+def test_mor_crash_between_dv_and_insert_write_is_invisible(
+        spark, tdir, monkeypatch):
+    """Same protocol, earlier crash point: the writer dies after the
+    DV sidecar but BEFORE the insert files (step 1 incomplete)."""
+    snapshots.commit_snapshot(_mk(spark, 0, 40), tdir, mode="overwrite")
+    before = _rows(snapshots.read_snapshot(spark, tdir))
+
+    real = snapshots._write_data_files
+
+    def die(*a, **kw):
+        raise RuntimeError("writer killed before insert-file write")
+
+    monkeypatch.setattr(snapshots, "_write_data_files", die)
+    with pytest.raises(RuntimeError):
+        snapshots.merge_mor(spark, tdir, _mk(spark, 0, 5, shift=7.0), "k")
+    monkeypatch.setattr(snapshots, "_write_data_files", real)
+
+    assert snapshots.snapshot_versions(tdir) == [1]
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == before
+    orphans = snapshots.vacuum(tdir, retain_seconds=0.0)
+    assert orphans and all("-dv/" in f for f in orphans), orphans
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == before
+
+
+def test_mor_append_rebase_on_concurrent_append(spark, tdir, monkeypatch):
+    """ADVICE r8: a concurrent PURE APPEND winning the version CAS is
+    rebased over (appended files cannot be referenced by our DV), so
+    the merge commits on the next version instead of failing."""
+    snapshots.commit_snapshot(_mk(spark, 0, 100), tdir, mode="overwrite")
+    src = _mk(spark, 0, 10, shift=100.0)
+
+    real = snapshots._publish_manifest
+    state = {"raced": False}
+
+    def racing(table_dir, version, files, dvs=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent append claims this version first
+            snapshots.commit_snapshot(_mk(spark, 200, 210), tdir,
+                                      mode="append")
+        return real(table_dir, version, files, dvs=dvs)
+
+    monkeypatch.setattr(snapshots, "_publish_manifest", racing)
+    v = snapshots.merge_mor(spark, tdir, src, "k")
+    assert v == 3  # append took v2; the merge rebased onto it
+    got = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert all(got[k] == k + 100.0 for k in range(0, 10))   # upserted
+    assert all(got[k] == float(k) for k in range(10, 100))  # untouched
+    assert all(got[k] == float(k) for k in range(200, 210))  # appended
+
+
+def test_mor_conflict_with_concurrent_merge_still_raises(
+        spark, tdir, monkeypatch):
+    """The rebase is APPEND-only: losing the CAS to another MOR merge
+    (head gained DVs — our position scan is stale) must still raise,
+    and the loser's files must be vacuum-reclaimable."""
+    snapshots.commit_snapshot(
+        _mk(spark, 0, 100).repartition(4, "k"), tdir, mode="overwrite")
+
+    real = snapshots._publish_manifest
+    state = {"raced": False}
+
+    def racing(table_dir, version, files, dvs=None):
+        if not state["raced"]:
+            state["raced"] = True
+            snapshots.merge_mor(spark, tdir,
+                                _mk(spark, 90, 95, shift=500.0), "k")
+        return real(table_dir, version, files, dvs=dvs)
+
+    monkeypatch.setattr(snapshots, "_publish_manifest", racing)
+    with pytest.raises(snapshots.VersionConflict):
+        snapshots.merge_mor(spark, tdir, _mk(spark, 0, 5, shift=9.0), "k")
+    monkeypatch.setattr(snapshots, "_publish_manifest", real)
+
+    # the WINNER's merge is intact; the loser left only orphans
+    got = dict(_rows(snapshots.read_snapshot(spark, tdir)))
+    assert all(got[k] == k + 500.0 for k in range(90, 95))
+    assert all(got[k] == float(k) for k in range(0, 90))
+    orphans = snapshots.vacuum(tdir, retain_seconds=0.0)
+    assert orphans
+    assert dict(_rows(snapshots.read_snapshot(spark, tdir))) == got
+
+
+# --- round 9: ADVICE r8 fixes (schema evolution, reserved columns) --------
+
+
+def test_compact_dvs_merge_schema_preserves_evolved_columns(spark, tdir):
+    """ADVICE r8 (medium): compacting a table whose touched files have
+    heterogeneous (additively evolved) schemas must not drop the
+    late-added column from the rewritten files."""
+    old = _mk(spark, 0, 50)
+    new = _mk(spark, 50, 100).withColumn(
+        "w", (F.col("k") * 2).cast("double"))
+    snapshots.commit_snapshot(old, tdir, mode="overwrite")
+    snapshots.commit_snapshot(new, tdir, mode="append")
+    # tombstone one key in EACH schema generation → both files dirty
+    snapshots.merge_mor(spark, tdir,
+                        _mk(spark, 10, 11).unionByName(_mk(spark, 60, 61)),
+                        "k")
+    v = snapshots.compact_dvs(spark, tdir)
+    out = snapshots.read_snapshot(spark, tdir, version=v,
+                                  merge_schema=True)
+    assert "w" in out.columns
+    got = {r["k"]: r["w"] for r in out.collect()}
+    assert len(got) == 100  # 98 survivors + 2 re-inserted by the merge
+    for k in range(50, 100):
+        if k == 60:
+            # upserted by a source WITHOUT w → null-filled, by design
+            assert got[k] is None
+        else:
+            assert got[k] == 2.0 * k, f"evolved column lost at k={k}"
+    for k in range(0, 50):
+        assert got[k] is None
+
+
+def test_user_file_pos_columns_survive_mor_read(spark, tdir):
+    """ADVICE r8: a table whose SCHEMA contains `_file`/`_pos` must
+    round-trip through merge_mor + the DV anti-join untouched — the
+    working columns now use reserved internal names."""
+    df = (_mk(spark, 0, 30)
+          .withColumn("_file", F.concat(F.lit("user-"), F.col("k")))
+          .withColumn("_pos", (F.col("k") * 10).cast("long")))
+    snapshots.commit_snapshot(df, tdir, mode="overwrite")
+    src = (_mk(spark, 5, 8, shift=100.0)
+           .withColumn("_file", F.lit("upserted"))
+           .withColumn("_pos", F.lit(-1).cast("long")))
+    snapshots.merge_mor(spark, tdir, src, "k")
+    out = snapshots.read_snapshot(spark, tdir)
+    got = {r["k"]: (r["v"], r["_file"], r["_pos"]) for r in out.collect()}
+    assert len(got) == 30
+    for k in range(5, 8):
+        assert got[k] == (k + 100.0, "upserted", -1)
+    for k in list(range(0, 5)) + list(range(8, 30)):
+        assert got[k] == (float(k), f"user-{k}", k * 10)
+
+
+def test_reserved_internal_colname_raises(spark, tdir):
+    df = _mk(spark, 0, 10).withColumn(
+        "__snapshot_dv_file__", F.lit("x"))
+    snapshots.commit_snapshot(df, tdir, mode="overwrite")
+    snapshots.merge_mor(spark, tdir,
+                        _mk(spark, 0, 2).withColumn(
+                            "__snapshot_dv_file__", F.lit("y")), "k")
+    with pytest.raises(ValueError, match="reserved internal"):
+        snapshots.read_snapshot(spark, tdir)
+
+
+def test_merge_cow_merge_schema_preserves_evolved_columns(spark, tdir):
+    """ADVICE r8 (latent twin of the compact_dvs issue): a COW merge
+    whose touched files span schema generations must keep the evolved
+    column in the rewrite."""
+    snapshots.commit_snapshot(_mk(spark, 0, 50), tdir, mode="overwrite")
+    snapshots.commit_snapshot(
+        _mk(spark, 50, 100).withColumn("w", (F.col("k") * 3).cast("double")),
+        tdir, mode="append")
+    # source touches keys in BOTH generations; no `w` column on purpose
+    snapshots.merge_cow(spark, tdir,
+                        _mk(spark, 10, 11, shift=100.0).unionByName(
+                            _mk(spark, 60, 61, shift=100.0)), "k")
+    out = snapshots.read_snapshot(spark, tdir, merge_schema=True)
+    got = {r["k"]: (r["v"], r["w"]) for r in out.collect()}
+    assert len(got) == 100
+    assert got[10] == (110.0, None) and got[60] == (160.0, None)
+    for k in range(50, 100):
+        if k != 60:
+            assert got[k] == (float(k), 3.0 * k), f"evolved col lost k={k}"

@@ -403,7 +403,7 @@ def test_eventlog_source_kill_resume_offset_recovery(spark, sf_dir,
     from data_ingestor_and_features_creator_spark.plans.q_round7 import (
         _drain_event_log)
     from data_ingestor_and_features_creator_spark.sources.pydatasource import (
-        write_event_log)
+        progress_path, write_event_log)
 
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") < 3000)
@@ -418,7 +418,9 @@ def test_eventlog_source_kill_resume_offset_recovery(spark, sf_dir,
     starts = _drain_event_log(spark, log_dir, sink, ckpt, per_trigger)
     assert starts > 1, "rate limit never forced a restart — test vacuous"
 
-    with open(os.path.join(log_dir, "_progress.json")) as fh:
+    # the frontier file is scoped per query by its checkpoint location
+    # (ADVICE r8) — a concurrent query on the same log keeps its own
+    with open(progress_path(log_dir, ckpt)) as fh:
         frontier = json.load(fh)
     assert {k: int(v) for k, v in frontier.items()} == sizes
 
@@ -437,3 +439,87 @@ def test_eventlog_source_kill_resume_offset_recovery(spark, sf_dir,
                    out.select("event_id", "user_id").collect())
             == sorted(tuple(r) for r in
                       ev.select("event_id", "user_id").collect()))
+
+
+# --- round 9: mid-stream kill/resume of the MOR CDC sink (VERDICT r8
+# ask 3) --------------------------------------------------------------------
+
+
+def test_stream_mor_upsert_kill_resume_on_checkpoint(spark, sf_dir,
+                                                     tmp_path):
+    """Kill the stream_mor_upsert_sink composition AFTER its first
+    micro-batch's MOR commit and resume a fresh query on the SAME
+    checkpoint: the resumed query must apply ONLY the unprocessed
+    batch (no double-applied DV commit for batch 0), the final
+    DV-applied read must equal the direct upsert algebra, and the v1
+    data files must survive the whole kill/resume unrewritten."""
+    import os
+
+    from pyspark.sql.utils import StreamingQueryException
+
+    from data_ingestor_and_features_creator_spark.operators import snapshots
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("event_id", "event_type", "value"))
+    tdir = str(tmp_path / "table")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    kill_flag = str(tmp_path / "killed_once")
+    snapshots.commit_snapshot(ev.repartition(4, "event_id"), tdir,
+                              mode="overwrite")
+    v1_files = set(snapshots.read_manifest(tdir, 1)["files"])
+
+    u1 = (ev.filter(F.col("event_id") % 25 == 0)
+            .withColumn("value", F.col("value") + 1000.0))
+    u2 = (ev.filter(F.col("event_id") % 25 == 7)
+            .withColumn("value", F.col("value") + 2000.0))
+    for i, batch in enumerate((u1, u2)):
+        out = os.path.join(feed, f"b{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(out)
+        for f in os.listdir(out):
+            os.utime(os.path.join(out, f), (1_000_000 + i,) * 2)
+
+    def apply_batch(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        # crash point: AFTER batch 0's commit, BEFORE batch 1's merge —
+        # the writer dies with its checkpoint holding batch 0 only
+        if batch_id >= 1 and not os.path.exists(kill_flag):
+            open(kill_flag, "w").close()
+            raise RuntimeError("injected mid-stream writer kill")
+        snapshots.merge_mor(bdf.sparkSession, tdir,
+                            bdf.select("event_id", "event_type", "value"),
+                            "event_id")
+
+    def run():
+        q = (spark.readStream.schema(u1.schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(os.path.join(feed, "*"))
+             .writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()  # dies mid-stream with exactly one MOR commit landed
+    assert os.path.exists(kill_flag)
+    assert snapshots.snapshot_versions(tdir) == [1, 2]
+
+    run()  # resume on the same checkpoint: batch 1 only
+
+    # exactly one more DV commit — batch 0 was NOT re-applied
+    assert snapshots.snapshot_versions(tdir) == [1, 2, 3]
+    head = snapshots.read_manifest(tdir, 3)
+    assert len(head.get("dvs", [])) == 2
+    assert v1_files <= set(head["files"])  # zero rewrites throughout
+
+    got = {(r["event_id"]): r["value"]
+           for r in snapshots.read_snapshot(spark, tdir).collect()}
+    want = {r["event_id"]: r["value"] for r in ev.collect()}
+    for eid in list(want):
+        if eid % 25 == 0:
+            want[eid] += 1000.0
+        elif eid % 25 == 7:
+            want[eid] += 2000.0
+    assert got == want
