@@ -76,6 +76,32 @@ _MANIFEST_DIR = "_manifests"
 _DV_FILE = "__snapshot_dv_file__"
 _DV_POS = "__snapshot_dv_pos__"
 
+# Compaction policy (VERDICT r8 ask 4, measured by tools/mor_read_amp.py
+# on the 6M-row blow-up, 32 range files, ~6k scattered CDC rows/commit):
+# the DV anti-join read premium grows roughly LINEARLY in stacked
+# commits (N=1/4/16/32 → +0.9/+1.0/+2.4/+4.7 s over the 0.59 s plain
+# read) while compact_dvs costs a flat ~2.2 s (it rewrites only dirty
+# files; the debt, not the table). Break-even: at N=16 a SINGLE
+# subsequent read's premium exceeds the whole compaction; at N=4 it
+# amortizes in ~2 reads. Default: compact once 16 DV commits stack —
+# read-heavy tables should compact earlier (premium(N)·reads-between-
+# maintenance > compact cost decides).
+DEFAULT_COMPACT_AFTER_COMMITS = 16
+
+
+def should_compact(table_dir: str,
+                   max_dv_commits: int = DEFAULT_COMPACT_AFTER_COMMITS
+                   ) -> bool:
+    """True when the head manifest carries at least ``max_dv_commits``
+    DV sidecars (merge_mor adds exactly one per commit, compact_dvs
+    clears them) — the measured point where one more read pays more in
+    anti-join premium than compaction costs."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        return False
+    head = read_manifest(table_dir, versions[-1])
+    return len(head.get("dvs", [])) >= max_dv_commits
+
 
 def _check_dv_cols(df: DataFrame, where: str) -> None:
     bad = {_DV_FILE, _DV_POS} & set(df.columns)

@@ -485,3 +485,22 @@ def test_merge_cow_merge_schema_preserves_evolved_columns(spark, tdir):
     for k in range(50, 100):
         if k != 60:
             assert got[k] == (float(k), 3.0 * k), f"evolved col lost k={k}"
+
+
+def test_should_compact_threshold_counts_dv_sidecars(spark, tdir):
+    """The committed compaction policy (tools/mor_read_amp.py curve):
+    one DV sidecar per merge_mor commit, carried through appends,
+    cleared by compact_dvs."""
+    assert snapshots.should_compact(tdir) is False  # no table yet
+    snapshots.commit_snapshot(_mk(spark, 0, 40), tdir, mode="overwrite")
+    assert snapshots.should_compact(tdir) is False
+    for i in range(3):
+        snapshots.merge_mor(spark, tdir,
+                            _mk(spark, i, i + 1, shift=50.0), "k")
+    assert snapshots.should_compact(tdir, max_dv_commits=3)
+    assert not snapshots.should_compact(tdir)  # default 16 not reached
+    # appends carry the debt without adding to it
+    snapshots.commit_snapshot(_mk(spark, 40, 45), tdir, mode="append")
+    assert snapshots.should_compact(tdir, max_dv_commits=3)
+    snapshots.compact_dvs(spark, tdir)
+    assert not snapshots.should_compact(tdir, max_dv_commits=1)
