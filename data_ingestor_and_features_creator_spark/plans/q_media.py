@@ -421,15 +421,32 @@ def maintain_compaction_manifest(spark: SparkSession,
     first/last member — is exactly what the downstream copy job
     executes and what a resumable loader verifies. Sizes are
     byte-checked against DuckDB's read_blob over the same directory.
-    At 100 TB the same window runs over the file-listing table
-    (billions of rows, one sort by path) — never over content."""
+    At 100 TB this runs over the file-listing table (billions of
+    rows) — never over content — so the byte prefix-sum uses the
+    TWO-PASS range-partitioned construction (data_global_index
+    pattern, round 9): range-sort by file name, per-partition byte
+    subtotals prefix-summed into a broadcast offset table, intra-
+    partition running total + offset = the exact global exclusive
+    prefix sum, with no single-task global window anywhere."""
     files = (spark.read.format("binaryFile").load(_MEDIA)
              .select(F.element_at(F.split("path", "/"), -1).alias("file"),
                      F.col("length").alias("bytes")))
     from pyspark.sql import Window as W
-    cum = (F.sum("bytes")
-           .over(W.orderBy("file").rowsBetween(W.unboundedPreceding, -1)))
-    c = files.withColumn("cum_before", F.coalesce(cum, F.lit(0)))
+    spark_ = files.sparkSession
+    n_parts = int(spark_.conf.get("spark.sql.shuffle.partitions", "32"))
+    r = (files.repartitionByRange(n_parts, "file")
+              .withColumn("pid", F.spark_partition_id())
+              .cache())
+    psum = r.groupBy("pid").agg(F.sum("bytes").alias("pbytes"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = psum.withColumn(
+        "offset", F.coalesce(F.sum("pbytes").over(w_off), F.lit(0)))
+    w_in = (W.partitionBy("pid").orderBy("file")
+             .rowsBetween(W.unboundedPreceding, -1))
+    c = (r.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+          .withColumn("cum_before",
+                      F.col("offset")
+                      + F.coalesce(F.sum("bytes").over(w_in), F.lit(0))))
     return (c.select((F.col("cum_before") / _COMPACT_TARGET)
                      .cast("long").alias("bin"), "file", "bytes")
              .groupBy("bin")

@@ -517,13 +517,36 @@ SELECT event_id, dv,
 FROM d
 """)
 def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort with explicit null placement; the global row_number
-    makes the order observable to the order-insensitive oracle hash."""
+    """Multi-key sort with explicit null placement; a global row number
+    makes the order observable to the order-insensitive oracle hash.
+
+    The global rank uses the TWO-PASS range-partitioned construction
+    (data_global_index pattern, round 9: a naive global row_number
+    window moves the whole table through ONE task — the 100 TB
+    faceplant this registry bans): repartitionByRange on the sort key
+    distributes the sort, per-partition counts prefix-sum into a
+    32-row broadcast offset table, and intra-partition rank + offset
+    is the exact global rank regardless of where the range boundaries
+    land."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    d = ev.select("event_id", (F.col("value") - F.lag("value").over(w)).alias("dv"))
-    wg = W.orderBy(F.col("dv").desc_nulls_last(), F.col("event_id"))
-    return d.withColumn("rn", F.row_number().over(wg))
+    d = ev.select("event_id",
+                  (F.col("value") - F.lag("value").over(w)).alias("dv"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    r = (d.repartitionByRange(n_parts, F.col("dv").desc_nulls_last(),
+                              F.col("event_id"))
+          .withColumn("pid", F.spark_partition_id())
+          .cache())
+    counts = r.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    w_in = W.partitionBy("pid").orderBy(F.col("dv").desc_nulls_last(),
+                                        F.col("event_id"))
+    return (r.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+             .select("event_id", "dv",
+                     (F.col("offset") + F.row_number().over(w_in))
+                     .cast("int").alias("rn")))
 
 
 @query("limit_n", oracle="""

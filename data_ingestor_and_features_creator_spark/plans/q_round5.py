@@ -1352,14 +1352,30 @@ def data_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary ids, byte-proxy totals, and an ORDER-PINNED member
     digest (md5 of the comma-joined id list in doc order) that makes
     the manifest verifiable: a loader can prove it read exactly the
-    intended members in the intended order. The global index reuses
-    the scalable two-pass construction (data_global_index) at real
-    scale; at fixture scale the window form is identical and the
-    oracle pins it. One sort-shuffle for the index, one tiny shard
-    rollup."""
+    intended members in the intended order. The global index IS the
+    scalable two-pass construction (data_global_index pattern —
+    round 9 removed the fixture-scale global-window shortcut); the
+    oracle's naive global window pins the equivalence. One
+    range-shuffle for the index, one tiny shard rollup."""
     d = load_table(spark, sf_dir, "documents")
-    gi = F.row_number().over(W.orderBy("doc_id")) - 1
-    g = d.select("doc_id", "n_chars", gi.cast("long").alias("global_idx"))
+    # two-pass range-partitioned global index (data_global_index
+    # pattern, round 9) — no raw-row global window: range-sort on
+    # doc_id, per-partition counts → broadcast prefix offsets,
+    # intra-partition rank + offset = exact contiguous 0..N-1
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    r = (d.select("doc_id", "n_chars")
+          .repartitionByRange(n_parts, "doc_id")
+          .withColumn("pid", F.spark_partition_id())
+          .cache())
+    counts = r.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    w_in = W.partitionBy("pid").orderBy("doc_id")
+    g = (r.join(F.broadcast(offsets.select("pid", "offset")), "pid")
+          .select("doc_id", "n_chars",
+                  (F.col("offset") + F.row_number().over(w_in) - 1)
+                  .cast("long").alias("global_idx")))
     sid = F.expr(f"BIGINT(global_idx div {_SHARD_DOCS})")
     return (g.groupBy(sid.alias("shard_id"))
              .agg(F.count(F.lit(1)).alias("n_docs"),

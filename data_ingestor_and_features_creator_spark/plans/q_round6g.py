@@ -168,15 +168,20 @@ def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the executable documentation of the trap and the proof that the
     EXPLICIT forms agree exactly. House rule across the registry:
     no ORDER BY on a nullable key without a NULLS clause — this op
-    is why. Zero shuffles beyond the single-user window."""
+    is why. Zero shuffles beyond the single-user window; the rank
+    windows PARTITION BY user_id (round 9) — with the filter pinning
+    one user the ranks are identical, and per-key ranking is the
+    shape that scales when the filter widens."""
     ev = load_table(spark, sf_dir, "events")
     v = (ev.filter(F.col("user_id") == 1)
-           .select("event_id",
+           .select("event_id", "user_id",
                    F.when(F.isnan("value"), None)
                     .otherwise(F.col("value")).alias("value")))
     from pyspark.sql import Window as W
-    nf = W.orderBy(F.col("value").asc_nulls_first(), "event_id")
-    nl = W.orderBy(F.col("value").asc_nulls_last(), "event_id")
+    nf = W.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), "event_id")
+    nl = W.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_last(), "event_id")
     return (v.withColumn("rn_nf", F.row_number().over(nf))
              .withColumn("rn_nl", F.row_number().over(nl))
              .select("event_id", "value", "rn_nf", "rn_nl",

@@ -211,28 +211,34 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on), broadcast and applied as a CASE ladder to both
     splits; output is the per-(split, bin) contingency with bin
     extremes — the drift check a scorecard runs on binned features.
-    Edge values pass through exactly (no arithmetic). Scale: the
-    rank window rides one train-split sort (two-pass bucket swap at
-    100 TB, the documented percentile route); the apply side is a
-    scan-parallel CASE + one small aggregate."""
+    Edge values pass through exactly (no arithmetic). Scale (round 9,
+    replacing the raw-row rank window): edges come from the per-value
+    histogram of the train split — group by value, cumulative counts
+    over the distinct-value table (window above the aggregate), edge
+    = the value whose cumulative span covers rank ⌈q·n⌉; the apply
+    side is a scan-parallel CASE + one small aggregate."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & ~F.isnan("value"))
     gate = (F.col("event_id") % 1000003) * F.lit(2654435761) % 1000003 % 100
     base = ev.select(
         "event_id", "value",
         F.when(gate < 80, "train").otherwise("test").alias("split"))
-    wr = W.orderBy("value", "event_id")
-    ranked = (base.filter(F.col("split") == "train")
-                  .select("value", F.row_number().over(wr).alias("rk"),
-                          F.count(F.lit(1)).over(
-                              W.rowsBetween(W.unboundedPreceding,
-                                            W.unboundedFollowing))
-                           .alias("n")))
-    rk, n = F.col("rk"), F.col("n")
-    edges = ranked.agg(
-        F.max(F.when(rk == F.ceil(0.25 * n), F.col("value"))).alias("q1"),
-        F.max(F.when(rk == F.ceil(0.50 * n), F.col("value"))).alias("q2"),
-        F.max(F.when(rk == F.ceil(0.75 * n), F.col("value"))).alias("q3"))
+    train = base.filter(F.col("split") == "train")
+    hist = train.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = (hist.withColumn("before",
+                           F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+               .crossJoin(F.broadcast(
+                   train.agg(F.count(F.lit(1)).alias("n")))))
+    before, cc, n = F.col("before"), F.col("c"), F.col("n")
+
+    def _edge(q: float):
+        k = F.ceil(q * n)
+        return F.max(F.when((before < k) & (before + cc >= k),
+                            F.col("value")))
+
+    edges = cum.agg(_edge(0.25).alias("q1"), _edge(0.50).alias("q2"),
+                    _edge(0.75).alias("q3"))
     b = base.crossJoin(F.broadcast(edges))
     v = F.col("value")
     bin_ = (F.when(v <= F.col("q1"), 0)

@@ -377,25 +377,33 @@ def agg_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the size-weighted child impurities — the one-feature screening
     pass a distributed tree trainer runs per candidate split. Every
     input is an exact count rational; the gain is one identical
-    double expression, 6 dp. Scale: one rank window for the edges
-    (two-pass bucket swap at 100 TB), then ONE conditional aggregate
-    per threshold over a 3-row broadcast — the fan-out is 3×, never
+    double expression, 6 dp. Scale (round 9, replacing the raw-row
+    rank window): the ⌈q·n⌉-th order statistic depends only on the
+    PER-VALUE histogram — group by value (map-side combinable),
+    cumulative counts over the distinct-value table (window above
+    the aggregate), and the edge is the value whose cumulative span
+    covers the target rank; then ONE conditional aggregate per
+    threshold over a 3-row broadcast — the fan-out is 3×, never
     |thresholds| scans."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & ~F.isnan("value"))
     y = F.when(F.col("event_type").isin("click", "purchase"), 1).otherwise(0)
     base = ev.select("value", y.alias("y"), "event_id")
-    wr = W.orderBy("value", "event_id")
-    ranked = base.select(
-        "value", F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(W.rowsBetween(W.unboundedPreceding,
-                                             W.unboundedFollowing))
-         .alias("n"))
-    rk, nn = F.col("rk"), F.col("n")
-    wide = ranked.agg(
-        F.max(F.when(rk == F.ceil(0.25 * nn), F.col("value"))).alias("t1"),
-        F.max(F.when(rk == F.ceil(0.50 * nn), F.col("value"))).alias("t2"),
-        F.max(F.when(rk == F.ceil(0.75 * nn), F.col("value"))).alias("t3"))
+    hist = base.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = (hist.withColumn("before",
+                           F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+               .crossJoin(F.broadcast(
+                   base.agg(F.count(F.lit(1)).alias("n")))))
+    before, cc, nn = F.col("before"), F.col("c"), F.col("n")
+
+    def _edge(q: float):
+        k = F.ceil(q * nn)
+        return F.max(F.when((before < k) & (before + cc >= k),
+                            F.col("value")))
+
+    wide = cum.agg(_edge(0.25).alias("t1"), _edge(0.50).alias("t2"),
+                   _edge(0.75).alias("t3"))
     # one edge aggregate, unpivoted — three separate aggs would re-run
     # the rank window (and its sort) once per threshold
     edges = wide.select(F.expr(

@@ -305,26 +305,33 @@ def stat_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = 2U₁/(n₁n₂) − 1 ∈ [−1, 1], the difference between the
     probability a random 'click' value exceeds a random non-click
     value and the reverse. Midranks come from the tie-correct
-    identity RANK() + (ties − 1)/2 — exact .5 rationals, summed
-    through DECIMAL(38,12); U and r are then exact
+    identity midrank(v) = (#rows < v) + (ties(v) + 1)/2 — exact .5
+    rationals, summed through DECIMAL(38,12); U and r are then exact
     rationals computed with identical IEEE ops and emitted UNROUNDED
     (win_vwap convention: quotients of short decimals land on ROUND's
-    half-grid with real probability). The global RANGE windows are
-    the fixture-honest spelling; at 100 TB midranks come from the
-    two-pass range-partitioned global index (data_global_index)."""
+    half-grid with real probability). Scale shape (round 9, replacing
+    the raw-row global RANK window): the rank sum needs only the
+    PER-VALUE histogram — group by value (map-side combinable), one
+    cumulative window over the distinct-value table (above the
+    aggregate, value-cardinality-bounded), and
+    r1 = Σ_v clicks(v)·midrank(v) — no raw fact row ever crosses a
+    global window."""
     ev = load_table(spark, sf_dir, "events")
     v = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
            .select(F.when(F.col("event_type") == "click", 1).otherwise(0)
                    .alias("grp"), "value"))
-    r = v.select(
-        "grp",
-        (F.rank().over(W.orderBy("value")).cast("double")
-         + (F.count(F.lit(1)).over(W.partitionBy("value"))
-            .cast("double") - 1.0) / 2.0).alias("midrank"))
-    s = r.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n2"),
-        F.sum(F.when(F.col("grp") == 1, F.col("midrank")).cast(_DEC))
+    pv = v.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("grp").alias("c1"))
+    w_cum = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    cum = pv.withColumn(
+        "before", F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+    midrank = (F.col("before").cast("double")
+               + (F.col("c").cast("double") + 1.0) / 2.0)
+    s = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum((F.col("c1").cast("double") * midrank).cast(_DEC))
         .cast("double").alias("r1"))
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     u1 = F.col("r1") - n1d * (F.col("n1") + 1) / 2.0

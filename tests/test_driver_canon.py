@@ -111,7 +111,18 @@ def test_spark_schema_has_no_decimal_type(name, spark, sf_dir):
     may reach the driver boundary — the driver's fetch paths represent
     it divergently (registry.py house rule). This catches a decimal
     output even when the value-level sweep happens not to sample the
-    op."""
+    op.
+
+    Round 9 (VERDICT r8 ask 5) piggybacks the GLOBAL-WINDOW plan scan
+    on the same build: every unpartitioned Window in the optimized
+    plan must sit above an Aggregate/Distinct/Limit/literal boundary —
+    a `WindowExec: No Partition Defined` over raw fact rows is the
+    single-task 100 TB faceplant this registry bans. The round-9 sweep
+    found 7 offenders (raw-row global rank/prefix-sum shortcuts) and
+    replaced them with two-pass range-partitioned constructions or
+    per-value-histogram windows; this assertion keeps the class dead."""
+    from tools.scan_global_windows import find_unbounded_global_windows
+
     df = _QUERIES[name](spark, sf_dir)
     bad = [f"{f.name}:{sub}" for f in df.schema.fields
            for sub in _decimal_fields(f.dataType)]
@@ -119,6 +130,12 @@ def test_spark_schema_has_no_decimal_type(name, spark, sf_dir):
         f"{name}: DecimalType at the driver boundary in {bad} — emit "
         f"the fixed-point STRING (dsum_dec_str) or a double/bigint "
         f"(plans/registry.py house rule).")
+    unbounded = find_unbounded_global_windows(df)
+    assert not unbounded, (
+        f"{name}: unpartitioned Window over unbounded input {unbounded}"
+        f" — use the two-pass range-partitioned global index "
+        f"(data_global_index pattern) or window over a per-value/"
+        f"per-group aggregate instead.")
 
 
 def test_oracle_schema_has_no_scaled_decimal(duck):
