@@ -126,6 +126,10 @@ GATE_IDS = [
     # planted-twin evals with full SQL oracles (VERDICT r8 ask 2)
     "dedup_fuzzy_minhash", "dedup_simhash", "dedup_minhash_cluster",
     "sim_lsh_ann", "sim_ivf_ann",
+    # round-9 additions with float outputs
+    "ml_regression_metrics", "stat_friedman_test", "win_keltner_channel",
+    "win_pivot_points", "data_group_split_entity", "seq_bigram_perplexity",
+    "agg_lorenz_curve", "feature_count_freq_encoding",
 ]
 
 
