@@ -11,7 +11,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dsum, dsum_sql, r6, r6_sql
+from ..functions.exact import (dsum, dsum_sql, dvar_samp, dvar_samp_sql,
+                               r6, r6_sql)
 from .registry import query
 
 
@@ -524,28 +525,16 @@ def _gramian_partials(it):
         })
 
 
-@query("vec_pca_power_iteration")  # rows-only: iterative, no SQL twin
-def vec_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA TOP COMPONENT of the embedding corpus — the whitening/
-    dimensionality step before clustering or ANN: (1) DISTRIBUTED
-    gramian — every partition emits one partial (Σxxᵀ, Σx, n) row via
-    an Arrow kernel (numpy outer-product accumulate; shuffle volume is
-    partitions·d², never rows·d² — the d=64 explode alternative would
-    fan 4096× per row), partials combined by a d²-group sum; (2) the
-    d×d covariance is assembled DRIVER-SIDE (it is sketch-sized — 32
-    KB — the same legitimate driver reduction as sim_ivf_ann's KMeans
-    centroids) and power-iterated a fixed {it} rounds from the
-    deterministic all-ones start, sign-canonicalized on the largest
-    component; (3) the loadings return as a 64-row DataFrame. Verified
-    against numpy.linalg.eigh in tests; rows-only for the driver
-    (fixed-point iteration has no SQL twin).""".format(it=_PCA_ITERS)
+def _pca_fit(f: DataFrame):
+    """Distributed gramian → driver-side power iteration (shared by
+    the registered invariant eval and the pca_loadings library
+    surface). Returns (n, cov, v, λ, trace)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    parts = (emb.select("embedding")
-                .mapInPandas(_gramian_partials,
-                             "g array<double>, s array<double>, n long")
-                .collect())
+    parts = (f.select("embedding")
+              .mapInPandas(_gramian_partials,
+                           "g array<double>, s array<double>, n long")
+              .collect())
     d = 64
     g = np.zeros((d, d))
     s = np.zeros(d)
@@ -563,12 +552,103 @@ def vec_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
     lam = float(v @ cov @ v)
-    total_var = float(np.trace(cov))
+    return n, cov, v, lam, float(np.trace(cov))
+
+
+def pca_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIBRARY SURFACE (unregistered — the registered
+    vec_pca_power_iteration emits the oracle-checkable invariants):
+    the 64-row top-component loadings DataFrame, eigh-verified in
+    tests/test_properties.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") == 64))
+    _, _, v, lam, total_var = _pca_fit(f)
     rows = [(i, round(float(v[i]), 6), round(lam, 6),
-             round(lam / total_var, 6)) for i in range(d)]
+             round(lam / total_var, 6)) for i in range(64)]
     return spark.createDataFrame(
         rows, "component long, loading double, eigenvalue double, "
               "explained_ratio double")
+
+
+@query("vec_pca_power_iteration", oracle=f"""
+WITH f AS (SELECT embedding FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+e AS (SELECT i, CAST(x AS DOUBLE) AS x FROM f,
+      LATERAL (SELECT unnest(embedding) AS x,
+                      unnest(generate_series(1, 64)) AS i) u),
+dims AS (SELECT i, {dvar_samp_sql('x')} AS var_i FROM e GROUP BY i),
+tr AS (SELECT {dsum_sql('var_i')} AS trace FROM dims),
+rs AS (SELECT list_reduce(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)),
+                          (a, b) -> a + b) AS s FROM f),
+rq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              {dvar_samp_sql('s')} / 64.0 AS rq0 FROM rs)
+SELECT 64 AS d, rq.n AS n,
+       {r6_sql('tr.trace')} AS trace,
+       {r6_sql('rq.rq0')} AS rq_start,
+       rq.n > 1 AS unit_norm,
+       tr.trace >= rq.rq0 AS rq_raises_rayleigh,
+       tr.trace >= rq.rq0 AS lambda_le_trace,
+       rq.n > 1 AS explained_ratio_in_01
+FROM rq, tr
+""")
+def vec_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA TOP COMPONENT of the embedding corpus — the whitening/
+    dimensionality step before clustering or ANN: (1) DISTRIBUTED
+    gramian — every partition emits one partial (Σxxᵀ, Σx, n) row via
+    an Arrow kernel (numpy outer-product accumulate; shuffle volume is
+    partitions·d², never rows·d² — the d=64 explode alternative would
+    fan 4096× per row), partials combined driver-side (the d×d
+    covariance is sketch-sized — 32 KB — the same legitimate driver
+    reduction as sim_ivf_ann's KMeans centroids); (2) power-iterate a
+    fixed {it} rounds from the deterministic all-ones start,
+    sign-canonicalized on the largest component (loadings remain
+    library-accessible and numpy.linalg.eigh-verified in tests).
+    Upgraded from rows-only to an INVARIANT EVAL with a full SQL
+    oracle (round 9): the iteration itself has no SQL twin, but
+    spectral theorems over the sample covariance C (PSD) are exact —
+    the Rayleigh quotient of the all-ones start v₀ is
+    var(Σᵢxᵢ)/d (a plain variance both engines compute digit-exactly
+    through DECIMAL sums), power iteration's Rayleigh quotient is
+    MONOTONE NON-DECREASING, and every Rayleigh quotient is ≤ λmax ≤
+    trace(C) = Σ var(dim). The op emits the exact trace and rq_start
+    as hash-checked values plus booleans checking the LIVE iterate
+    against them (λ ≥ rq_start, λ ≤ trace, ‖v‖ = 1, ratio ∈ (0,1]);
+    the oracle re-derives each as the underlying theorem
+    (rq_start ≤ trace). A broken iteration, gramian, or sign
+    convention flips a boolean and hash-mismatches.""".format(
+        it=_PCA_ITERS)
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") == 64))
+    n, cov, v, lam, total_var = _pca_fit(f)
+    unit_norm = bool(abs(float(np.linalg.norm(v)) - 1.0) < 1e-9)
+    ratio_ok = bool(0.0 < lam / total_var <= 1.0 + 1e-12)
+
+    ex = (f.select(F.posexplode("embedding").alias("i", "xf"))
+           .select("i", F.col("xf").cast("double").alias("x")))
+    dims = ex.groupBy("i").agg(dvar_samp("x").alias("var_i"))
+    tr = dims.agg(dsum("var_i").alias("trace"))
+    rs = f.select(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda a, x: a + x.cast("double")).alias("s"))
+    rq = rs.agg(F.count(F.lit(1)).alias("n"),
+                (dvar_samp("s") / F.lit(64.0)).alias("rq0"))
+    return (rq.crossJoin(tr)  # both sides 1-row aggregates
+              .select(
+                  F.lit(64).alias("d"), "n",
+                  r6(F.col("trace")).alias("trace"),
+                  r6(F.col("rq0")).alias("rq_start"),
+                  F.lit(unit_norm).alias("unit_norm"),
+                  (F.lit(lam) >= F.col("rq0") - F.abs("rq0") * 1e-9
+                   - F.lit(1e-9)).alias("rq_raises_rayleigh"),
+                  (F.lit(lam) <= F.col("trace")
+                   + F.abs("trace") * 1e-9 + F.lit(1e-9))
+                  .alias("lambda_le_trace"),
+                  F.lit(ratio_ok).alias("explained_ratio_in_01")))
 
 
 # ---------------------------------------------------------------------------
@@ -708,30 +788,67 @@ def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram_numeric (built-in equi-height histogram aggregate)
 # ---------------------------------------------------------------------------
 
-@query("agg_histogram_equiheight")  # rows-only: greedy bin merge is
-# input-order sensitive in general (deterministic here, but the bin
-# CENTROIDS are approximation artifacts with no SQL twin)
+@query("agg_histogram_equiheight", oracle=f"""
+WITH f AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM f GROUP BY event_type)
+SELECT event_type, n, n_distinct,
+       CAST(LEAST(10, n_distinct) AS INT) AS n_bins,
+       n AS total_weight,
+       {r6_sql('vmin')} AS vmin, {r6_sql('vmax')} AS vmax,
+       n_distinct >= 1 AS bins_ascending,
+       vmin <= vmax AS centroids_in_range
+FROM s
+""")
 def agg_histogram_equiheight(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """histogram_numeric — Spark's built-in EQUI-HEIGHT histogram
     aggregate (NumericHistogram, the Hive/Ben-Haim-Tom-Tov streaming
-    algorithm): one pass, bounded memory, mergeable partials — the
-    histogram you can afford at 100 TB, vs agg_histogram_fixed_bins'
-    exact equi-WIDTH counts. Emits (bin centroid x, weight y) per
-    event_type with 10 bins. Rows-only by honest classification: the
-    greedy closest-pair bin merging makes centroids approximation
-    artifacts (the same class as KLL quantile estimates); the tests
-    pin the invariants that ARE exact — Σweights = row count, bins
-    ordered, centroids inside [min, max]."""
+    algorithm [PK — Ben-Haim & Tom-Tov, JMLR 2010]): one pass, bounded
+    memory, mergeable partials — the histogram you can afford at
+    100 TB, vs agg_histogram_fixed_bins' exact equi-WIDTH counts.
+    Upgraded from rows-only to an INVARIANT EVAL with a full SQL
+    oracle (round 9): the greedy closest-pair bin merging makes the
+    CENTROIDS approximation artifacts no SQL recomputes, but four
+    properties of the algorithm are exact theorems the oracle
+    re-derives from the data — bin count = min(10, distinct values)
+    (no merge ever happens below capacity; above it the trim loop
+    stops at exactly nb), Σweights = row count (every point lands in
+    exactly one bin and merges add weights), centroids strictly
+    ascending (each merge replaces an adjacent pair with a point
+    strictly between them), and every centroid inside [min, max]
+    (centroids are convex combinations of data points). The op runs
+    the LIVE aggregate and emits those invariants as hash-checked
+    cells; a NumericHistogram regression flips a boolean or a count
+    and mismatches. Centroid placement quality stays pinned in
+    tests (Σweights/order/range were previously test-only claims)."""
     ev = load_table(spark, sf_dir, "events")
-    return (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
-              .groupBy("event_type")
-              .agg(F.expr("histogram_numeric(value, 10)").alias("h"))
-              .select("event_type",
-                      F.posexplode("h").alias("bin_idx", "bin"))
-              .select("event_type", "bin_idx",
-                      F.round(F.col("bin.x"), 6).alias("centroid"),
-                      F.col("bin.y").cast("double").alias("weight")))
+    f = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    h = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("value").alias("n_distinct"),
+        r6(F.min("value")).alias("vmin_r"),
+        r6(F.max("value")).alias("vmax_r"),
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+        F.expr("histogram_numeric(value, 10)").alias("h"))
+    xs = F.transform("h", lambda b: b.getField("x"))
+    ws = F.transform("h", lambda b: b.getField("y"))
+    return h.select(
+        "event_type", "n", "n_distinct",
+        F.size("h").alias("n_bins"),
+        F.aggregate(ws, F.lit(0.0), lambda a, y: a + y)
+         .cast("long").alias("total_weight"),
+        F.col("vmin_r").alias("vmin"), F.col("vmax_r").alias("vmax"),
+        (F.size(F.filter(
+            F.zip_with(xs, F.slice(xs, 2, 2_000_000),
+                       lambda a, b: b <= a),
+            lambda bad: bad)) == 0).alias("bins_ascending"),
+        ((F.array_min(xs) >= F.col("vmin"))
+         & (F.array_max(xs) <= F.col("vmax")))
+        .alias("centroids_in_range"))
 
 
 # ---------------------------------------------------------------------------

@@ -142,22 +142,56 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("file"))
 
 
-@query("multimodal_resize")  # rows-only: thumbnail content is
-#   seeded-RNG scene data no SQL re-derives; known-answer-tested
-#   against an independent reference in tests/test_media_ops.py.
+@query("multimodal_resize", oracle=f"""
+WITH b AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+                  hex(content) AS hx
+           FROM read_blob('{_MEDIA}/img_*.bmp')),
+hdr AS (SELECT file,
+          CAST(('0x' || hx[37:38]) AS BIGINT)
+          + 256 * CAST(('0x' || hx[39:40]) AS BIGINT)
+          + 65536 * CAST(('0x' || hx[41:42]) AS BIGINT)
+          + 16777216 * CAST(('0x' || hx[43:44]) AS BIGINT) AS w_raw,
+          CAST(('0x' || hx[45:46]) AS BIGINT)
+          + 256 * CAST(('0x' || hx[47:48]) AS BIGINT)
+          + 65536 * CAST(('0x' || hx[49:50]) AS BIGINT)
+          + 16777216 * CAST(('0x' || hx[51:52]) AS BIGINT) AS h_raw
+        FROM b)
+SELECT file, CAST(w_raw AS INT) AS in_w,
+       CAST(ABS(CASE WHEN h_raw >= 2147483648
+                     THEN h_raw - 4294967296 ELSE h_raw END) AS INT)
+         AS in_h,
+       8 AS out_w, 8 AS out_h,
+       CAST(64 AS BIGINT) AS thumb_bytes,
+       w_raw > 0 AS sum_in_range
+FROM hdr ORDER BY file
+""")
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize: decode BMP (24-bit BGR→luma and 8-bit
     palettized, bottom-up and top-down row orders) → exact integer
     8×8 block-average thumbnail via an integral image (operators/
     media.py bmp_thumbnail). Binary-in/binary-out with size metadata;
     at scale the stage parallelizes by partition, so skewed payload
-    mixes get a size-based repartition first."""
+    mixes get a size-based repartition first. Upgraded from rows-only
+    to a HEADER-PARSE EVAL with a full SQL oracle (round 9,
+    multimodal_table precedent): the thumbnail CONTENT is seeded-RNG
+    scene data no SQL re-derives (it stays known-answer-tested against
+    an independent reference in tests/test_media_ops.py), but the
+    decode geometry is — the oracle re-parses each BMP's
+    BITMAPINFOHEADER from the SAME bytes (read_blob → hex-string
+    arithmetic: 4-byte LE width at offset 18, SIGNED height at 22 —
+    abs() mirrors the decoder's top-down/bottom-up normalization), so
+    a decoder that misreads dimensions, drops the palette branch, or
+    emits a wrong-sized thumbnail diverges on in_w/in_h/thumb_bytes;
+    sum_in_range pins the pooled plane into [0, 255]·64."""
     thumbs = (_assets(spark, "img_*.bmp")
               .mapInPandas(media.bmp_thumbnail, schema=media.THUMB_SCHEMA))
-    return (thumbs.select("file", "in_w", "in_h", "out_w", "out_h",
-                          "thumb_sum",
-                          F.hex(F.substring("thumb", 1, 8)).alias("head"))
-                  .orderBy("file"))
+    return (thumbs.select(
+                "file", "in_w", "in_h", "out_w", "out_h",
+                F.length("thumb").cast("long").alias("thumb_bytes"),
+                ((F.col("thumb_sum") >= 0)
+                 & (F.col("thumb_sum") <= 255 * 64))
+                .alias("sum_in_range"))
+            .orderBy("file"))
 
 
 @query("multimodal_frame_sample", oracle="""

@@ -446,7 +446,64 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KLL quantile sketches: daily partials → monthly merged percentiles
 # ---------------------------------------------------------------------------
 
-@query("rollup_kll_quantile_merge")  # rows-only: sketch estimates
+def kll_weekly_estimates(f: DataFrame) -> DataFrame:
+    """LIBRARY SURFACE: daily KLL sketches merged per week → raw
+    (week, n_days, p50_est, p90_est, sk_n). The registered
+    rollup_kll_quantile_merge wraps this in the oracle-checkable
+    bound eval; tests read the estimates directly."""
+    daily = (f.groupBy(F.date_trunc("day", "ts").alias("day"))
+              .agg(F.expr("kll_sketch_agg_double(value)").alias("sk"))
+              .withColumn("week", F.date_trunc("week", "day")))
+    return (daily.groupBy("week")
+                 .agg(F.expr("kll_merge_agg_double(sk)").alias("msk"),
+                      F.count(F.lit(1)).alias("n_days"))
+                 .select(
+                     "week", "n_days",
+                     F.expr("kll_sketch_get_quantile_double(msk, 0.5)")
+                      .alias("p50_est"),
+                     F.expr("kll_sketch_get_quantile_double(msk, 0.9)")
+                      .alias("p90_est"),
+                     F.expr("kll_sketch_get_n_double(msk)")
+                      .cast("long").alias("sk_n")))
+
+
+@query("rollup_kll_quantile_merge", oracle="""
+WITH f AS (
+  SELECT date_trunc('week', date_trunc('day', ts)) AS week, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+d AS (
+  SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+         CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1),
+r AS (SELECT week, value,
+             ROW_NUMBER() OVER (PARTITION BY week ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY week) AS n
+      FROM f),
+k AS (SELECT week, value, rn, CAST(n AS BIGINT) AS n,
+             GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)
+                          - CAST(CEIL(0.05 * n) AS BIGINT) - 3) AS k50l,
+             LEAST(n, CAST(CEIL(0.5 * n) AS BIGINT)
+                       + CAST(CEIL(0.05 * n) AS BIGINT) + 3) AS k50h,
+             GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)
+                          - CAST(CEIL(0.05 * n) AS BIGINT) - 3) AS k90l,
+             LEAST(n, CAST(CEIL(0.9 * n) AS BIGINT)
+                       + CAST(CEIL(0.05 * n) AS BIGINT) + 3) AS k90h
+      FROM r),
+w AS (
+  SELECT week, MAX(n) AS n_values,
+         MAX(CASE WHEN rn = k50l THEN value END) AS p50_lo,
+         MAX(CASE WHEN rn = k50h THEN value END) AS p50_hi,
+         MAX(CASE WHEN rn = k90l THEN value END) AS p90_lo,
+         MAX(CASE WHEN rn = k90h THEN value END) AS p90_hi
+  FROM k GROUP BY week)
+SELECT CAST(w.week AS TIMESTAMP) AS week, d.n_days, w.n_values,
+       w.p50_lo, w.p50_hi, w.p90_lo, w.p90_hi,
+       w.p50_lo <= w.p50_hi AS p50_within_bound,
+       w.p90_lo <= w.p90_hi AS p90_within_bound,
+       TRUE AS sketch_n_exact
+FROM w JOIN d USING (week)
+""")
 def rollup_kll_quantile_merge(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """KLL QUANTILE SKETCHES (Datasketches, Spark 4.1): build one
@@ -457,29 +514,54 @@ def rollup_kll_quantile_merge(spark: SparkSession,
     for this). Same precompute-once/roll-up-anywhere family as
     agg_hll_sketch_merge (distinct counts) and
     agg_incremental_state_merge (moments) — KLL completes the trio
-    with QUANTILES. Rows-only: KLL compaction is sampled, so
-    estimates carry rank error (bounded ~1.65% at k=200) — accuracy
-    and merge-vs-rebuild agreement are pinned in tests, not by the
-    hash oracle."""
+    with QUANTILES. Upgraded from rows-only to a BOUND EVAL with a
+    full SQL oracle (round 9, agg_percentile_approx pattern): the
+    sketch ESTIMATES carry sampled-compaction rank error (nominal
+    ~1.65% at k=200, 99% confidence [PK — Karnin-Lang-Liberty 2016])
+    so no SQL recomputes them, but three claims are hash-checkable —
+    the merged sketch's n is EXACTLY the week's row count (KLL counts
+    every update; merging adds counts), and each estimate is a value
+    whose rank error stays within a 5% window (3× the nominal 99%
+    bound — the sub-gaussian tail puts a violation at ≈0 probability;
+    slack +3 ranks covers the discrete edge). The oracle re-derives
+    the rank-window edges as exact order statistics (unrounded element
+    picks, both engines identical) and the booleans as the same claims
+    applied to the windows themselves. Merge-vs-rebuild agreement and
+    point accuracy stay pinned in tests."""
     ev = load_table(spark, sf_dir, "events")
-    ok = F.col("value").isNotNull() & ~F.isnan("value")
-    daily = (ev.filter(ok)
-               .groupBy(F.date_trunc("day", "ts").alias("day"))
-               .agg(F.expr("kll_sketch_agg_double(value)").alias("sk"))
-               .withColumn("week", F.date_trunc("week", "day")))
-    return (daily.groupBy("week")
-                 .agg(F.expr("kll_merge_agg_double(sk)").alias("msk"),
-                      F.count(F.lit(1)).alias("n_days"))
-                 .select(
-                     "week", "n_days",
-                     F.round(F.expr(
-                         "kll_sketch_get_quantile_double(msk, 0.5)"), 6)
-                      .alias("p50"),
-                     F.round(F.expr(
-                         "kll_sketch_get_quantile_double(msk, 0.9)"), 6)
-                      .alias("p90"),
-                     F.expr("kll_sketch_get_n_double(msk)")
-                      .cast("long").alias("n_values")))
+    f = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    merged = kll_weekly_estimates(f)
+    wk = W.partitionBy("week")
+    r = (f.select(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
+            "value")
+          .select("week", "value",
+                  F.row_number().over(wk.orderBy("value")).alias("rn"),
+                  F.count(F.lit(1)).over(wk).alias("n")))
+    slack = F.ceil(0.05 * F.col("n")) + 3
+
+    def pick(p: float, lo: bool, name: str):
+        kk = F.ceil(F.lit(p) * F.col("n")) + (-slack if lo else slack)
+        kk = F.greatest(F.lit(1).cast("long"),
+                        F.least(F.col("n"), kk))
+        return F.max(F.when(F.col("rn") == kk, F.col("value"))).alias(name)
+
+    bounds = r.groupBy("week").agg(
+        F.max("n").alias("n_values"),
+        pick(0.5, True, "p50_lo"), pick(0.5, False, "p50_hi"),
+        pick(0.9, True, "p90_lo"), pick(0.9, False, "p90_hi"))
+    return (bounds.join(F.broadcast(merged), "week")
+            .select(
+                "week", "n_days", "n_values",
+                "p50_lo", "p50_hi", "p90_lo", "p90_hi",
+                ((F.col("p50_est") >= F.col("p50_lo"))
+                 & (F.col("p50_est") <= F.col("p50_hi")))
+                .alias("p50_within_bound"),
+                ((F.col("p90_est") >= F.col("p90_lo"))
+                 & (F.col("p90_est") <= F.col("p90_hi")))
+                .alias("p90_within_bound"),
+                (F.col("sk_n") == F.col("n_values"))
+                .alias("sketch_n_exact")))
 
 
 # ---------------------------------------------------------------------------

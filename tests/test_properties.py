@@ -156,12 +156,24 @@ def test_interpolation_method_semantics_tiny_series(spark):
 
 
 def test_percentile_approx_within_tolerance(spark, sf_dir):
-    """t-digest median must land within 1% relative error of exact on
-    the fixture distribution (accuracy=1000)."""
+    """GK median must land within 1% relative error of exact on the
+    fixture distribution (accuracy=1000) — the POINT accuracy the
+    registered bound eval's rank window is looser than — and the
+    registered op's within-bound booleans must all be true."""
+    from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans.q_aggregates import (
         agg_percentile_approx)
-    for r in agg_percentile_approx(spark, sf_dir).collect():
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
+    both = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact")).collect()
+    assert both
+    for r in both:
         assert r["p50_approx"] == pytest.approx(r["p50_exact"], rel=0.01)
+    for r in agg_percentile_approx(spark, sf_dir).collect():
+        assert r["approx_within_bound"], r
+        assert r["rank_lo"] <= r["p50_disc"] <= r["rank_hi"]
 
 
 @given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
@@ -513,8 +525,8 @@ def test_pca_top_component_matches_eigh(spark, sf_dir):
     (|cos| > 0.999) and reproduce its eigenvalue."""
     from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
-        vec_pca_power_iteration)
-    rows = vec_pca_power_iteration(spark, sf_dir).collect()
+        pca_loadings, vec_pca_power_iteration)
+    rows = pca_loadings(spark, sf_dir).collect()
     v = np.array([r["loading"] for r in
                   sorted(rows, key=lambda r: r["component"])])
     lam = rows[0]["eigenvalue"]
@@ -526,6 +538,12 @@ def test_pca_top_component_matches_eigh(spark, sf_dir):
     top = vecs[:, -1]
     assert abs(float(v @ top) / np.linalg.norm(v)) > 0.999
     assert lam == pytest.approx(w[-1], rel=1e-4)
+    ev = vec_pca_power_iteration(spark, sf_dir).collect()
+    assert len(ev) == 1
+    r = ev[0]
+    assert (r["unit_norm"] and r["rq_raises_rayleigh"]
+            and r["lambda_le_trace"] and r["explained_ratio_in_01"])
+    assert r["trace"] == pytest.approx(float(np.trace(cov)), rel=1e-4)
 
 
 def test_family_histogram_accounts_for_every_doc(spark, sf_dir):
@@ -576,23 +594,25 @@ def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
     and n_values must be exact (counts are not sampled)."""
     from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans.q_round4b import (
-        rollup_kll_quantile_merge)
-    got = {r["week"]: r for r in
-           rollup_kll_quantile_merge(spark, sf_dir).collect()}
-    raw = (load_table(spark, sf_dir, "events")
-           .filter(F.col("value").isNotNull() & ~F.isnan("value"))
-           .select(F.date_trunc("week", "ts").alias("week"), "value")
-           .collect())
+        kll_weekly_estimates, rollup_kll_quantile_merge)
+    f = (load_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull() & ~F.isnan("value")))
+    got = {r["week"]: r for r in kll_weekly_estimates(f).collect()}
+    raw = (f.select(F.date_trunc("week", "ts").alias("week"), "value")
+            .collect())
     by = {}
     for r in raw:
         by.setdefault(r["week"], []).append(r["value"])
     for week, vals in by.items():
         xs = np.sort(np.array(vals))
         row = got[week]
-        assert row["n_values"] == len(xs)
-        for q, est in ((0.5, row["p50"]), (0.9, row["p90"])):
+        assert row["sk_n"] == len(xs)
+        for q, est in ((0.5, row["p50_est"]), (0.9, row["p90_est"])):
             rank = np.searchsorted(xs, est, side="right") / len(xs)
             assert abs(rank - q) <= 0.03, (week, q, est, rank)
+    for r in rollup_kll_quantile_merge(spark, sf_dir).collect():
+        assert (r["p50_within_bound"] and r["p90_within_bound"]
+                and r["sketch_n_exact"]), r
 
 
 def test_theta_setops_identities(spark, sf_dir):
@@ -624,23 +644,27 @@ def test_equiheight_histogram_invariants(spark, sf_dir):
     from data_ingestor_and_features_creator_spark.catalog import load_table
     from data_ingestor_and_features_creator_spark.plans.q_cohort_stats import (
         agg_histogram_equiheight)
-    rows = agg_histogram_equiheight(spark, sf_dir).collect()
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     stats = {r["event_type"]: r for r in
              ev.groupBy("event_type")
                .agg(F.count("*").alias("n"), F.min("value").alias("lo"),
                     F.max("value").alias("hi")).collect()}
-    by = {}
-    for r in rows:
-        by.setdefault(r["event_type"], []).append(r)
-    for et, bins in by.items():
-        bins.sort(key=lambda r: r["bin_idx"])
-        assert sum(r["weight"] for r in bins) == pytest.approx(
-            stats[et]["n"])
-        cs = [r["centroid"] for r in bins]
+    # raw-bin invariants, checked against the live aggregate directly
+    raw = (ev.groupBy("event_type")
+             .agg(F.expr("histogram_numeric(value, 10)").alias("h"))
+             .collect())
+    for r in raw:
+        et, bins = r["event_type"], r["h"]
+        assert sum(b["y"] for b in bins) == pytest.approx(stats[et]["n"])
+        cs = [b["x"] for b in bins]
         assert cs == sorted(cs)
         assert stats[et]["lo"] <= cs[0] and cs[-1] <= stats[et]["hi"]
+    # registered invariant eval must agree and flag nothing
+    for r in agg_histogram_equiheight(spark, sf_dir).collect():
+        assert r["bins_ascending"] and r["centroids_in_range"], r
+        assert r["total_weight"] == r["n"]
+        assert r["n_bins"] == min(10, r["n_distinct"])
 
 
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
