@@ -130,6 +130,13 @@ GATE_IDS = [
     "ml_regression_metrics", "stat_friedman_test", "win_keltner_channel",
     "win_pivot_points", "data_group_split_entity", "seq_bigram_perplexity",
     "agg_lorenz_curve", "feature_count_freq_encoding",
+    # round-9 session 2: former rows-only upgrades (bound/invariant/
+    # header-parse evals) + the q_round9b batch
+    "agg_percentile_approx", "agg_histogram_equiheight",
+    "rollup_kll_quantile_merge", "vec_pca_power_iteration",
+    "stat_changepoint_pettitt", "feature_vif", "causal_did_estimator",
+    "causal_iptw_subclass", "ltv_cohort_triangle", "ts_granger_lite",
+    "win_hampel_filter", "dq_quarantine_dlq",
 ]
 
 

@@ -52,8 +52,9 @@ def main() -> int:
         "# OPERATORS — generated inventory (tools/gen_inventory.py)",
         "",
         f"{len(rows)} registered queries; {n_sql} with DuckDB SQL oracle "
-        f"twins, {len(rows) - n_sql} rows-only (approx/sketch/iterative/"
-        "binary/stream-state ops). Regenerate with "
+        f"twins, {len(rows) - n_sql} rows-only (the HRV FFT/nonlinear "
+        "kernels — genuinely SQL-inexpressible, known-answer-tested "
+        "instead). Regenerate with "
         "`python tools/gen_inventory.py` after adding operators.",
         "",
         "| id | impl | oracle | summary |",
