@@ -390,8 +390,13 @@ def ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the AGGREGATED triangle (cohorts×ages — bounded), and
     the per-customer LTV is an exact-integer ratio emitted unrounded.
     Scale: first-order lookup is a groupBy on the join key, so the
-    fact join co-partitions; cohort_size joins a tiny dimension
-    (broadcast)."""
+    fact join co-partitions (AQE broadcasts the build side only when
+    it measures small); cohort_size is NOT a second orders scan — by
+    construction every cohort customer has an order at age 0 (its
+    first month), so cohort_size = active_customers at age 0, read
+    off the bounded triangle with a window (the oracle independently
+    recomputes it from the DEFINITION — min-month groupBy — so the
+    theorem itself is hash-checked)."""
     o = (load_table(spark, sf_dir, "orders")
          .select("o_custkey",
                  (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
@@ -399,8 +404,6 @@ def ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("o_totalprice") * 100).cast("long")
                  .alias("cents")))
     first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
-    size = (first.groupBy("cohort_m")
-                 .agg(F.count(F.lit(1)).alias("cohort_size")))
     j = (o.join(first, "o_custkey")
           .select("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"),
                   "cents", "o_custkey"))
@@ -408,10 +411,13 @@ def ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).alias("n_orders"),
                F.countDistinct("o_custkey").alias("active_customers"),
                F.sum("cents").alias("rev_cents")))
+    byc = W.partitionBy("cohort_m")
     cum = (F.sum("rev_cents")
-            .over(W.partitionBy("cohort_m").orderBy("age")
-                   .rowsBetween(W.unboundedPreceding, W.currentRow)))
-    return (g.join(F.broadcast(size), "cohort_m")
+            .over(byc.orderBy("age")
+                     .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    size = F.max(F.when(F.col("age") == 0, F.col("active_customers"))
+                 ).over(byc)
+    return (g.withColumn("cohort_size", size)
              .select(
                  F.make_date((F.col("cohort_m") / 12).cast("int"),
                              (F.col("cohort_m") % 12 + 1).cast("int"),
