@@ -137,6 +137,9 @@ GATE_IDS = [
     "stat_changepoint_pettitt", "feature_vif", "causal_did_estimator",
     "causal_iptw_subclass", "ltv_cohort_triangle", "ts_granger_lite",
     "win_hampel_filter", "dq_quarantine_dlq",
+    "ml_learning_curve", "time_downsample_m4", "geo_grid_dbscan",
+    "stat_js_divergence", "stat_welch_anova", "agg_retention_half_life",
+    "win_rolling_beta", "win_rolling_distinct_users",
 ]
 
 
