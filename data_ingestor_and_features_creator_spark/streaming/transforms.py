@@ -180,3 +180,29 @@ def stream_stream_purchase_click_outer(events: DataFrame,
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
+
+
+def m4_windowed(events: DataFrame) -> DataFrame:
+    """M4 downsampling per (event_type, 1 h tumbling window): exact
+    FIRST/LAST/MIN/MAX picks via struct-ordered aggregates (value
+    ties → earliest min / latest max; the time_downsample_m4
+    total-order rule). Plain aggregates, so the identical code runs
+    as a streaming windowed aggregation (state store) and a batch
+    hash aggregate — the dashboard-tile reduction computed ON the
+    stream instead of after landing."""
+    ok = F.col("value").isNotNull() & ~F.isnan("value")
+    e = (events.filter(ok)
+               .withColumn("us", F.unix_micros("ts")))
+    w = F.window("ts", "1 hour")
+    return (e.groupBy(w, "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min(F.struct("us", "event_id", "value")).alias("pf"),
+                  F.max(F.struct("us", "event_id", "value")).alias("pl"),
+                  F.min(F.struct("value", "us", "event_id")).alias("pmn"),
+                  F.max(F.struct("value", "us", "event_id")).alias("pmx"))
+             .select(F.unix_micros(F.col("window.start")).alias("ws_us"),
+                     "event_type", "n",
+                     F.col("pf.value").alias("v_first"),
+                     F.col("pl.value").alias("v_last"),
+                     F.col("pmn.value").alias("v_min"),
+                     F.col("pmx.value").alias("v_max")))

@@ -140,6 +140,8 @@ GATE_IDS = [
     "ml_learning_curve", "time_downsample_m4", "geo_grid_dbscan",
     "stat_js_divergence", "stat_welch_anova", "agg_retention_half_life",
     "win_rolling_beta", "win_rolling_distinct_users",
+    "stream_m4_downsample", "sql_except_intersect",
+    "maintain_analyze_stats", "funnel_time_to_convert",
 ]
 
 

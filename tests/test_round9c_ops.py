@@ -185,3 +185,57 @@ def test_rolling_distinct_users_bruteforce(spark, sf_dir):
         win = pdf[(pdf.day >= lo) & (pdf.day <= d)]
         assert got[str(d)]["wau"] == win.user_id.nunique()
         assert got[str(d)]["dau"] == pdf[pdf.day == d].user_id.nunique()
+
+
+def test_except_intersect_identities(spark, sf_dir):
+    """Set-op algebra on the registered result: except ∪ intersect =
+    distinct(open); multiset counts dominate their distinct twins."""
+    from data_ingestor_and_features_creator_spark.plans.q_round9d import (
+        sql_except_intersect)
+    rows = q = sql_except_intersect(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["op"], {})[r["o_custkey"]] = r["multiplicity"]
+    exc, inter = set(by.get("except", {})), set(by.get("intersect", {}))
+    exc_all = by.get("except_all", {})
+    int_all = by.get("intersect_all", {})
+    assert not (exc & inter)
+    assert set(exc_all) >= exc
+    assert set(int_all) == inter  # intersect-all keys = intersect keys
+    for k in inter:
+        assert int_all[k] >= 1
+    for r in rows:
+        assert r["multiplicity"] >= 1
+
+
+def test_funnel_ttc_brute_force(spark, sf_dir):
+    """p50/p90 delays must equal numpy rank picks over the per-user
+    first-signup→first-subsequent-purchase delays."""
+    import datetime as dt  # noqa: F401
+    from data_ingestor_and_features_creator_spark.plans.q_round9d import (
+        funnel_time_to_convert)
+    pdf = (load_table(spark, sf_dir, "events")
+           .filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isin("signup", "purchase"))
+           .select("user_id", "event_type",
+                   F.unix_micros("ts").alias("us")).toPandas())
+    delays = []
+    n_signup = 0
+    for uid, g in pdf.groupby("user_id"):
+        s = g[g.event_type == "signup"].us
+        if s.empty:
+            continue
+        n_signup += 1
+        s0 = s.min()
+        p = g[(g.event_type == "purchase") & (g.us >= s0)].us
+        if not p.empty:
+            delays.append(int(p.min() - s0))
+    delays.sort()
+    r = funnel_time_to_convert(spark, sf_dir).collect()[0]
+    assert r["n_signup_users"] == n_signup
+    assert r["n_converted"] == len(delays)
+    if delays:
+        assert r["p50_delay_us"] == delays[
+            int(np.ceil(0.5 * len(delays))) - 1]
+        assert r["p90_delay_us"] == delays[
+            int(np.ceil(0.9 * len(delays))) - 1]

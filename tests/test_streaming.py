@@ -523,3 +523,15 @@ def test_stream_mor_upsert_kill_resume_on_checkpoint(spark, sf_dir,
         elif eid % 25 == 7:
             want[eid] += 2000.0
     assert got == want
+
+
+def test_m4_windowed_batch_equals_stream(spark, sf_dir, ev_batch,
+                                         ev_stream):
+    """Round-9d: the M4 windowed reduction must be identical via
+    spark.read and readStream + availableNow (complete mode — plain
+    windowed aggregation, no watermark needed for the bounded
+    replay), transferring the DuckDB oracle to the stream path."""
+    batch = _rows(transforms.m4_windowed(ev_batch))
+    stream = _rows(runner.run_available_now(
+        transforms.m4_windowed(ev_stream), output_mode="complete"))
+    assert batch == stream
