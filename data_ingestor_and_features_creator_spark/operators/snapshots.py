@@ -561,3 +561,135 @@ def compact_dvs(spark: SparkSession, table_dir: str) -> int:
                                   token=uuid.uuid4().hex[:12])
     _publish_manifest(table_dir, version, clean + new_files)
     return version
+
+
+# ---------------------------------------------------------------------------
+# Named refs (tags / branches) and rollback — the Iceberg refs surface
+# ---------------------------------------------------------------------------
+
+_REFS_DIR = "_refs"
+
+
+class RefExists(Exception):
+    """Raised when creating a TAG whose name is already taken — tags
+    are immutable by contract (the Iceberg tag semantics [PK])."""
+
+
+def _ref_path(table_dir: str, kind: str, name: str) -> str:
+    assert kind in ("tag", "branch"), kind
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad ref name: {name!r}")
+    return os.path.join(table_dir, _REFS_DIR, f"{kind}-{name}.json")
+
+
+def _write_ref(path: str, payload: dict, exclusive: bool) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        if exclusive:
+            # tags: put-if-absent (os.link EEXIST), like the manifest CAS
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise RefExists(f"tag already exists: {path}")
+        else:
+            # branches: atomic last-writer-wins replace
+            os.replace(tmp, path)
+            return
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def create_tag(table_dir: str, name: str,
+               version: int | None = None) -> int:
+    """Pin an IMMUTABLE name to a version (default: current head) —
+    the Iceberg tag [PK]: 'the dataset release we trained run X on'.
+    Creating an existing tag raises RefExists; a tag never moves.
+    Tagged versions should be excluded from retention GC by policy
+    (vacuum only ever removes files referenced by NO manifest, so a
+    tag's manifest keeps its files live by construction here)."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed in {table_dir}")
+    _write_ref(_ref_path(table_dir, "tag", name),
+               {"type": "tag", "name": name, "version": v},
+               exclusive=True)
+    return v
+
+
+def set_branch(table_dir: str, name: str,
+               version: int | None = None) -> int:
+    """Point a MUTABLE branch name at a version (default: head).
+    Atomic replace (os.replace), last writer wins — branch advance is
+    a pointer move, never a data operation."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed in {table_dir}")
+    _write_ref(_ref_path(table_dir, "branch", name),
+               {"type": "branch", "name": name, "version": v},
+               exclusive=False)
+    return v
+
+
+def resolve_ref(table_dir: str, ref: str) -> int:
+    """Resolve a ref string to a version: 'tag:name', 'branch:name',
+    or a bare name (tag wins over branch on collision — tags are the
+    immutable citation form)."""
+    if ":" in ref:
+        kind, _, name = ref.partition(":")
+        paths = [_ref_path(table_dir, kind, name)]
+    else:
+        paths = [_ref_path(table_dir, "tag", ref),
+                 _ref_path(table_dir, "branch", ref)]
+    for p in paths:
+        if os.path.exists(p):
+            with open(p) as fh:
+                return int(json.load(fh)["version"])
+    raise FileNotFoundError(f"no such ref {ref!r} in {table_dir}")
+
+
+def read_ref(spark: SparkSession, table_dir: str, ref: str,
+             merge_schema: bool = False) -> DataFrame:
+    """read_snapshot at a named ref — `SELECT ... VERSION AS OF tag`."""
+    return read_snapshot(spark, table_dir,
+                         version=resolve_ref(table_dir, ref),
+                         merge_schema=merge_schema)
+
+
+def rollback(table_dir: str, to_version: int,
+             max_retries: int = 5) -> int:
+    """Restore the table to ``to_version``'s state AS A NEW COMMIT
+    (the Iceberg rollback semantics [PK]): the new head's manifest is
+    a copy of the target's file list + DVs, so history is preserved
+    (the bad versions remain time-travelable for forensics) and no
+    data file is read, written, or deleted — rollback is O(manifest),
+    not O(data), at any table size. Publishes through the same
+    put-if-absent CAS loop as commit_files."""
+    versions = snapshot_versions(table_dir)
+    if to_version not in versions:
+        raise ValueError(
+            f"version {to_version} not committed in {table_dir}")
+    target = read_manifest(table_dir, to_version)
+    version = 0
+    for _ in range(max_retries + 1):
+        head = snapshot_versions(table_dir)
+        version = max(version + 1, head[-1] + 1)
+        try:
+            _publish_manifest(table_dir, version, target["files"],
+                              dvs=target.get("dvs"))
+            return version
+        except VersionConflict:
+            continue
+    raise VersionConflict(
+        f"gave up after {max_retries} rebases on {table_dir}")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
 from ..streaming import transforms
 from .registry import query
 
@@ -257,3 +258,82 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n_su.crossJoin(F.broadcast(agg))  # two scalar aggregates
                 .select("n_signup_users", "n_converted",
                         "p50_delay_us", "p90_delay_us"))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot refs (tags / branches) + rollback
+# ---------------------------------------------------------------------------
+
+@query("snapshot_refs_rollback", oracle=f"""
+WITH ab AS (
+  SELECT value FROM events WHERE event_id % 3 IN (0, 1)),
+allr AS (SELECT value FROM events)
+SELECT 'tag_release' AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value FROM ab
+UNION ALL
+SELECT 'branch_main', CAST(COUNT(*) AS BIGINT),
+       {dsum_sql('value')} FROM ab
+UNION ALL
+SELECT 'rollback_head', CAST(COUNT(*) AS BIGINT),
+       {dsum_sql('value')} FROM ab
+UNION ALL
+SELECT 'pre_rollback_v3', CAST(COUNT(*) AS BIGINT),
+       {dsum_sql('value')} FROM allr
+""")
+def snapshot_refs_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED REFS + ROLLBACK on the snapshot layer [PK — the Iceberg
+    tag/branch/rollback surface, re-expressed on the repo's manifest
+    protocol]: commit v1 (ids ≡ 0 mod 3), append v2 (≡ 1), TAG
+    'release' at v2 (immutable — the citation form a training run
+    records), append v3 (≡ 2), then ROLLBACK to v2 — a NEW commit v4
+    whose manifest copies v2's file list, so the bad v3 stays
+    time-travelable while the head reads as v2; finally point branch
+    'main' at the restored head. The query reads the table FOUR ways
+    (tag, branch, head-after-rollback, and explicit v3) and emits each
+    read's row count + exact value total: tag/branch/head must equal
+    the oracle's direct A∪B derivation, v3 the full set — proving
+    tags never move, rollback is O(manifest) state restoration (zero
+    data files touched — asserted here), and history survives.
+    Concurrency: tag creation and rollback publish through the same
+    put-if-absent CAS as commits; branch moves are atomic replaces."""
+    import os as _os
+
+    from ..operators import snapshots
+    from .registry import scratch_dir
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type", "value"))
+    tdir = _os.path.join(scratch_dir("snapshot_refs"), "events_refs")
+    snapshots.commit_snapshot(
+        ev.filter(F.col("event_id") % 3 == 0).repartition(2, "event_id"),
+        tdir, mode="overwrite")
+    v2 = snapshots.commit_snapshot(
+        ev.filter(F.col("event_id") % 3 == 1).repartition(2, "event_id"),
+        tdir, mode="append")
+    snapshots.create_tag(tdir, "release", v2)
+    v3 = snapshots.commit_snapshot(
+        ev.filter(F.col("event_id") % 3 == 2).repartition(2, "event_id"),
+        tdir, mode="append")
+    files_before = set(snapshots.list_data_files(tdir))
+    v4 = snapshots.rollback(tdir, v2)
+    if set(snapshots.list_data_files(tdir)) != files_before:
+        raise AssertionError("rollback touched data files")
+    if v4 != v3 + 1:
+        raise AssertionError(f"rollback committed {v4}, expected {v3 + 1}")
+    snapshots.set_branch(tdir, "main")
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.lit(label).alias("label"),
+                      F.count(F.lit(1)).alias("n"),
+                      dsum("value").alias("total_value"))
+
+    out = agg(snapshots.read_ref(spark, tdir, "tag:release"),
+              "tag_release")
+    out = out.unionByName(
+        agg(snapshots.read_ref(spark, tdir, "branch:main"),
+            "branch_main"))
+    out = out.unionByName(
+        agg(snapshots.read_snapshot(spark, tdir), "rollback_head"))
+    out = out.unionByName(
+        agg(snapshots.read_snapshot(spark, tdir, version=v3),
+            "pre_rollback_v3"))
+    return out

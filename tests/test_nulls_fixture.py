@@ -142,6 +142,7 @@ GATE_IDS = [
     "win_rolling_beta", "win_rolling_distinct_users",
     "stream_m4_downsample", "sql_except_intersect",
     "maintain_analyze_stats", "funnel_time_to_convert",
+    "snapshot_refs_rollback",
 ]
 
 

@@ -504,3 +504,70 @@ def test_should_compact_threshold_counts_dv_sidecars(spark, tdir):
     assert snapshots.should_compact(tdir, max_dv_commits=3)
     snapshots.compact_dvs(spark, tdir)
     assert not snapshots.should_compact(tdir, max_dv_commits=1)
+
+
+# --- round 9: named refs (tags/branches) + rollback ------------------------
+
+def test_tag_is_immutable_and_branch_moves(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 10), tdir, mode="overwrite")
+    v2 = snapshots.commit_snapshot(_mk(spark, 10, 20), tdir,
+                                   mode="append")
+    assert snapshots.create_tag(tdir, "rel", 1) == 1
+    with pytest.raises(snapshots.RefExists):
+        snapshots.create_tag(tdir, "rel", v2)
+    assert snapshots.resolve_ref(tdir, "tag:rel") == 1
+    # branch points at head, then moves back; tag stays put
+    assert snapshots.set_branch(tdir, "main") == v2
+    assert snapshots.resolve_ref(tdir, "branch:main") == v2
+    snapshots.set_branch(tdir, "main", 1)
+    assert snapshots.resolve_ref(tdir, "branch:main") == 1
+    assert snapshots.resolve_ref(tdir, "rel") == 1
+    assert _rows(snapshots.read_ref(spark, tdir, "tag:rel")) == _rows(
+        _mk(spark, 0, 10))
+
+
+def test_rollback_preserves_history_and_touches_no_data(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 10), tdir, mode="overwrite")
+    v2 = snapshots.commit_snapshot(_mk(spark, 10, 20), tdir,
+                                   mode="append")
+    v3 = snapshots.commit_snapshot(_mk(spark, 20, 30), tdir,
+                                   mode="append")
+    before = set(snapshots.list_data_files(tdir))
+    v4 = snapshots.rollback(tdir, v2)
+    assert v4 == v3 + 1
+    assert set(snapshots.list_data_files(tdir)) == before
+    # head reads as v2; v3 stays time-travelable
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == _rows(
+        _mk(spark, 0, 20))
+    assert _rows(snapshots.read_snapshot(spark, tdir, version=v3)) == \
+        _rows(_mk(spark, 0, 30))
+    # a rolled-back table accepts new commits on the restored lineage
+    v5 = snapshots.commit_snapshot(_mk(spark, 30, 35), tdir,
+                                   mode="append")
+    assert v5 == v4 + 1
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == _rows(
+        _mk(spark, 0, 20).unionByName(_mk(spark, 30, 35)))
+
+
+def test_rollback_carries_dvs(spark, tdir):
+    """Rolling back to a MOR version must restore its deletion
+    vectors too — the manifest copy includes the dvs key."""
+    snapshots.commit_snapshot(_mk(spark, 0, 20), tdir, mode="overwrite")
+    src = (_mk(spark, 5, 8, shift=100.0)
+           .withColumn("__deleted__", F.lit(False)))
+    v2 = snapshots.merge_mor(spark, tdir, src.drop("__deleted__"), "k")
+    want = _rows(snapshots.read_snapshot(spark, tdir))
+    snapshots.commit_snapshot(_mk(spark, 50, 60), tdir, mode="append")
+    v4 = snapshots.rollback(tdir, v2)
+    assert v4 > v2
+    assert _rows(snapshots.read_snapshot(spark, tdir)) == want
+
+
+def test_bad_ref_names_and_missing_refs(spark, tdir):
+    snapshots.commit_snapshot(_mk(spark, 0, 5), tdir, mode="overwrite")
+    with pytest.raises(ValueError):
+        snapshots.create_tag(tdir, "a/b", 1)
+    with pytest.raises(ValueError):
+        snapshots.create_tag(tdir, "x", 99)
+    with pytest.raises(FileNotFoundError):
+        snapshots.resolve_ref(tdir, "nope")
