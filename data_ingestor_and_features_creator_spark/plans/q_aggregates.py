@@ -506,12 +506,16 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_percentile_approx", oracle="""
 WITH f AS (SELECT event_type, value FROM events
            WHERE value IS NOT NULL AND NOT isnan(value)),
+h AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM f GROUP BY event_type, value),
 r AS (SELECT event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY value) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM f),
-k AS (SELECT event_type, value, rn, CAST(n AS BIGINT) AS n,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h),
+k AS (SELECT event_type, value, CAST(cum AS BIGINT) AS cum,
+             CAST(n AS BIGINT) AS n,
              GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)
                           - CAST(CEIL(0.001 * n) AS BIGINT) - 3) AS k_lo,
              CAST(CEIL(0.5 * n) AS BIGINT) AS k_med,
@@ -519,13 +523,14 @@ k AS (SELECT event_type, value, rn, CAST(n AS BIGINT) AS n,
                        + CAST(CEIL(0.001 * n) AS BIGINT) + 3) AS k_hi
       FROM r)
 SELECT event_type, MAX(n) AS n,
-       MAX(CASE WHEN rn = k_med THEN value END) AS p50_disc,
-       MAX(CASE WHEN rn = k_lo THEN value END) AS rank_lo,
-       MAX(CASE WHEN rn = k_hi THEN value END) AS rank_hi,
-       MAX(CASE WHEN rn = k_med THEN value END)
-         >= MAX(CASE WHEN rn = k_lo THEN value END)
-       AND MAX(CASE WHEN rn = k_med THEN value END)
-         <= MAX(CASE WHEN rn = k_hi THEN value END) AS approx_within_bound
+       MIN(CASE WHEN cum >= k_med THEN value END) AS p50_disc,
+       MIN(CASE WHEN cum >= k_lo THEN value END) AS rank_lo,
+       MIN(CASE WHEN cum >= k_hi THEN value END) AS rank_hi,
+       MIN(CASE WHEN cum >= k_med THEN value END)
+         >= MIN(CASE WHEN cum >= k_lo THEN value END)
+       AND MIN(CASE WHEN cum >= k_med THEN value END)
+         <= MIN(CASE WHEN cum >= k_hi THEN value END)
+         AS approx_within_bound
 FROM k GROUP BY event_type
 """)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,24 +549,31 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the same claim for the exact median (true exactly when
     the rank window is well-formed — a sketch regression flips the
     Spark side false and hash-mismatches). Point accuracy stays pinned
-    in tests/test_properties.py. Scale note: the rank-window pass is
-    the eval harness (one bounded-key window sort); the production
-    artifact under test remains the single-pass mergeable sketch."""
+    in tests/test_properties.py. Scale note: the exact order
+    statistics come from the PER-VALUE HISTOGRAM (2-dp values →
+    bounded distinct set; value at rank k = min value whose cumulative
+    count ≥ k — the stat_rank_biserial trick), so the eval never
+    sorts raw rows: one hash aggregate + a distinct-value cumulative
+    window. The production artifact under test remains the single-pass
+    mergeable sketch."""
     ev = load_table(spark, sf_dir, "events")
     f = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    h = f.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
     w = W.partitionBy("event_type")
-    r = f.select(
+    r = h.select(
         "event_type", "value",
-        F.row_number().over(w.orderBy("value")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"))
+        F.sum("c").over(w.orderBy("value")
+                         .rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("cum"),
+        F.sum("c").over(w).alias("n"))
     k_med = F.ceil(0.5 * F.col("n"))
     slack = F.ceil(0.001 * F.col("n")) + 3
     k = r.select(
-        "event_type", "value", "rn", "n",
+        "event_type", "value", "cum", "n",
         F.greatest(F.lit(1).cast("long"), k_med - slack).alias("k_lo"),
         k_med.alias("k_med"),
         F.least(F.col("n"), k_med + slack).alias("k_hi"))
-    picked = lambda kk: F.max(F.when(F.col("rn") == F.col(kk), F.col("value")))  # noqa: E731
+    picked = lambda kk: F.min(F.when(F.col("cum") >= F.col(kk), F.col("value")))  # noqa: E731
     sk = f.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 1000).alias("p50_approx"))
     agg = k.groupBy("event_type").agg(

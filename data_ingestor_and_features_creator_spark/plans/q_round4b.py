@@ -476,11 +476,16 @@ d AS (
          CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
   FROM events WHERE value IS NOT NULL AND NOT isnan(value)
   GROUP BY 1),
+h AS (SELECT week, value, CAST(COUNT(*) AS BIGINT) AS c
+      FROM f GROUP BY week, value),
 r AS (SELECT week, value,
-             ROW_NUMBER() OVER (PARTITION BY week ORDER BY value) AS rn,
-             COUNT(*) OVER (PARTITION BY week) AS n
-      FROM f),
-k AS (SELECT week, value, rn, CAST(n AS BIGINT) AS n,
+             SUM(c) OVER (PARTITION BY week ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY week) AS n
+      FROM h),
+k AS (SELECT week, value, CAST(cum AS BIGINT) AS cum,
+             CAST(n AS BIGINT) AS n,
              GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)
                           - CAST(CEIL(0.05 * n) AS BIGINT) - 3) AS k50l,
              LEAST(n, CAST(CEIL(0.5 * n) AS BIGINT)
@@ -492,10 +497,10 @@ k AS (SELECT week, value, rn, CAST(n AS BIGINT) AS n,
       FROM r),
 w AS (
   SELECT week, MAX(n) AS n_values,
-         MAX(CASE WHEN rn = k50l THEN value END) AS p50_lo,
-         MAX(CASE WHEN rn = k50h THEN value END) AS p50_hi,
-         MAX(CASE WHEN rn = k90l THEN value END) AS p90_lo,
-         MAX(CASE WHEN rn = k90h THEN value END) AS p90_hi
+         MIN(CASE WHEN cum >= k50l THEN value END) AS p50_lo,
+         MIN(CASE WHEN cum >= k50h THEN value END) AS p50_hi,
+         MIN(CASE WHEN cum >= k90l THEN value END) AS p90_lo,
+         MIN(CASE WHEN cum >= k90h THEN value END) AS p90_hi
   FROM k GROUP BY week)
 SELECT CAST(w.week AS TIMESTAMP) AS week, d.n_days, w.n_values,
        w.p50_lo, w.p50_hi, w.p90_lo, w.p90_hi,
@@ -532,19 +537,26 @@ def rollup_kll_quantile_merge(spark: SparkSession,
     f = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
     merged = kll_weekly_estimates(f)
     wk = W.partitionBy("week")
-    r = (f.select(
+    h = (f.select(
             F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
             "value")
-          .select("week", "value",
-                  F.row_number().over(wk.orderBy("value")).alias("rn"),
-                  F.count(F.lit(1)).over(wk).alias("n")))
+          .groupBy("week", "value").agg(F.count(F.lit(1)).alias("c")))
+    # exact order statistics off the per-VALUE histogram (2-dp values
+    # → bounded distinct set) — no raw-row sort, round-9 rank trick
+    r = h.select(
+        "week", "value",
+        F.sum("c").over(wk.orderBy("value")
+                          .rowsBetween(W.unboundedPreceding,
+                                       W.currentRow)).alias("cum"),
+        F.sum("c").over(wk).alias("n"))
     slack = F.ceil(0.05 * F.col("n")) + 3
 
     def pick(p: float, lo: bool, name: str):
         kk = F.ceil(F.lit(p) * F.col("n")) + (-slack if lo else slack)
         kk = F.greatest(F.lit(1).cast("long"),
                         F.least(F.col("n"), kk))
-        return F.max(F.when(F.col("rn") == kk, F.col("value"))).alias(name)
+        return F.min(F.when(F.col("cum") >= kk, F.col("value"))) \
+            .alias(name)
 
     bounds = r.groupBy("week").agg(
         F.max("n").alias("n_values"),
