@@ -143,6 +143,8 @@ GATE_IDS = [
     "stream_m4_downsample", "sql_except_intersect",
     "maintain_analyze_stats", "funnel_time_to_convert",
     "snapshot_refs_rollback",
+    "stat_cochran_armitage_trend", "ab_bayes_beta_binomial",
+    "audit_schema_contract", "stat_capture_recapture",
 ]
 
 

@@ -239,3 +239,62 @@ def test_funnel_ttc_brute_force(spark, sf_dir):
             int(np.ceil(0.5 * len(delays))) - 1]
         assert r["p90_delay_us"] == delays[
             int(np.ceil(0.9 * len(delays))) - 1]
+
+
+def test_cochran_armitage_trend_matches_numpy(spark, sf_dir):
+    """z² must match the direct Cochran-Armitage formula computed by
+    numpy from the same dose table."""
+    from data_ingestor_and_features_creator_spark.plans.q_round9e import (
+        stat_cochran_armitage_trend)
+    pdf = (load_table(spark, sf_dir, "events")
+           .select((F.hour("ts").cast("long") / 6).cast("long")
+                   .alias("dose"),
+                   F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0).alias("hit")).toPandas())
+    g = pdf.groupby("dose").agg(n=("hit", "size"), r=("hit", "sum"))
+    n = g.n.to_numpy(float)
+    r = g.r.to_numpy(float)
+    d = g.index.to_numpy(float)
+    big_n, big_r = n.sum(), r.sum()
+    t = (r * d).sum() - big_r * (n * d).sum() / big_n
+    p = big_r / big_n
+    var = p * (1 - p) * ((n * d * d).sum() - (n * d).sum() ** 2 / big_n)
+    row = stat_cochran_armitage_trend(spark, sf_dir).collect()[0]
+    assert row["z_squared"] == pytest.approx(t * t / var, rel=1e-9)
+
+
+def test_bayes_beta_binomial_identities(spark, sf_dir):
+    """Posterior parameters must satisfy the conjugate identities and
+    shrink the MLE toward the uniform prior mean 1/2."""
+    from data_ingestor_and_features_creator_spark.plans.q_round9e import (
+        ab_bayes_beta_binomial)
+    rows = ab_bayes_beta_binomial(spark, sf_dir).collect()
+    assert {r["variant"] for r in rows} == {"treatment", "control"}
+    for r in rows:
+        assert r["alpha_post"] == 1 + r["x"]
+        assert r["beta_post"] == 1 + r["n"] - r["x"]
+        assert r["alpha_post"] + r["beta_post"] == r["n"] + 2
+        mle = r["x"] / r["n"]
+        assert abs(r["post_mean"] - 0.5) <= abs(mle - 0.5) + 1e-12
+        assert (r["shrinkage"] > 0) == (mle < 0.5)
+
+
+def test_schema_contract_green_on_fixture(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.plans.q_round9e import (
+        audit_schema_contract)
+    rows = audit_schema_contract(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["type_ok"], r
+        assert r["within_budget"], r
+
+
+def test_capture_recapture_identities(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.plans.q_round9e import (
+        stat_capture_recapture)
+    r = stat_capture_recapture(spark, sf_dir).collect()[0]
+    assert r["m"] <= min(r["n1"], r["n2"])
+    assert r["n1"] + r["n2"] - r["m"] == r["observed"]
+    want = (r["n1"] + 1) * (r["n2"] + 1) // (r["m"] + 1) - 1
+    assert r["n_hat_chapman"] == want
+    assert r["estimate_ge_observed"]
