@@ -145,6 +145,8 @@ GATE_IDS = [
     "snapshot_refs_rollback",
     "stat_cochran_armitage_trend", "ab_bayes_beta_binomial",
     "audit_schema_contract", "stat_capture_recapture",
+    "ts_cross_correlation_lags", "stat_odds_ratio_mh",
+    "agg_gumbel_block_maxima",
 ]
 
 

@@ -298,3 +298,62 @@ def test_capture_recapture_identities(spark, sf_dir):
     want = (r["n1"] + 1) * (r["n2"] + 1) // (r["m"] + 1) - 1
     assert r["n_hat_chapman"] == want
     assert r["estimate_ge_observed"]
+
+
+def test_ccf_lag0_is_pearson_and_symmetric_pairs(spark, sf_dir):
+    """CCF at lag 0 must equal numpy's Pearson r of the two daily
+    series; n_pairs must be symmetric in |lag|."""
+    from data_ingestor_and_features_creator_spark.plans.q_round9f import (
+        ts_cross_correlation_lags)
+    rows = {r["lag"]: r for r in
+            ts_cross_correlation_lags(spark, sf_dir).collect()}
+    d = (load_table(spark, sf_dir, "events")
+         .groupBy(F.to_date("ts").alias("day"))
+         .agg(F.count_if(F.col("event_type") == "click").alias("x"),
+              F.count_if(F.col("event_type") == "purchase").alias("y"))
+         .orderBy("day").toPandas())
+    r0 = float(np.corrcoef(d.x, d.y)[0, 1])
+    assert rows[0]["ccf"] == pytest.approx(r0, rel=1e-9)
+    for k in range(1, 6):
+        assert rows[k]["n_pairs"] == rows[-k]["n_pairs"]
+
+
+def test_mh_odds_ratio_matches_numpy(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.plans.q_round9f import (
+        stat_odds_ratio_mh)
+    pdf = (load_table(spark, sf_dir, "events")
+           .filter(F.col("user_id").isNotNull())
+           .select((F.hour("ts").cast("long") / 6).cast("long")
+                   .alias("st"),
+                   (((F.col("user_id") % 1000003) * F.lit(2654435761))
+                    % 1000003 % 2 == 0).alias("t"),
+                   (F.col("event_type") == "purchase").alias("h"))
+           .toPandas())
+    num = den = 0.0
+    for _, g in pdf.groupby("st"):
+        n = len(g)
+        a = int((g.t & g.h).sum())
+        b = int((g.t & ~g.h).sum())
+        c = int((~g.t & g.h).sum())
+        d = int((~g.t & ~g.h).sum())
+        num += a * d / n
+        den += b * c / n
+    r = stat_odds_ratio_mh(spark, sf_dir).collect()[0]
+    assert r["or_mh"] == pytest.approx(num / den, rel=1e-9)
+
+
+def test_gumbel_moments_match_numpy(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.plans.q_round9f import (
+        agg_gumbel_block_maxima)
+    mx = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+          .groupBy(F.to_date("ts").alias("day"))
+          .agg(F.max("value").alias("m")).toPandas().m.to_numpy())
+    mean, sd = float(mx.mean()), float(mx.std(ddof=1))
+    beta = sd * 0.779696801
+    mu = mean - 0.577215665 * beta
+    r = agg_gumbel_block_maxima(spark, sf_dir).collect()[0]
+    assert r["n_blocks"] == len(mx)
+    assert r["mean_max"] == pytest.approx(mean, rel=1e-9)
+    assert r["gumbel_beta"] == pytest.approx(beta, rel=1e-9)
+    assert r["gumbel_mu"] == pytest.approx(mu, rel=1e-9)
