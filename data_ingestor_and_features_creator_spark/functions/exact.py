@@ -305,3 +305,20 @@ def dec12_sum_py(vals) -> float:
             q += 1
         total += q
     return float(Fraction(total, P))
+
+
+def nn(col: Column | str) -> Column:
+    """PUBLIC NaN→NULL guard (round 9, full-registry nulls sweep):
+    the _not_nan gate for use INSIDE window/order-sensitive
+    expressions where the dsum family doesn't apply — NaN becomes
+    missing (NULL) before any DECIMAL cast, quantile argument, or
+    arithmetic that the two engines would otherwise diverge on
+    (Spark silently NULLs NaN→DECIMAL, DuckDB faults; Spark sorts
+    NaN greatest inside percentile, DuckDB propagates it)."""
+    return _not_nan(_c(col))
+
+
+def nn_sql(expr: str) -> str:
+    """DuckDB twin of ``nn`` (public alias of the oracle-side
+    NaN→NULL gate)."""
+    return _nn_sql(expr)

@@ -192,14 +192,21 @@ def agg_minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        arg_min(value, ts) AS first_value_by_ts,
        arg_max(value, ts) AS last_value_by_ts
-FROM events GROUP BY user_id
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY user_id
 """)
 def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware first/last via min_by/max_by — NOT bare groupBy
     first()/last(), which are partition-order-nondeterministic
-    (SURVEY.md §2.4 house rule)."""
+    (SURVEY.md §2.4 house rule). Semantics pinned to 'first/last
+    NON-MISSING reading' (round-9 full-nulls sweep): Spark's min_by
+    RETURNS a NULL payload sitting at the extreme timestamp while
+    DuckDB's arg_min SKIPS it — the only shared spelling is the
+    explicit missing-row filter, which is also the semantic a
+    feature pipeline wants."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
+    f = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    return f.groupBy("user_id").agg(
         F.min_by("value", "ts").alias("first_value_by_ts"),
         F.max_by("value", "ts").alias("last_value_by_ts"),
     )
@@ -210,7 +217,9 @@ SELECT user_id,
        array_to_string(
          list(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) ORDER BY ts, value),
          ',') AS values_by_ts
-FROM events WHERE event_type = 'purchase' GROUP BY user_id
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)
+GROUP BY user_id
 """)
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered per-group gather — the handoff shape for UDF kernels that
@@ -219,7 +228,12 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Joined to a scalar via array_join so the driver canonicalizer can
     hash the result (raw array columns are unhashable in pandas)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase")
+                  # missing readings excluded (round-9 nulls sweep):
+                  # NaN→DECIMAL faults DuckDB, NULL sorts differently
+                  # inside the struct order — NaN≡missing house rule
+                  & F.col("value").isNotNull() & ~F.isnan("value")))
     gathered = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("tv")
     )

@@ -32,7 +32,7 @@ def rr_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline's remove_outliers step runs before any feature math
     [PK:high], and hr = 60000/rri requires rri > 0 (sf0.1 contains
     exact zeros that ANSI mode would fault on)."""
-    return load_table(spark, sf_dir, "events").filter(F.col("value") > 0).select(
+    return load_table(spark, sf_dir, "events").filter((F.col("value") > 0) & ~F.isnan("value")).select(
         F.col("user_id").alias("record_id"),
         F.col("ts").alias("beat_ts"),
         F.col("event_id"),
@@ -44,7 +44,7 @@ _RR_CTE = """
 WITH rr AS (
   SELECT user_id AS record_id, ts AS beat_ts, value AS rri,
          value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
-  FROM events WHERE value > 0
+  FROM events WHERE value > 0 AND NOT isnan(value)
 )
 """
 
@@ -122,7 +122,7 @@ def hrv_csi_cvi(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT user_id AS record_id, CAST(FLOOR(value / 7.8125) AS BIGINT) AS bin,
          COUNT(*) AS c
-  FROM events WHERE value > 0 GROUP BY record_id, bin
+  FROM events WHERE value > 0 AND NOT isnan(value) GROUP BY record_id, bin
 )
 SELECT record_id,
        {r6_sql('CAST(SUM(c) AS DOUBLE) / MAX(c)')} AS triangular_index
@@ -141,7 +141,7 @@ _Q15 = 900_000_000  # 15 min in µs
 @query("hrv_time_domain_sliding", oracle=f"""
 WITH rr0 AS (
   SELECT user_id AS record_id, ts, event_id, value AS rri, epoch_us(ts) AS us
-  FROM events WHERE value > 0),
+  FROM events WHERE value > 0 AND NOT isnan(value)),
 ex AS (
   SELECT record_id, ts, event_id, rri,
          (us // {_Q15}) * {_Q15} - g * {_Q15} AS ws_us
@@ -343,7 +343,7 @@ def hrv_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("hrv_poincare_sliding", oracle=f"""
 WITH rr0 AS (
   SELECT user_id AS record_id, ts, event_id, value AS rri, epoch_us(ts) AS us
-  FROM events WHERE value > 0),
+  FROM events WHERE value > 0 AND NOT isnan(value)),
 ex AS (
   SELECT record_id, ts, event_id, rri,
          (us // {_Q15}) * {_Q15} - g * {_Q15} AS ws_us

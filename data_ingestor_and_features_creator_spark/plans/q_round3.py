@@ -246,9 +246,12 @@ def _have_protobuf() -> bool:
 
 _TWS_ORACLE = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       MAX(value) AS max_value
+       MAX(CASE WHEN NOT isnan(value) THEN value END) AS max_value
 FROM events GROUP BY user_id
 """
+# NaN guard (round-9 nulls sweep): the processor's pandas dropna treats
+# NaN as missing, while a bare SQL MAX would return NaN (both engines
+# sort it greatest) — the CASE pins MAX-over-non-NaN on both sides.
 
 
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,14 +346,17 @@ def _zorder_sql(u: str, v: str, bits: int, dialect: str) -> str:
 
 
 _ZU = "(user_id & 65535)"
-_ZV = "(CAST(FLOOR(COALESCE(value, 0)) AS BIGINT) & 65535)"
+_ZV = ("(CAST(FLOOR(COALESCE(CASE WHEN isnan(value) THEN NULL "
+       "ELSE value END, 0)) AS BIGINT) & 65535)")  # NaN ≡ missing → bucket 0 (round-9 nulls sweep)
 _ZK = 64
 
 
 @query("cluster_zorder", oracle=f"""
 WITH z AS (
   SELECT event_id, user_id,
-         CAST(FLOOR(COALESCE(value, 0)) AS BIGINT) & 65535 AS vbkt,
+         CAST(FLOOR(COALESCE(CASE WHEN isnan(value) THEN NULL
+                             ELSE value END, 0)) AS BIGINT)
+           & 65535 AS vbkt,
          {_zorder_sql(_ZU, _ZV, 16, 'duck')} AS zkey
   FROM events
 )
@@ -731,7 +737,8 @@ def udtf_python_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sink_xml", oracle="""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_value
-FROM events WHERE value IS NOT NULL GROUP BY event_type
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type
 """)
 def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink/scan round trip — the XML source became a BUILT-IN
@@ -748,7 +755,7 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
     out = os.path.join(scratch_dir("sink_xml"), "events")
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull())
+          .filter(F.col("value").isNotNull() & ~F.isnan("value"))
           .select("event_id", "event_type", "value"))
     (ev.write.mode("overwrite").format("xml")
        .option("rootTag", "events").option("rowTag", "row").save(out))
@@ -773,7 +780,7 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rr AS (
   SELECT user_id AS record_id, value AS rri,
          CAST(FLOOR(value / 50.0) AS BIGINT) AS bin
-  FROM events WHERE value > 0
+  FROM events WHERE value > 0 AND NOT isnan(value)
 ), h AS (
   SELECT record_id, bin, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM rr GROUP BY record_id, bin
@@ -810,7 +817,7 @@ def hrv_stress_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identical operands (FLOOR bins exact on doubles), so the result
     ships UNROUNDED; degenerate records (constant RR → MxDMn = 0) yield
     NULL via the guard instead of faulting ANSI division."""
-    ev = (load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    ev = (load_table(spark, sf_dir, "events").filter((F.col("value") > 0) & ~F.isnan("value"))
           .select(F.col("user_id").alias("record_id"),
                   F.col("value").alias("rri"),
                   F.floor(F.col("value") / 50.0).cast("long").alias("bin")))
@@ -897,7 +904,7 @@ _TREND_HALF = 12  # centered ±12 h moving-average trend window
 @query("ts_seasonal_decompose", oracle=f"""
 WITH b AS (
   SELECT event_type, (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS hour_us, value
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), a AS (
   SELECT event_type, hour_us,
          {{dsum}} / CAST(COUNT(value) AS DOUBLE) AS v
@@ -942,7 +949,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Missing grid hours contribute NULL — excluded from both the trend
     average (COUNT(v) OVER) and the seasonal mean on both engines."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     hour = F.expr(f"(unix_micros(ts) div {_HOUR_US}) * {_HOUR_US}")
     a = (ev.select("event_type", hour.alias("hour_us"), "value")
            .groupBy("event_type", "hour_us")
@@ -1114,7 +1121,8 @@ WITH old_batch AS (
 )
 SELECT COALESCE(event_type, '<pre-evolution>') AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN NOT isnan(value) THEN value END
+                     AS DECIMAL(38,12))) AS DOUBLE) AS total_value
 FROM unioned GROUP BY 1
 """)
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,7 +1148,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.groupBy(F.coalesce("event_type", F.lit("<pre-evolution>"))
                             .alias("event_type"))
                   .agg(F.count(F.lit(1)).alias("n"),
-                       F.sum(F.col("value").cast("decimal(38,12)"))
+                       F.sum(F.when(~F.isnan("value"), F.col("value"))
+                              .cast("decimal(38,12)"))
                         .cast("double").alias("total_value")))
 
 
@@ -1151,7 +1160,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("join_null_safe_eq", oracle="""
 WITH k AS (
   SELECT event_id,
-         CASE WHEN value IS NULL THEN NULL
+         CASE WHEN value IS NULL OR isnan(value) THEN NULL
               ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS vk
   FROM events
 ), d AS (
@@ -1176,7 +1185,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = ev.select(
         "event_id",
-        F.when(F.col("value").isNotNull(),
+        F.when(F.col("value").isNotNull() & ~F.isnan("value"),
                F.floor(F.col("value") / 100.0).cast("long")).alias("vk")
     ).alias("k")
     d = k.select(F.col("vk").alias("dk")).distinct().alias("d")
@@ -1470,7 +1479,7 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_regression_trend", oracle="""
 WITH b AS (
   SELECT user_id, epoch_us(ts) AS us, value FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND NOT isnan(value)
 ), r AS (
   SELECT user_id, value AS y,
          CAST(us - MIN(us) OVER (PARTITION BY user_id) AS DOUBLE)
@@ -1508,7 +1517,7 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closed form is the cross-engine-exact route, same plan shape
     (one window min + one aggregate on one partitioning)."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     wmin = W.partitionBy("user_id")
     r = ev.select(
         "user_id", F.col("value").alias("y"),
@@ -1751,7 +1760,7 @@ WITH w AS (
   SELECT event_type, value,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
   FROM events
-  WHERE value IS NOT NULL AND props IS NOT NULL
+  WHERE value IS NOT NULL AND NOT isnan(value) AND props IS NOT NULL
     AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
 )
 SELECT event_type,
@@ -1777,7 +1786,7 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight distribution."""
     ev = load_table(spark, sf_dir, "events")
     wt = F.get_json_object("props", "$.k").cast("long")
-    w = (ev.filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+    w = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value") & F.col("props").isNotNull())
            .select("event_type", "value", wt.alias("wt"))
            .filter(F.col("wt") > 0))
     swx = F.sum((F.col("value") * F.col("wt")).cast(DEC)).cast("double")
@@ -1799,7 +1808,8 @@ WITH q AS (
   SELECT event_type,
          quantile_cont(value, 0.05) AS p05,
          quantile_cont(value, 0.95) AS p95
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
        CASE WHEN e.value < q.p05 THEN q.p05
@@ -1807,7 +1817,7 @@ SELECT e.event_id, e.event_type, e.value,
             ELSE e.value END AS value_winsorized,
        (e.value < q.p05 OR e.value > q.p95) AS clamped
 FROM events e JOIN q ON e.event_type = q.event_type
-WHERE e.value IS NOT NULL
+WHERE e.value IS NOT NULL AND NOT isnan(e.value)
 """)
 def win_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINSORIZATION — clamp each reading to its group's [p05, p95]
@@ -1820,7 +1830,7 @@ def win_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the registry house rule. At 100 TB both percentiles swap to
     t-digest; the broadcast-clamp shape is unchanged."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     q = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.05)").alias("p05"),
         F.expr("percentile(value, 0.95)").alias("p95"))
@@ -1846,7 +1856,8 @@ SELECT event_type,
        quantile_cont(value, 0.90) AS p90,
        ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
          AS iqr
-FROM events WHERE value IS NOT NULL GROUP BY event_type
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type
 """)
 def agg_quantile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-QUANTILE in one aggregation — the describe()/boxplot
@@ -1860,7 +1871,7 @@ def agg_quantile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx(col, array(...)) t-digest — same single-pass
     shape, mergeable partials."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     qs = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.9))")
     a = ev.groupBy("event_type").agg(qs.alias("q"))
     return a.select(
@@ -2183,7 +2194,8 @@ def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS day_value
-  FROM events WHERE value IS NOT NULL GROUP BY user_id, day
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY user_id, day
 )
 SELECT user_id, day, ROUND(day_value, 6) AS day_value,
        ROUND(day_value /
@@ -2202,7 +2214,7 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL (in-frame order is unspecified), the share divides
     bit-identical doubles, both published at 6 dp."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     d = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
            .agg(F.sum(F.col("value").cast(DEC)).cast("double")
                  .alias("day_value")))
@@ -2485,7 +2497,8 @@ def date_spine_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL GROUP BY user_id, day
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY user_id, day
 )
 SELECT user_id, day, ROUND(v, 6) AS v,
        ROUND(lag(v, 1) OVER w, 6) AS v_lag1,
@@ -2506,7 +2519,7 @@ def win_lag_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose); the fixture's days are dense so both definitions
     coincide. DECIMAL daily sums; lags copy those doubles untouched."""
     ev = (load_table(spark, sf_dir, "events")
-          .filter(F.col("value").isNotNull()))
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     d = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
            .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v")))
     w = W.partitionBy("user_id").orderBy("day")

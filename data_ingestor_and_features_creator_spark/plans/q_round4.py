@@ -313,6 +313,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
     b = (d.select("doc_id", F.split("text", " ").alias("toks"))
+          # 0/1-token docs emit no bigrams (Spark sequence(1, 0) is a
+          # DESCENDING ramp -> out-of-bounds element_at; DuckDB range
+          # is empty) — filter pins identical absence on both engines
+          .filter(F.size("toks") >= 2)
           .select("doc_id", F.explode(bigrams).alias("bigram")))
     c = b.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
     m = (c.groupBy("doc_id")
@@ -520,7 +524,7 @@ WITH s AS (
          SUM(CAST(value - {_CUSUM_K} AS DECIMAL(38,12))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t
-  FROM events WHERE value IS NOT NULL)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
 SELECT event_id, user_id,
        CAST(s_t - LEAST(MIN(s_t) OVER (
            PARTITION BY user_id ORDER BY s_t IS NOT NULL, event_id
@@ -552,7 +556,8 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     than Spark — both engines order the min-window by event_id (the
     outer ordering is already (ts, event_id)-sorted per user, and
     running-min over the SAME row order is order-identical)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value"))
     wcum = (W.partitionBy("user_id").orderBy("ts", "event_id")
              .rowsBetween(W.unboundedPreceding, 0))
     s = ev.select(
@@ -644,7 +649,7 @@ def _dsum_over_sql(expr: str) -> str:
 WITH p AS (
   SELECT event_id, user_id, ts, value AS x,
          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
 q AS (
   SELECT event_id, user_id,
          CAST(COUNT(y) OVER w AS DOUBLE) AS n,
@@ -673,7 +678,8 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar IEEE arithmetic (+ sqrt — IEEE-exact, unlike ln/exp), and
     degenerate frames (n < 3 or zero variance) emit NULL on both
     engines. One shuffle on user_id; window and lag share the sort."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value"))
     wl = W.partitionBy("user_id").orderBy("ts", "event_id")
     p = ev.select("event_id", "user_id", "ts",
                   F.col("value").alias("x"),

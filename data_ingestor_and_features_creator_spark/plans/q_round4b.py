@@ -136,7 +136,8 @@ def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     each group one task, bounded by per-user event counts). Verified
     against a direct driver-side recursion in tests; rows-only for
     the driver (recursion isn't SQL-expressible)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value")))
     return (ev.select("user_id", "event_id", "ts", "value")
               .groupBy("user_id")
               .applyInPandas(_holt_kernel,

@@ -660,7 +660,7 @@ agg AS (
 b AS (
   SELECT user_id AS record_id,
          CAST(FLOOR(value / 7.8125) AS BIGINT) AS bin, COUNT(*) AS c
-  FROM events WHERE value > 0 GROUP BY record_id, bin),
+  FROM events WHERE value > 0 AND NOT isnan(value) GROUP BY record_id, bin),
 tri AS (
   SELECT record_id, {r6_sql('CAST(SUM(c) AS DOUBLE) / MAX(c)')}
            AS triangular_index

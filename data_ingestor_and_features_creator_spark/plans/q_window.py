@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import DEC, dsum, dsum_sql, r6, r6_sql
+from ..functions.exact import (DEC, dsum, dsum_sql, nn, nn_sql, r6,
+                               r6_sql)
 from .registry import query
 
 
@@ -55,7 +56,8 @@ SELECT event_id,
        {r6_sql('cume_dist() OVER w')} AS cdist,
        ntile(4) OVER w AS quartile
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY value NULLS FIRST, event_id)
 """)
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -72,7 +74,7 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("win_running_agg", oracle=f"""
 SELECT event_id,
-       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+       CAST(SUM(CAST(CASE WHEN NOT isnan(CAST((value) AS DOUBLE)) THEN (value) END AS DECIMAL(38,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_total
@@ -85,31 +87,34 @@ def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = w.rowsBetween(W.unboundedPreceding, 0)
     return ev.select(
         "event_id",
-        F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+        F.sum(nn("value").cast(DEC)).over(frame).cast("double")
         .alias("running_total"),
     )
 
 
 @query("win_sliding_rows", oracle=f"""
 SELECT event_id,
-  {r6_sql("CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)"
-          " / CAST(COUNT(value) OVER w AS DOUBLE)")} AS moving_avg_5
+  {r6_sql(f"CAST(SUM(CAST({nn_sql('value')} AS DECIMAL(38,6)))"
+          f" OVER w AS DOUBLE)"
+          f" / CAST(COUNT({nn_sql('value')}) OVER w AS DOUBLE)")}
+  AS moving_avg_5
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """)
 def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev, w = _w(spark, sf_dir)
     frame = w.rowsBetween(-4, 0)
-    msum = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+    msum = F.sum(nn("value").cast(DEC)).over(frame).cast("double")
     return ev.select(
         "event_id",
-        r6(msum / F.count("value").over(frame).cast("double")).alias("moving_avg_5"),
+        r6(msum / F.count(nn("value")).over(frame).cast("double"))
+        .alias("moving_avg_5"),
     )
 
 
 @query("win_sliding_range", oracle=f"""
 SELECT event_id,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h,
+       CAST(SUM(CAST(CASE WHEN NOT isnan(CAST((value) AS DOUBLE)) THEN (value) END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h,
        COUNT(*) OVER w AS n_1h
 FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY us
@@ -125,7 +130,7 @@ def win_sliding_range(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-3600000000, 0))
     return ev.select(
         "event_id",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
+        F.sum(nn("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 
@@ -191,22 +196,27 @@ def sliding_median(ev: DataFrame, half_width: int,
     w = (W.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(-half_width, half_width))
     frame = 2 * half_width + 1
+    nnv = "CASE WHEN isnan(value) THEN NULL ELSE value END"
     if frame <= MEDIAN_EXACT_MAX_FRAME:
-        med = F.expr("percentile(value, 0.5)").over(w)
+        med = F.expr(f"percentile({nnv}, 0.5)").over(w)
     else:
-        med = F.expr(f"percentile_approx(value, 0.5, {accuracy})").over(w)
+        med = F.expr(f"percentile_approx({nnv}, 0.5, {accuracy})").over(w)
+    # NaN readings: med ignores them (NaN≡missing); their own artifact
+    # flag is pinned FALSE via coalesce (nullable-boolean house rule)
     return ev.select(
         "event_id", "user_id",
         r6(med).alias("med101"),
-        (F.abs(F.col("value") - med) > 0.2 * med).alias("is_artifact"),
+        F.coalesce(F.abs(nn("value") - med) > 0.2 * med,
+                   F.lit(False)).alias("is_artifact"),
     )
 
 
 @query("win_sliding_median", oracle=f"""
 SELECT event_id, user_id,
-       {r6_sql('quantile_cont(value, 0.5) OVER w')} AS med101,
-       (ABS(value - quantile_cont(value, 0.5) OVER w)
-        > 0.2 * quantile_cont(value, 0.5) OVER w) AS is_artifact
+       {r6_sql(f"quantile_cont({nn_sql('value')}, 0.5) OVER w")} AS med101,
+       COALESCE(ABS(CASE WHEN NOT isnan(CAST((value) AS DOUBLE)) THEN (value) END - quantile_cont(CASE WHEN NOT isnan(CAST((value) AS DOUBLE)) THEN (value) END, 0.5) OVER w)
+                > 0.2 * quantile_cont(CASE WHEN NOT isnan(CAST((value) AS DOUBLE)) THEN (value) END, 0.5) OVER w,
+                FALSE) AS is_artifact
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 50 PRECEDING AND 50 FOLLOWING)
