@@ -78,7 +78,12 @@ BASELINE_SLOTS = {
     "hrv_time_domain": 0.67,
     "hrv_time_domain_sliding": 0.57,
     "hrv_freq_domain": 0.8,
-    "dedup_fuzzy_minhash": 0.88,
+    # round 9: registered query became the PLANTED-TWIN EVAL
+    # (twin augmentation + per-planted-doc catch outputs on top
+    # of the production pipeline) — slot re-baselined from the
+    # two round-9 close quiet runs (elementwise min, loadavg
+    # 0.48 / 0.10); same reason for dedup_minhash_cluster below.
+    "dedup_fuzzy_minhash": 1.37,
     "sim_knn_bruteforce": 0.41,
     "hrv_pipeline_full": 0.61,
     "dedup_ngram_jaccard": 0.54,
@@ -86,7 +91,7 @@ BASELINE_SLOTS = {
     "text_bm25_topk": 0.41,
     "sessionize_timeout": 0.21,
     "llm_prep_pipeline_full": 1.77,
-    "dedup_minhash_cluster": 2.45,
+    "dedup_minhash_cluster": 2.79,  # round-9 twin-eval plan
     "ts_seasonal_decompose": 0.4,
     "analytics_pipeline_full": 0.53,
     "ml_training_set_build": 0.28,
