@@ -146,7 +146,8 @@ GATE_IDS = [
     "stat_cochran_armitage_trend", "ab_bayes_beta_binomial",
     "audit_schema_contract", "stat_capture_recapture",
     "ts_cross_correlation_lags", "stat_odds_ratio_mh",
-    "agg_gumbel_block_maxima",
+    "agg_gumbel_block_maxima", "agg_theil_index",
+    "agg_herfindahl_index",
 ]
 
 

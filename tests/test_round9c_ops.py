@@ -357,3 +357,32 @@ def test_gumbel_moments_match_numpy(spark, sf_dir):
     assert r["mean_max"] == pytest.approx(mean, rel=1e-9)
     assert r["gumbel_beta"] == pytest.approx(beta, rel=1e-9)
     assert r["gumbel_mu"] == pytest.approx(mu, rel=1e-9)
+
+
+def test_theil_and_hhi_match_numpy(spark, sf_dir):
+    """Theil T and HHI must match direct numpy computations over the
+    same per-user cent totals (with 9-dp-pinned logs for Theil)."""
+    from data_ingestor_and_features_creator_spark.plans.q_round9g import (
+        agg_herfindahl_index, agg_theil_index)
+    pdf = (load_table(spark, sf_dir, "events")
+           .filter(F.col("value").isNotNull() & ~F.isnan("value")
+                   & F.col("user_id").isNotNull())
+           .select("event_type", "user_id",
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents")).toPandas())
+    per = pdf.groupby(["event_type", "user_id"]).cents.sum().reset_index()
+    theil = {r["event_type"]: r for r in
+             agg_theil_index(spark, sf_dir).collect()}
+    hhi = {r["event_type"]: r for r in
+           agg_herfindahl_index(spark, sf_dir).collect()}
+    for et, g in per.groupby("event_type"):
+        x = g.cents.to_numpy(float)
+        shares = x / x.sum()
+        want_hhi = float((shares ** 2).sum())
+        assert hhi[et]["hhi"] == pytest.approx(want_hhi, rel=1e-9)
+        assert hhi[et]["n_users"] == len(x)
+        xp = x[x > 0]
+        r = xp * len(xp) / xp.sum()
+        want_t = float((r * np.round(np.log(r), 9)).sum() / len(xp))
+        assert theil[et]["theil_t"] == pytest.approx(want_t, rel=1e-9)
+        assert theil[et]["theil_t"] >= -1e-12  # T >= 0
