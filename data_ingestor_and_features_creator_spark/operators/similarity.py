@@ -49,9 +49,17 @@ def l2_norm(a: Column | str) -> Column:
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
                    id_q: str = "qid", id_c: str = "cid") -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) query side across the
-    corpus scan, rank per query. Ties broken by candidate id so the
-    result is a deterministic total order."""
+    """Exact cosine top-k: broadcast the query side across the corpus
+    scan, rank per query. Ties broken by candidate id so the result is
+    a deterministic total order.
+
+    CONTRACT: the query side MUST be bounded (a query batch, not a
+    table that scales with SF) — the scoring join is non-equi, so
+    without a broadcast build side the plan degenerates to a cartesian
+    product; the static hint here is therefore structural, not a size
+    guess. Callers make the bound mechanically visible with a
+    deterministic ``.limit`` (tools/scan_broadcast_hints.py enforces
+    that every hinted subtree is cardinality-bounded)."""
     q = queries.select(F.col("vec_id").alias(id_q),
                        F.col("embedding").alias("qe"))
     c = corpus.select(F.col("vec_id").alias(id_c),
@@ -184,7 +192,11 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int,
     q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     c = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     cos = dot("qe", "ce") / (l2_norm("qe") * l2_norm("ce"))
-    ranked = (cand.join(F.broadcast(q), "qid").join(c, "cid")
+    # equi join on qid: the query side EARNS its broadcast from runtime
+    # bytes via AQE (round-10 hint demotion — a query set sized as a
+    # corpus sample scales with SF, so a static hint would force a
+    # driver-side hash relation of a grown side at cluster scale).
+    ranked = (cand.join(q, "qid").join(c, "cid")
                   .withColumn("__cos", cos)
                   .withColumn("rnk", F.row_number().over(
                       W.partitionBy("qid").orderBy(F.desc("__cos"), F.col("cid")))))
@@ -219,8 +231,11 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int,
         F.col("prediction").alias("centroid"))
     centroids = [(i, [float(x) for x in c])
                  for i, c in enumerate(model.clusterCenters())]
+    # .limit = no-op bound (exactly n_centroids rows by construction)
+    # that makes the broadcast side's cardinality mechanically visible
+    # to tools/scan_broadcast_hints.py.
     cdf = corpus.sparkSession.createDataFrame(
-        centroids, "centroid int, cvec array<double>")
+        centroids, "centroid int, cvec array<double>").limit(n_centroids)
     q = queries.select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qe"))
     # distance of each query to each centroid → keep n_probe nearest.

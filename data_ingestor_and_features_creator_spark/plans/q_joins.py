@@ -40,13 +40,18 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 """)
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dim joins with explicit broadcast hints: zero shuffle of the fact
-    table — mandatory shape at 100 TB (supplier/nation are tiny)."""
+    """Dim joins that must execute as broadcasts: zero shuffle of the
+    fact table — mandatory shape at 100 TB. nation carries a static
+    hint (25-row bounded domain at ANY scale factor); supplier SCALES
+    with SF, so it EARNS its broadcast at runtime from actual shuffle
+    bytes via the session's AQE threshold (session.py two-threshold
+    posture, round 10) — a static hint would OOM the driver when
+    supplier reaches cluster scale."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_orderkey", "l_linenumber", "s_name", "n_name")
     )
@@ -281,7 +286,7 @@ def join_star_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "o_orderpriority")
@@ -565,12 +570,17 @@ def join_theta_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is INPUT-tiny, so AQE coalesces it to ~1 post-shuffle partition
     and a single task produces all 38M rows (15-20 s). Input-based
     sizing — AQE's and any static shuffle-partition count's — cannot
-    see fan-out. Fix: broadcast the bucketed build side (it is
-    dim-sized) and round-robin `repartition` the probe side so every
-    core streams an even share of the output (measured 1.2 s warm,
-    12×). When BOTH sides are fact-sized the bucket equi-join
-    returns — with the probe side repartitioned the same way, since
-    the fan-out blindness applies to any input-sized planner."""
+    see fan-out. Fix: round-robin `repartition` the probe side so
+    every core streams an even share of the output, and let the
+    bucketed build side EARN its broadcast from runtime/static bytes
+    (round 10: the former static hint demoted — the click side scales
+    with SF, so forcing its broadcast is a driver OOM at cluster
+    scale; under the thresholds the executed join is the same
+    broadcast that measured 1.2 s warm, 12× over the coalesced
+    shuffle join). When BOTH sides are fact-sized the bucket
+    equi-join returns — with the probe side repartitioned the same
+    way, since the fan-out blindness applies to any input-sized
+    planner."""
     ev = load_table(spark, sf_dir, "events")
     ok = F.col("value").isNotNull() & ~F.isnan("value")
     p = (ev.filter((F.col("event_type") == "purchase") & ok)
@@ -585,7 +595,7 @@ def join_theta_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = pb.repartition(int(spark.conf.get("spark.sql.shuffle.partitions",
                                            "32")))
     cb = c.withColumn("bk", bucket("b_v"))
-    j = (pb.join(F.broadcast(cb), "bk")
+    j = (pb.join(cb, "bk")
            .filter(F.abs(F.col("a_v") - F.col("b_v")) <= _BAND))
     return j.select("a_id", "b_id",
                     F.round(F.abs(F.col("a_v") - F.col("b_v")), 6)

@@ -160,8 +160,11 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     side over one corpus scan; rank per query with a deterministic
     (cos desc, cid) tiebreak."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # .limit(5) = no-op bound (the key filter admits at most 5 ids at
+    # ANY scale factor) that makes the broadcast query batch's
+    # cardinality visible to tools/scan_broadcast_hints.py.
     return similarity.knn_bruteforce(
-        emb.filter(F.col("vec_id") < 5), emb, k=10)
+        emb.filter(F.col("vec_id") < 5).limit(5), emb, k=10)
 
 
 # Planted-copy ANN eval oracle, shared by sim_lsh_ann and sim_ivf_ann

@@ -2175,9 +2175,11 @@ def join_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull() & (F.col("value") >= 0)
                   & ~F.isnan("value")))
+    # .limit(3) = no-op bound (3-row literal) making the broadcast
+    # side's cardinality visible to tools/scan_broadcast_hints.py.
     tiers = spark.createDataFrame(
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
-        "tier string, lo double, hi double")
+        "tier string, lo double, hi double").limit(3)
     j = ev.join(F.broadcast(tiers),
                 (ev.value >= tiers.lo) & (ev.value < tiers.hi))
     return (j.groupBy("tier")
@@ -2573,8 +2575,7 @@ def audit_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"), "n")
 
     c1 = one("events_orphan_users",
-             ev.join(F.broadcast(cust.select(F.col("c_custkey")
-                                             .alias("user_id"))),
+             ev.join(cust.select(F.col("c_custkey").alias("user_id")),
                      "user_id", "left_anti"))
     c2 = one("customers_without_events",
              cust.join(ev.select(F.col("user_id").alias("c_custkey"))

@@ -79,11 +79,17 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local-supplier volume): the 6-way star-with-a-twist —
     the c_nationkey = s_nationkey equality turns the snowflake into a
     cycle, so the supplier join carries TWO keys. Plan shape for
-    100 TB: lineitem is the only large table; supplier/nation/region
-    (and customer at TPC-H scale ratios, 15:1 vs lineitem) broadcast,
-    orders carries its date filter down to the scan, and the one
-    shuffle is lineitem↔orders on orderkey. Revenue through
-    DECIMAL(38,12); group key is the 5-row nation name."""
+    100 TB: lineitem is the only large table; nation/region carry
+    static broadcast hints (bounded 25/5-row domains at ANY SF), while
+    customer and supplier SCALE with SF and so EARN their broadcasts
+    at runtime from actual bytes via AQE (round 10: static hints on
+    SF-scaling sides demoted — a forced broadcast of a grown dim OOMs
+    the driver at cluster scale; the two-threshold session posture
+    still converts these joins to broadcasts wherever the side is
+    genuinely small). orders carries its date filter down to the scan;
+    the one unavoidable shuffle is lineitem↔orders on orderkey.
+    Revenue through DECIMAL(38,12); group key is the 5-row nation
+    name."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -94,8 +100,8 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("o_orderdate") < "1998-01-01"))
     r = r.filter(F.col("r_name") == "ASIA")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-              .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, (li.l_suppkey == s.s_suppkey)
                     & (c.c_nationkey == s.s_nationkey))
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -454,7 +460,9 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): which customers returned
     the most revenue in a window — join-filter-group-rank in one plan.
     Plan shape: the returnflag filter reaches the lineitem scan, the
-    date filter the orders scan; customer/nation broadcast; the top-20
+    date filter the orders scan; nation is statically hinted (bounded
+    domain), customer earns its broadcast from runtime bytes via AQE
+    (it scales with SF — round-10 hint demotion); the top-20
     is a TakeOrderedAndProject over a TOTAL order (exact decimal
     revenue is bit-identical cross-engine, so revenue DESC +
     c_custkey tiebreak is hash-safe)."""
@@ -466,7 +474,7 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(o.filter((F.col("o_orderdate") >= "1996-01-01")
                              & (F.col("o_orderdate") < "1997-01-01")),
                     li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(c, o.o_custkey == c.c_custkey)
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .groupBy("c_custkey", "c_name", "n_name")
               .agg(dsum(F.col("l_extendedprice")
@@ -504,7 +512,7 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)
     return (li.filter((F.col("l_shipdate") >= "1996-01-01")
                       & (F.col("l_shipdate") < "1996-04-01"))
-              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(p, li.l_partkey == p.p_partkey)
               .agg(r6(F.lit(100.0) * dsum(promo) / dsum(rev))
                    .alias("promo_pct"),
                    F.count(F.lit(1)).alias("n_items")))
@@ -745,9 +753,11 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, and at the blow-up its pruned-column estimate of ORDERS
     (15M rows) slipped under autoBroadcastJoinThreshold, making the
     driver build a 15M-row hash relation; declaring the selective side
-    keeps orders/lineitem un-shuffled at every scale. Top-10 over
-    (o_totalprice DESC, o_orderkey) — a total order on scan-native
-    values, hash-safe."""
+    keeps orders/lineitem un-shuffled at every scale. customer, by
+    contrast, SCALES with SF, so its former static hint is demoted
+    (round 10) — it earns a broadcast from actual bytes via AQE when
+    genuinely small. Top-10 over (o_totalprice DESC, o_orderkey) — a
+    total order on scan-native values, hash-safe."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -756,7 +766,7 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum("l_quantity").alias("sum_qty"))
           .filter(F.col("sum_qty") > _Q18_QTY))
     return (big.join(o, big.l_orderkey == o.o_orderkey)
-               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(c, o.o_custkey == c.c_custkey)
                .select("c_custkey", "c_name", "o_orderkey",
                        "o_totalprice", "sum_qty")
                .orderBy(F.desc("o_totalprice"), "o_orderkey")

@@ -276,6 +276,12 @@ def agg_rollup_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRL_DIMS = 16
 _MRL_K = 10
+# Query-batch cap: a broadcast query side in a non-equi scoring join
+# must be bounded by CONTRACT, not by hoping the sample stays small —
+# deterministic (ORDER BY qid) top-N, chosen above every fixture's
+# query count (max 20 at 2000 vectors) so it never binds locally while
+# making the bound mechanical for tools/scan_broadcast_hints.py.
+_MRL_QCAP = 256
 
 
 def _mrl_dot_sql(a: str, b: str) -> str:
@@ -289,7 +295,8 @@ def _mrl_dot_sql(a: str, b: str) -> str:
 @query("vec_matryoshka_eval", oracle=f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe,
                   embedding[1:{_MRL_DIMS}] AS qt
-           FROM embeddings WHERE vec_id % 100 = 0),
+           FROM embeddings WHERE vec_id % 100 = 0
+           ORDER BY vec_id LIMIT {_MRL_QCAP}),
 c AS (SELECT vec_id AS cid, embedding AS ce,
              embedding[1:{_MRL_DIMS}] AS ct
       FROM embeddings),
@@ -333,6 +340,7 @@ def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") % 100 == 0)
+            .orderBy("vec_id").limit(_MRL_QCAP)
             .select(F.col("vec_id").alias("qid"),
                     F.col("embedding").alias("qe"),
                     F.slice("embedding", 1, _MRL_DIMS).alias("qt")))
@@ -709,6 +717,12 @@ def hrv_features_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SUB_LEN = 40  # verbatim eval snippet length
+# Eval-set cap: an eval benchmark is bounded by CONTRACT (fixed suite
+# size), not by hoping the %250 sample stays small — deterministic
+# (ORDER BY doc_id) top-N above every fixture's snippet count (max 200
+# at the 50k-doc blow-up) so it never binds locally, while making the
+# broadcast side's bound mechanical for tools/scan_broadcast_hints.py.
+_EVAL_CAP = 256
 
 
 @query("text_decontaminate_substring", oracle=f"""
@@ -716,7 +730,8 @@ WITH ev AS (
   SELECT doc_id AS eval_id,
          substr(text, 21, {_SUB_LEN}) AS snippet
   FROM documents
-  WHERE doc_id % 250 = 0 AND LENGTH(text) >= 20 + {_SUB_LEN}),
+  WHERE doc_id % 250 = 0 AND LENGTH(text) >= 20 + {_SUB_LEN}
+  ORDER BY doc_id LIMIT {_EVAL_CAP}),
 hits AS (
   SELECT d.doc_id, COUNT(*) AS n_hits
   FROM documents d JOIN ev ON contains(d.text, ev.snippet)
@@ -749,6 +764,7 @@ def text_decontaminate_substring(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents")
     ev = (d.filter((F.col("doc_id") % 250 == 0)
                    & (F.length("text") >= 20 + _SUB_LEN))
+           .orderBy("doc_id").limit(_EVAL_CAP)
            .select(F.col("doc_id").alias("eval_id"),
                    F.substring("text", 21, _SUB_LEN).alias("snippet")))
     hits = (d.join(F.broadcast(ev),
@@ -1619,7 +1635,8 @@ sub AS (
   FROM documents d
   JOIN (SELECT doc_id AS eval_id, substr(text, 21, 40) AS snippet
         FROM documents
-        WHERE doc_id % 250 = 0 AND LENGTH(text) >= 60) ev
+        WHERE doc_id % 250 = 0 AND LENGTH(text) >= 60
+        ORDER BY doc_id LIMIT {_EVAL_CAP}) ev
     ON contains(d.text, ev.snippet))
 SELECT 'exact_extra_copies' AS level, CAST(extra AS BIGINT) AS n
 FROM exact_d
@@ -1659,6 +1676,7 @@ def dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .withColumn("level", F.lit("prefix_family_docs")))
     ev = (d.filter((F.col("doc_id") % 250 == 0)
                    & (F.length("text") >= 60))
+           .orderBy("doc_id").limit(_EVAL_CAP)
            .select(F.substring("text", 21, 40).alias("snippet")))
     sub = (d.join(F.broadcast(ev),
                   F.contains(F.col("text"), F.col("snippet")))

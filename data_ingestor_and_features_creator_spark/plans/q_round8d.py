@@ -181,8 +181,10 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wr.rowsBetween(W.unboundedPreceding, 0))
          .alias("cum"),
         F.sum("c").over(wall).alias("total"))
+    # .limit = no-op bound (literal list) making the broadcast side's
+    # cardinality visible to tools/scan_broadcast_hints.py.
     pcts = spark.range(0).sparkSession.createDataFrame(
-        [(p,) for p in _COV_PCTS], "pct int")
+        [(p,) for p in _COV_PCTS], "pct int").limit(len(_COV_PCTS))
     return (ranked.crossJoin(F.broadcast(pcts))
             .filter(100 * F.col("cum") >= F.col("pct") * F.col("total"))
             .groupBy("pct")

@@ -62,12 +62,17 @@ def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correlated-aggregate subquery de-correlated into agg + join-back.
     Plan for 100 TB: the only big input is lineitem, and the highly
     selective part predicate (p_size=15 AND STANDARD) is pushed as a
-    broadcast SEMI-join BELOW the distinct (round 8: the distinct's
+    SEMI-join BELOW the distinct (round 8: the distinct's
     shuffle was the whole query's cost — filtering first shrinks its
     input by the predicate's selectivity, ~50× here, before any
-    exchange); part/supplier/nation/region all broadcast; the
-    per-part max is a tiny aggregate that broadcasts back onto the
-    eligible set. The double-equality join on s_acctbal is safe
+    exchange); nation and the filtered region carry static hints
+    (bounded domains); the filtered part subset, supplier, and the
+    per-part max aggregate all SCALE with SF, so they earn their
+    broadcasts from runtime bytes via AQE instead of static hints
+    (round-10 demotion — a forced broadcast of a grown side OOMs the
+    driver at cluster scale, and the semi-reduction still executes as
+    a broadcast wherever the filtered subset is genuinely small).
+    The double-equality join on s_acctbal is safe
     because both sides carry the identical scan-native double. Total
     order before LIMIT 100."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -78,12 +83,11 @@ def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfilt = p.filter((F.col("p_size") == 15)
                      & (F.col("p_type") == "STANDARD"))
     ps = (li.select("l_partkey", "l_suppkey")
-            .join(F.broadcast(pfilt.select("p_partkey")),
+            .join(pfilt.select("p_partkey"),
                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
             .distinct())
-    elig = (ps.join(F.broadcast(pfilt),
-                    ps.l_partkey == p.p_partkey)
-              .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+    elig = (ps.join(pfilt, ps.l_partkey == p.p_partkey)
+              .join(s, ps.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
                     n.n_regionkey == r.r_regionkey)
@@ -91,7 +95,7 @@ def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_name"))
     best = (elig.groupBy(F.col("p_partkey").alias("bp"))
                 .agg(F.max("s_acctbal").alias("max_bal")))
-    return (elig.join(F.broadcast(best),
+    return (elig.join(best,
                       (elig.p_partkey == best.bp)
                       & (elig.s_acctbal == best.max_bal))
                 .select("s_acctbal", "s_name", "n_name", "p_partkey")
@@ -162,7 +166,9 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query's point — the same 25-row table broadcasts twice under
     different aliases, and the disjunctive nation-pair predicate
     cannot be pushed into either scan alone. lineitem↔orders is the
-    one real shuffle; supplier/customer/nation broadcast."""
+    one real shuffle; nation is statically hinted (bounded domain),
+    supplier/customer scale with SF and earn runtime broadcasts via
+    AQE (round-10 hint demotion)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -178,8 +184,8 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_8")
                & (F.col("cust_nation") == "NATION_7")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
               .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
               .filter(pair)
@@ -234,11 +240,11 @@ def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = o.filter((F.col("o_orderdate") >= "1996-01-01")
                  & (F.col("o_orderdate") < "1998-01-01"))
     vol = _rev()
-    return (li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+    return (li.join(p.filter(F.col("p_type") == "PROMO"),
                     li.l_partkey == p.p_partkey)
               .join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n1), c.c_nationkey == F.col("nk1"))
               .join(F.broadcast(r), F.col("rk1") == r.r_regionkey)
               .join(F.broadcast(n2), s.s_nationkey == F.col("nk2"))
@@ -271,8 +277,11 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjectives ('%red%'). Shape preserved: profit expression mixes
     columns from THREE tables, forcing the join before the agg; the
     '%...%' LIKE cannot prune the part scan (no prefix), so part
-    filters post-scan then broadcasts. lineitem↔orders is the one
-    shuffle; group key (nation, year) is tiny."""
+    filters post-scan and, being SF-scaling, earns its broadcast from
+    runtime bytes via AQE (round-10 hint demotion — the '%red%'
+    selectivity is a guess the static planner cannot size).
+    lineitem↔orders is the one shuffle; group key (nation, year) is
+    tiny."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -280,9 +289,9 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     amount = (_rev()
               - 0.5 * F.col("p_retailprice") * F.col("l_quantity"))
-    return (li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+    return (li.join(p.filter(F.col("p_name").like("%red%")),
                     li.l_partkey == p.p_partkey)
-              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
               .join(o, li.l_orderkey == o.o_orderkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .groupBy(F.col("n_name").alias("nation"),
@@ -321,7 +330,7 @@ def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_3")
-    de = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    de = (li.join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .select("l_partkey", "l_extendedprice"))
     pv = (de.groupBy("l_partkey")
@@ -431,7 +440,8 @@ def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which is why it isn't ORDER BY…LIMIT 1). The revenue aggregate is
     computed ONCE and cached; the max broadcasts back onto it; the
     double equality is safe because both sides are the same
-    decimal-exact sum. Supplier dim broadcasts."""
+    decimal-exact sum. Supplier scales with SF — it earns a runtime
+    AQE broadcast rather than carrying a static hint (round 10)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
@@ -442,8 +452,7 @@ def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = rev.agg(F.max("total_revenue").alias("mr"))
     return (rev.crossJoin(F.broadcast(m))
                .filter(F.col("total_revenue") == F.col("mr"))
-               .join(F.broadcast(s),
-                     F.col("supplier_no") == s.s_suppkey)
+               .join(s, F.col("supplier_no") == s.s_suppkey)
                .select("s_suppkey", "s_name", "total_revenue"))
 
 
@@ -467,7 +476,9 @@ def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct lineitem pairs; the spec's 'Customer Complaints' comment
     filter := suppliers with negative acctbal, excluded via NOT IN.
     Shape preserved: negated dimension predicates + an IN-list that
-    prunes, a NOT IN realized as a broadcast LEFT ANTI join (null-safe
+    prunes, a NOT IN realized as a LEFT ANTI join that earns its
+    broadcast via AQE (the complaint-supplier subset scales with SF —
+    round-10 hint demotion; null-safe
     here because s_suppkey is a key, never null — the SQL NOT IN
     null-trap is documented, not silently repeated), and
     COUNT(DISTINCT supplier) per part-attribute group. Round 8: both
@@ -483,12 +494,11 @@ def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("p_type") != "PROMO")
                   & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
     ps = (li.select("l_partkey", "l_suppkey")
-            .join(F.broadcast(bad),
-                  F.col("l_suppkey") == bad.s_suppkey, "left_anti")
-            .join(F.broadcast(pf.select("p_partkey")),
+            .join(bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+            .join(pf.select("p_partkey"),
                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
             .distinct())
-    return (ps.join(F.broadcast(pf), ps.l_partkey == pf.p_partkey)
+    return (ps.join(pf, ps.l_partkey == pf.p_partkey)
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -514,7 +524,9 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     is brand + p_type='SMALL' (no p_container). The correlated
     "l_quantity < 0.2·AVG(l_quantity) over the same part" subquery is
     de-correlated the scalable way: semi-reduce lineitem to the
-    filtered parts FIRST (broadcast join on the tiny part subset), so
+    filtered parts FIRST (the part subset scales with SF, so the join
+    earns its broadcast from runtime bytes via AQE — round-10 hint
+    demotion), so
     the per-part AVG aggregates only relevant rows, then join the
     thresholds back — at 100 TB the unfiltered per-part aggregate the
     naive plan computes over ALL parts never happens. AVG built from
@@ -524,13 +536,13 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     pf = p.filter((F.col("p_brand") == "Brand#3")
                   & (F.col("p_type") == "SMALL")).select("p_partkey")
-    rel = (li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+    rel = (li.join(pf, li.l_partkey == pf.p_partkey)
              .select("l_partkey", "l_quantity", "l_extendedprice")
              .cache())
     pa = (rel.groupBy(F.col("l_partkey").alias("ap"))
              .agg((0.2 * (dsum("l_quantity")
                           / F.count("l_quantity"))).alias("qlim")))
-    return (rel.join(F.broadcast(pa), rel.l_partkey == pa.ap)
+    return (rel.join(pa, rel.l_partkey == pa.ap)
                .filter(F.col("l_quantity") < F.col("qlim"))
                .agg(r6(dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
                     F.count(F.lit(1)).alias("n_lines")))
@@ -557,8 +569,10 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the OR-of-ANDs spanning BOTH tables: no single conjunct can be
     fully pushed to either scan, but Catalyst derives the
     per-table residuals (p_brand IN (…) to part, l_quantity BETWEEN
-    1 AND 30 to lineitem) before the broadcast join, and the full
-    disjunction filters post-join. One scan each side, no shuffle."""
+    1 AND 30 to lineitem) before the join, and the full disjunction
+    filters post-join. part scales with SF so it earns its broadcast
+    at runtime via AQE (round-10 hint demotion); where it is small
+    the executed plan is one scan each side, no shuffle join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (((F.col("p_brand") == "Brand#12")
@@ -570,7 +584,7 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("p_brand") == "Brand#3")
                & F.col("p_size").between(1, 15)
                & F.col("l_quantity").between(20, 30)))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
               .filter(cond)
               .agg(dsum(_rev()).alias("revenue"),
                    F.count(F.lit(1)).alias("n_lines")))
@@ -616,7 +630,7 @@ def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_4")
     in97 = ((F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01"))
-    sp = (li.join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")),
+    sp = (li.join(p.filter(F.col("p_type") == "STANDARD"),
                   li.l_partkey == p.p_partkey)
             .groupBy("l_suppkey", "l_partkey")
             .agg(dsum(F.when(in97, F.col("l_quantity")).otherwise(0.0))
@@ -687,7 +701,7 @@ def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lo.join(ostat, lo.l_orderkey == ostat.ok)
               .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
                       & (F.col("n_late") == 1))
-              .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
+              .join(s, lo.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .groupBy("s_name")
               .agg(F.count(F.lit(1)).alias("numwait"))

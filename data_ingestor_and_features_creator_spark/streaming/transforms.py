@@ -74,11 +74,16 @@ def dedup_first_per_key(events: DataFrame) -> DataFrame:
 
 
 def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
-    """Stream↔static dim join: broadcast the dim so stream enrichment
-    never shuffles the stream side."""
+    """Stream↔static dim join: the dim side should broadcast so stream
+    enrichment never shuffles the stream side — but customer SCALES
+    with SF, so it earns that broadcast from the planner's size
+    thresholds rather than a static hint (round-10 demotion: a forced
+    broadcast of a grown dim OOMs the driver at cluster scale; when
+    the dim genuinely outgrows memory, the scale answer is a
+    pre-bucketed static side or a state-store lookup, not a hint)."""
     dim = customer.select(F.col("c_custkey").alias("user_id"),
                           "c_name", "c_nationkey")
-    return (events.join(F.broadcast(dim), "user_id")
+    return (events.join(dim, "user_id")
                   .select("event_id", "user_id", "c_name", "c_nationkey",
                           "event_type", "value"))
 

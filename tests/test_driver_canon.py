@@ -120,7 +120,20 @@ def test_spark_schema_has_no_decimal_type(name, spark, sf_dir):
     single-task 100 TB faceplant this registry bans. The round-9 sweep
     found 7 offenders (raw-row global rank/prefix-sum shortcuts) and
     replaced them with two-pass range-partitioned constructions or
-    per-value-histogram windows; this assertion keeps the class dead."""
+    per-value-histogram windows; this assertion keeps the class dead.
+
+    Round 10 (VERDICT r9 finding 1) piggybacks the STATIC-BROADCAST-
+    HINT scan the same way: every `ResolvedHint (strategy=broadcast)`
+    subtree in the analyzed plan must be cardinality-bounded — a
+    bounding node (Aggregate/Limit/LocalRelation/…) or only
+    bounded-domain dim scans (nation/region) — because a static hint
+    FORCES the broadcast at any size, and on an SF-scaling side that
+    is a driver OOM at cluster scale. The round-10 sweep demoted ~17
+    TPC-H-family hints on customer/supplier/part plus 10 more found
+    registry-wide (query/eval/centroid sides now carry explicit
+    deterministic bounds); the session's two-threshold AQE posture
+    earns the broadcasts back from runtime bytes."""
+    from tools.scan_broadcast_hints import find_scaling_broadcast_hints
     from tools.scan_global_windows import find_unbounded_global_windows
 
     df = _QUERIES[name](spark, sf_dir)
@@ -136,6 +149,12 @@ def test_spark_schema_has_no_decimal_type(name, spark, sf_dir):
         f" — use the two-pass range-partitioned global index "
         f"(data_global_index pattern) or window over a per-value/"
         f"per-group aggregate instead.")
+    hinted = find_scaling_broadcast_hints(df)
+    assert not hinted, (
+        f"{name}: static broadcast hint over an SF-scaling side "
+        f"{hinted} — drop the hint (AQE earns the broadcast from "
+        f"runtime bytes) or make the side's bound explicit with a "
+        f"deterministic .limit (see tools/scan_broadcast_hints.py).")
 
 
 def test_oracle_schema_has_no_scaled_decimal(duck):
