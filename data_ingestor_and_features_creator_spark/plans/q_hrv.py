@@ -12,6 +12,8 @@ tested against numpy reference implementations instead
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -21,7 +23,7 @@ from ..operators import peaks
 from ..features.hrv import (csi_cvi_exprs, poincare_exprs, sliding_windows,
                             time_domain_exprs, time_domain_exprs_by_name,
                             triangular_index, with_diff)
-from ..functions.exact import dsum_sql, r6_sql, safe_sqrt_sql
+from ..functions.exact import dsum, dsum_sql, r6_sql, safe_sqrt_sql
 from .registry import query
 
 
@@ -230,28 +232,277 @@ def signal_rpeak_detect_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_beats"))
 
 
-@query("hrv_freq_domain")  # rows-only: FFT kernel, not SQL-expressible
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r9 ask 2): the last 6 rows-only kernel ids upgraded
+# to FULL SQL oracles via the r9 bound-eval pattern (agg_percentile_approx
+# precedent). The FFT/entropy/periodogram VALUES are engine-specific
+# artifacts no SQL recomputes, but three claim families ARE
+# deterministic and oracle-recomputable:
+#   * exact per-group cardinalities (n_beats — strongly data-dependent),
+#   * the kernel's own compute/NULL guard conditions, re-derived from
+#     decimal-exact sums (with an explicit ambiguity band where the
+#     kernel's float cumsum could land on a guard boundary),
+#   * mathematical invariants (Parseval-style band-sum identity,
+#     non-negativity, normalized-unit sums) emitted as live booleans,
+#   * PLANTED synthetic records threaded through the SAME distributed
+#     kernel path with provable physics (an LF sinusoid's power lands
+#     in the LF band; periodic beats are more regular than noise;
+#     integrated noise scales steeper than white noise).
+# The raw feature kernels stay untouched and library-accessible
+# (features/kernels.py), numerics pinned in tests/test_hrv_known_answers.
+# ---------------------------------------------------------------------------
+
+_PLANT_N = 256
+
+
+def planted_sin(spark: SparkSession, record_id: int,
+                freq_hz: float, n: int = _PLANT_N) -> DataFrame:
+    """Synthetic RR record: rri_i = 1000 + 100·sin(2π·f·i) ms — beats
+    ≈1 s apart, so the resampled signal carries its modulation power
+    at ≈f Hz. Built as pure JVM expressions over spark.range (a
+    bounded literal frame), deterministic across runs."""
+    i = F.col("id").cast("double")
+    return spark.range(n).select(
+        F.lit(record_id).cast("long").alias("record_id"),
+        F.timestamp_micros((F.col("id") * F.lit(1_000_000)).cast("long"))
+         .alias("beat_ts"),
+        F.col("id").alias("event_id"),
+        (F.lit(1000.0)
+         + F.lit(100.0) * F.sin(F.lit(2.0 * math.pi * freq_hz) * i))
+        .alias("rri"))
+
+
+def planted_u01(i: F.Column) -> F.Column:
+    """Deterministic uniform-ish [0,1): fract(sin((i+1)·12.9898)
+    ·43758.5453) — the classic hash-free pseudo-noise; only drives
+    planted-physics booleans with wide margins, never hashed values."""
+    x = F.sin((i + F.lit(1.0)) * F.lit(12.9898)) * F.lit(43758.5453)
+    return x - F.floor(x)
+
+
+def planted_noise(spark: SparkSession, record_id: int, n: int,
+                  integrate: bool = False) -> DataFrame:
+    """Synthetic noise record: white (iid uniform, DFA α≈0.5, high
+    SampEn) or integrated/Brownian (cumsum of centered uniform, DFA
+    α≈1.5). The ±3·n/2 worst-case walk keeps integrated rri > 0."""
+    i = F.col("id").cast("double")
+    base = spark.range(n).select(
+        F.lit(record_id).cast("long").alias("record_id"),
+        F.timestamp_micros((F.col("id") * F.lit(1_000_000)).cast("long"))
+         .alias("beat_ts"),
+        F.col("id").alias("event_id"),
+        planted_u01(i).alias("u"))
+    if not integrate:
+        return base.select(
+            "record_id", "beat_ts", "event_id",
+            (F.lit(900.0) + F.lit(200.0) * F.col("u")).alias("rri"))
+    w = W.partitionBy("record_id").orderBy("event_id") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return base.select(
+        "record_id", "beat_ts", "event_id",
+        (F.lit(1000.0)
+         + F.lit(3.0) * F.sum(F.col("u") - F.lit(0.5)).over(w))
+        .alias("rri"))
+
+
+def planted_periodic(spark: SparkSession, record_id: int,
+                     n: int = 200) -> DataFrame:
+    """Strictly periodic record (800/1000/1200 ms repeating): every
+    m-template recurs at its phase, so SampEn is near 0 — provably
+    below any non-degenerate noise record's."""
+    return spark.range(n).select(
+        F.lit(record_id).cast("long").alias("record_id"),
+        F.timestamp_micros((F.col("id") * F.lit(1_000_000)).cast("long"))
+         .alias("beat_ts"),
+        F.col("id").alias("event_id"),
+        (F.lit(800.0) + F.lit(200.0) * (F.col("id") % 3).cast("double"))
+        .alias("rri"))
+
+
+_RR4 = """
+  SELECT user_id AS record_id, ts, event_id, value AS rri
+  FROM events WHERE value > 0 AND NOT isnan(value)
+"""
+
+# Exact per-record stats the freq-domain guard re-derives: n, decimal-
+# exact Σrri, max rri, first rri by (ts, event_id). The resample-grid
+# estimate is ceil((Σ−first)/250 ms); the kernel's own float cumsum can
+# disagree only within ±(max rri)/250 grid cells (first-beat tie
+# ambiguity + last-ulp drift), hence the claim's guard band.
+_FREQ_ST = f"""
+st AS (
+  SELECT record_id,
+         CAST(COUNT(rri) AS BIGINT) AS n_beats,
+         {dsum_sql('rri')} AS s,
+         MAX(rri) AS mx,
+         MAX(CASE WHEN rn = 1 THEN rri END) AS first_rri
+  FROM (SELECT record_id, rri,
+               row_number() OVER (PARTITION BY record_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM rr)
+  GROUP BY record_id)
+"""
+
+
+@query("hrv_freq_domain", oracle=f"""
+WITH rr AS ({_RR4}),
+{_FREQ_ST}
+SELECT record_id, n_beats,
+       TRUE AS computed_ok, TRUE AS internal_ok, TRUE AS band_ok
+FROM st
+UNION ALL SELECT -101, {_PLANT_N}, TRUE, TRUE, TRUE
+UNION ALL SELECT -102, {_PLANT_N}, TRUE, TRUE, TRUE
+""")
 def hrv_freq_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch PSD band powers per record via applyInPandas (Arrow batch
-    per group; the only Python hot path besides sampen). Pre-select
-    trims the UDF input to 3 columns so column pruning still reaches
-    the scan (SURVEY.md §4 house rule)."""
-    rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
-    return rr.groupBy("record_id").applyInPandas(
-        kernels.freq_domain_kernel, schema=kernels.FREQ_SCHEMA
-    )
+    per group; pre-select trims the UDF input so pruning reaches the
+    scan). Upgraded rows-only → BOUND EVAL (round 10, VERDICT r9 ask
+    2): the LIVE kernel runs over real records PLUS two planted
+    sinusoid records (−101 at 0.10 Hz = LF, −102 at 0.30 Hz = HF) and
+    the op emits oracle-recomputable claims —
+      n_beats        exact count (hash-strong, data-dependent);
+      computed_ok    the kernel's n≥16 / grid≥32 compute guard,
+                     re-derived from decimal-exact sums with a
+                     ±(max rri)/250-cell ambiguity band where the
+                     kernel's float cumsum could straddle the grid
+                     boundary (claim abstains there);
+      internal_ok    Parseval-style identity total = vlf+lf+hf (the
+                     kernel's own fold order, bit-exact through
+                     Arrow), band non-negativity, lfnu+hfnu = 100;
+      band_ok        planted physics: the LF-planted record's lf
+                     must exceed 5·hf and vice versa — the end-to-end
+                     proof the resample→Welch→band-integrate path
+                     puts power where the signal is.
+    A kernel regression flips a boolean and hash-mismatches; raw band
+    powers stay library-accessible (kernels.freq_domain_kernel) and
+    known-answer-tested."""
+    rr = rr_from_events(spark, sf_dir).select(
+        "record_id", "beat_ts", "event_id", "rri")
+    allrr = (rr.unionByName(planted_sin(spark, -101, 0.10))
+               .unionByName(planted_sin(spark, -102, 0.30)))
+    feats = (allrr.select("record_id", "beat_ts", "rri")
+                  .groupBy("record_id")
+                  .applyInPandas(kernels.freq_domain_kernel,
+                                 schema=kernels.FREQ_SCHEMA))
+    w = W.partitionBy("record_id").orderBy("beat_ts", "event_id")
+    stats = (allrr.withColumn("rn", F.row_number().over(w))
+                  .groupBy("record_id")
+                  .agg(F.count("rri").cast("long").alias("n_beats"),
+                       dsum("rri").alias("s"),
+                       F.max("rri").alias("mx"),
+                       F.max(F.when(F.col("rn") == 1, F.col("rri")))
+                        .alias("first_rri")))
+    grid_est = F.ceil((F.col("s") - F.col("first_rri")) / F.lit(250.0))
+    guard = F.ceil(F.col("mx") / F.lit(250.0)) + F.lit(2)
+    tp = F.col("total_power")
+    computed_ok = (
+        F.when(F.col("n_beats") < 16, tp.isNull())
+         .when(grid_est >= 32 + guard, tp.isNotNull())
+         .when(grid_est <= 32 - guard, tp.isNull())
+         .otherwise(F.lit(True)))
+    internal_ok = F.when(tp.isNull(), F.lit(True)).otherwise(
+        (tp == F.col("vlf") + F.col("lf") + F.col("hf"))
+        & (F.col("vlf") >= 0) & (F.col("lf") >= 0) & (F.col("hf") >= 0)
+        & F.coalesce(F.abs(F.col("lfnu") + F.col("hfnu") - 100.0) < 1e-9,
+                     F.lit(True)))
+    band_ok = (
+        F.when(F.col("record_id") == -101,
+               F.coalesce(F.col("lf") > 5 * F.col("hf"), F.lit(False)))
+         .when(F.col("record_id") == -102,
+               F.coalesce(F.col("hf") > 5 * F.col("lf"), F.lit(False)))
+         .otherwise(F.lit(True)))
+    return (feats.drop("n_beats").join(stats, "record_id")
+                 .select("record_id", "n_beats",
+                         computed_ok.alias("computed_ok"),
+                         F.coalesce(internal_ok, F.lit(False))
+                          .alias("internal_ok"),
+                         band_ok.alias("band_ok")))
 
 
-@query("hrv_sampen")  # rows-only: O(n²) entropy kernel
+_SAMPEN_CAP = 2000  # O(n²) kernel input bound per record (see docstring)
+
+
+@query("hrv_sampen", oracle=f"""
+WITH rr AS ({_RR4}),
+st AS (
+  SELECT record_id, CAST(COUNT(rri) AS BIGINT) AS n_beats,
+         COUNT(DISTINCT rri) AS nd
+  FROM (SELECT record_id, rri,
+               row_number() OVER (PARTITION BY record_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM rr)
+  WHERE rn <= {_SAMPEN_CAP}
+  GROUP BY record_id)
+SELECT record_id, n_beats,
+       TRUE AS nonneg_ok, TRUE AS null_guard_ok, TRUE AS ordering_ok
+FROM st
+UNION ALL SELECT -401, 200, TRUE, TRUE, TRUE
+UNION ALL SELECT -402, 200, TRUE, TRUE, TRUE
+""")
 def hrv_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample entropy (m=2, r=0.2·std) per record. O(n²) per group —
-    bound group size upstream (agg_having guard) before running at
-    scale; at 100 TB run per (record, bounded window), never per raw
-    record."""
-    rr = rr_from_events(spark, sf_dir).select("record_id", "beat_ts", "rri")
-    return rr.groupBy("record_id").applyInPandas(
-        kernels.sampen_kernel, schema=kernels.SAMPEN_SCHEMA
-    )
+    """Sample entropy (m=2, r=0.2·std) per record over the first
+    ≤{_SAMPEN_CAP} beats (deterministic (beat_ts, event_id) rank —
+    round 10 moved the long-documented 'bound group size upstream'
+    advice INTO the plan after the skew fixture's 200k-beat hot record
+    showed an unbounded O(n²) group is a wall-clock grenade, not a
+    theory). At 100 TB run per (record, bounded window), never per
+    raw record; n_beats reports the BOUNDED count the kernel saw.
+
+    Upgraded rows-only → BOUND EVAL (round 10): the live kernel runs
+    over real records PLUS a planted strictly-periodic record (−401:
+    every template recurs → SampEn near 0) and a planted noise record
+    (−402: iid uniform → SampEn ≈ 2), emitting
+      n_beats        exact count;
+      nonneg_ok      SampEn = −log(A/B) with A ⊆ B template matches
+                     ⇒ always ≥ 0 when defined;
+      null_guard_ok  n < m+2 or a constant series (r = 0.2·std = 0)
+                     MUST yield NULL — both conditions SQL-exact;
+      ordering_ok    planted physics: SampEn(periodic) <
+                     SampEn(noise), the regularity ordering the
+                     statistic exists to measure (checked on the
+                     planted pair, TRUE elsewhere)."""
+    rr = rr_from_events(spark, sf_dir).select(
+        "record_id", "beat_ts", "event_id", "rri")
+    # The upstream bound the docstring demands, IN the plan: SampEn
+    # runs over the first ≤ _SAMPEN_CAP beats per record (deterministic
+    # (beat_ts, event_id) rank), so one hot record — the skew fixture
+    # plants a 200k-beat user — can never hand the O(n²) kernel an
+    # unbounded group. The cap is far above every normal fixture's
+    # per-record beat count (≤ ~900), so it binds only where it must.
+    wcap = W.partitionBy("record_id").orderBy("beat_ts", "event_id")
+    capped = (rr.withColumn("rn", F.row_number().over(wcap))
+                .filter(F.col("rn") <= _SAMPEN_CAP))
+    allrr = (capped.select("record_id", "beat_ts", "rri")
+             .unionByName(planted_periodic(spark, -401, 200)
+                          .select("record_id", "beat_ts", "rri"))
+             .unionByName(planted_noise(spark, -402, 200)
+                          .select("record_id", "beat_ts", "rri"))).cache()
+    feats = (allrr.groupBy("record_id")
+                  .applyInPandas(kernels.sampen_kernel,
+                                 schema=kernels.SAMPEN_SCHEMA))
+    stats = allrr.groupBy("record_id").agg(
+        F.count("rri").cast("long").alias("n_beats"),
+        F.countDistinct("rri").alias("nd"))
+    pair = (feats.filter(F.col("record_id").isin(-401, -402))
+                 .agg(F.max(F.when(F.col("record_id") == -401,
+                                   F.col("sampen"))).alias("se_per"),
+                      F.max(F.when(F.col("record_id") == -402,
+                                   F.col("sampen"))).alias("se_noise")))
+    j = (feats.drop("n_beats").join(stats, "record_id")
+              .crossJoin(F.broadcast(pair)))
+    se = F.col("sampen")
+    nonneg_ok = F.when(se.isNull(), F.lit(True)).otherwise(se >= 0)
+    null_guard_ok = F.when(
+        (F.col("n_beats") < 4) | (F.col("nd") == 1), se.isNull()
+    ).otherwise(F.lit(True))
+    ordering_ok = F.when(
+        F.col("record_id").isin(-401, -402),
+        F.coalesce(F.col("se_per") < F.col("se_noise"), F.lit(False))
+    ).otherwise(F.lit(True))
+    return j.select("record_id", "n_beats",
+                    nonneg_ok.alias("nonneg_ok"),
+                    null_guard_ok.alias("null_guard_ok"),
+                    ordering_ok.alias("ordering_ok"))
 
 
 _PIPE_CTE = f"""
@@ -369,7 +620,33 @@ def hrv_poincare_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(*poincare_exprs()[:2]))
 
 
-@query("hrv_freq_domain_sliding")  # rows-only: FFT kernel, not SQL
+_D7 = 7 * 86_400_000_000   # 7 d stride in µs
+_D14 = 14 * 86_400_000_000  # 14 d width
+
+
+@query("hrv_freq_domain_sliding", oracle=f"""
+WITH rr0 AS (
+  SELECT user_id AS record_id, ts, event_id, value AS rri, epoch_us(ts) AS us
+  FROM events WHERE value > 0 AND NOT isnan(value)),
+ex AS (
+  SELECT record_id, ts, event_id, rri,
+         (us // {_D7}) * {_D7} - g * {_D7} AS ws_us
+  FROM rr0, unnest(generate_series(0, 1)) AS t(g)),
+st AS (
+  SELECT record_id, ws_us,
+         CAST(COUNT(rri) AS BIGINT) AS n_beats,
+         {dsum_sql('rri')} AS s,
+         MAX(rri) AS mx,
+         MAX(CASE WHEN rn = 1 THEN rri END) AS first_rri
+  FROM (SELECT record_id, ws_us, rri,
+               row_number() OVER (PARTITION BY record_id, ws_us
+                                  ORDER BY ts, event_id) AS rn
+        FROM ex)
+  GROUP BY record_id, ws_us)
+SELECT record_id, ws_us, n_beats,
+       TRUE AS computed_ok, TRUE AS internal_ok
+FROM st
+""")
 def hrv_freq_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch band powers per (record, 14 d window, 7 d stride) — the
     frequency-domain twin of hrv_time_domain_sliding and the shape
@@ -390,10 +667,44 @@ def hrv_freq_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # known-answer tests on realistic series
     # (tests/test_hrv_known_answers.py); what this query exercises is
     # the bounded-window grouping and Arrow plumbing at scale.
-    ex = sliding_windows(rr, width_us=14 * 86_400_000_000,
-                         stride_us=7 * 86_400_000_000,
-                         tiebreak_col="event_id")
-    return (ex.select("record_id", "ws_us", "beat_ts", "rri")
-              .groupBy("record_id", "ws_us")
-              .applyInPandas(kernels.freq_domain_window_kernel,
-                             schema=kernels.FREQ_SLIDING_SCHEMA))
+    #
+    # Upgraded rows-only → BOUND EVAL (round 10): per (record, window)
+    # the op emits the exact beat count, the hrv_freq_domain compute
+    # guard re-derived from decimal-exact window sums (same ambiguity
+    # band), and the Parseval/non-negativity identity — the oracle
+    # recomputes the window fan-out and counts exactly, so a dropped
+    # or doubled window, a wrong window id, or a guard regression all
+    # hash-mismatch. Planted physics lives on the per-record twin
+    # (hrv_freq_domain) — this op's job is the windowed fan-out.
+    ex = sliding_windows(rr, width_us=_D14, stride_us=_D7,
+                         tiebreak_col="event_id").cache()
+    feats = (ex.select("record_id", "ws_us", "beat_ts", "rri")
+               .groupBy("record_id", "ws_us")
+               .applyInPandas(kernels.freq_domain_window_kernel,
+                              schema=kernels.FREQ_SLIDING_SCHEMA))
+    w = W.partitionBy("record_id", "ws_us").orderBy("beat_ts", "event_id")
+    stats = (ex.withColumn("rn", F.row_number().over(w))
+               .groupBy("record_id", "ws_us")
+               .agg(F.count("rri").cast("long").alias("n_beats"),
+                    dsum("rri").alias("s"),
+                    F.max("rri").alias("mx"),
+                    F.max(F.when(F.col("rn") == 1, F.col("rri")))
+                     .alias("first_rri")))
+    grid_est = F.ceil((F.col("s") - F.col("first_rri")) / F.lit(250.0))
+    guard = F.ceil(F.col("mx") / F.lit(250.0)) + F.lit(2)
+    tp = F.col("total_power")
+    computed_ok = (
+        F.when(F.col("n_beats") < 16, tp.isNull())
+         .when(grid_est >= 32 + guard, tp.isNotNull())
+         .when(grid_est <= 32 - guard, tp.isNull())
+         .otherwise(F.lit(True)))
+    internal_ok = F.when(tp.isNull(), F.lit(True)).otherwise(
+        (tp == F.col("vlf") + F.col("lf") + F.col("hf"))
+        & (F.col("vlf") >= 0) & (F.col("lf") >= 0) & (F.col("hf") >= 0)
+        & F.coalesce(F.abs(F.col("lfnu") + F.col("hfnu") - 100.0) < 1e-9,
+                     F.lit(True)))
+    return (feats.drop("n_beats").join(stats, ["record_id", "ws_us"])
+                 .select("record_id", "ws_us", "n_beats",
+                         computed_ok.alias("computed_ok"),
+                         F.coalesce(internal_ok, F.lit(False))
+                          .alias("internal_ok")))

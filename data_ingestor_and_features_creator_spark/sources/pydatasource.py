@@ -78,7 +78,14 @@ class SynthGridDataSource(DataSource):
 #   end boundary with ONE latestOffset call per query start and
 #   terminates after that batch WITHOUT calling commit, so a
 #   commit-time frontier would never advance and every restart would
-#   re-plan the same capped range forever (observed). The SPARK
+#   re-plan the same capped range forever (observed). This is Spark's
+#   DOCUMENTED-IN-LOGS fallback ("PythonMicroBatchStream ... does not
+#   support Trigger.AvailableNow. Falling back to single batch"):
+#   single batch ≡ availableNow for a static feed, and that semantic
+#   is PINNED by tests/test_streaming.py::
+#   test_eventlog_availablenow_fallback_full_feed_one_batch (full
+#   feed, exactly once, exactly one data batch) so a Spark upgrade
+#   cannot change it silently. The SPARK
 #   checkpoint remains the source of truth for delivery —
 #   ``partitions(start, end)`` always serves the checkpointed range,
 #   so a crash between the frontier persist and the batch commit just

@@ -321,15 +321,21 @@ def test_lomb_band_isolation_on_planted_sinusoid():
 
 
 def test_dfa_and_lomb_spark_queries_run(spark, sf_dir):
-    """The registered Arrow kernels execute per record and emit the
-    declared schemas with non-null features for the fixture records."""
+    """The registered Arrow kernels execute per record through the
+    round-10 bound-eval shape: most fixture records clear the compute
+    guard, every live invariant boolean holds, and the planted-physics
+    records ride the same distributed path."""
     from data_ingestor_and_features_creator_spark import plans
     plans.load_all()
     from data_ingestor_and_features_creator_spark.plans.registry import QUERIES
-    dfa = {r["record_id"]: r["dfa_alpha1"]
-           for r in QUERIES["hrv_dfa"](spark, sf_dir).collect()}
-    lomb = {r["record_id"]: r["lf_hf_lomb"]
-            for r in QUERIES["hrv_lomb_scargle"](spark, sf_dir).collect()}
-    assert dfa and lomb
-    assert sum(v is not None for v in dfa.values()) >= len(dfa) * 0.9
-    assert sum(v is not None for v in lomb.values()) >= len(lomb) * 0.9
+    dfa = QUERIES["hrv_dfa"](spark, sf_dir).collect()
+    lomb = QUERIES["hrv_lomb_scargle"](spark, sf_dir).collect()
+    assert {r["record_id"] for r in dfa} >= {-201, -202}
+    assert {r["record_id"] for r in lomb} >= {-301, -302}
+    assert all(r["physics_ok"] and r["ordering_ok"] for r in dfa)
+    assert all(r["internal_ok"] and r["band_ok"] for r in lomb)
+    real_dfa = [r for r in dfa if r["record_id"] >= 0]
+    real_lomb = [r for r in lomb if r["record_id"] >= 0]
+    assert real_dfa and real_lomb
+    assert sum(r["computed"] for r in real_dfa) >= len(real_dfa) * 0.9
+    assert sum(r["computed"] for r in real_lomb) >= len(real_lomb) * 0.9

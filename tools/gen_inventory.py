@@ -52,9 +52,10 @@ def main() -> int:
         "# OPERATORS — generated inventory (tools/gen_inventory.py)",
         "",
         f"{len(rows)} registered queries; {n_sql} with DuckDB SQL oracle "
-        f"twins, {len(rows) - n_sql} rows-only (the HRV FFT/nonlinear "
-        "kernels — genuinely SQL-inexpressible, known-answer-tested "
-        "instead). Regenerate with "
+        f"twins, {len(rows) - n_sql} rows-only (round 10 upgraded the "
+        "last six rows-only HRV kernel ids to bound/planted evals with "
+        "full SQL oracles; raw kernel numerics stay known-answer-tested "
+        "in tests/test_hrv_known_answers.py). Regenerate with "
         "`python tools/gen_inventory.py` after adding operators.",
         "",
         "| id | impl | oracle | summary |",
