@@ -148,6 +148,12 @@ GATE_IDS = [
     "ts_cross_correlation_lags", "stat_odds_ratio_mh",
     "agg_gumbel_block_maxima", "agg_theil_index",
     "agg_herfindahl_index",
+    # round 10: the upgraded HRV bound/planted evals + the new batch
+    "hrv_freq_domain", "hrv_freq_domain_sliding", "hrv_sampen",
+    "hrv_tinn", "hrv_dfa", "hrv_lomb_scargle",
+    "stat_bh_fdr", "stat_kendall_tau_b", "data_sample_hash_priority",
+    "ml_threshold_confusion", "ts_pacf_durbin_levinson",
+    "win_rolling_sharpe", "ts_seasonal_strength",
 ]
 
 

@@ -111,6 +111,10 @@ SKEW_WINDOW_IDS = [
     "agg_page_hinkley_drift", "ts_adf_stat", "ab_sequential_sprt",
     "win_bollinger_bands", "win_decay_score", "win_cusum_drift",
     "win_rolling_skew_kurt",
+    # round 10: the new frame op under the fat partition, plus
+    # hrv_sampen whose in-plan input cap EXISTS because of this
+    # fixture's 200k-beat hot record
+    "win_rolling_sharpe", "hrv_sampen", "ts_pacf_durbin_levinson",
 ]
 
 
