@@ -77,7 +77,12 @@ BASELINE_SLOTS = {
     "win_sliding_range": 0.23,
     "hrv_time_domain": 0.67,
     "hrv_time_domain_sliding": 0.57,
-    "hrv_freq_domain": 0.8,
+    # round 10: registered query became the BOUND/PLANTED EVAL (two
+    # planted sinusoid records + exact-count/guard stats join on top
+    # of the production Welch kernel) — slot re-baselined from the
+    # three round-10 close runs (elementwise min, first at loadavg
+    # 0.13); the raw kernel's cost is unchanged.
+    "hrv_freq_domain": 1.1,
     # round 9: registered query became the PLANTED-TWIN EVAL
     # (twin augmentation + per-planted-doc catch outputs on top
     # of the production pipeline) — slot re-baselined from the

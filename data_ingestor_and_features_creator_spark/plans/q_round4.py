@@ -503,8 +503,10 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promo revenue share, p_type='ECONOMY' standing in
     for the PROMO% predicate of the spec against the fixture's type
     domain): conditional-aggregate ratio over a month window — the
-    SUM(CASE)/SUM pattern every KPI dashboard runs. part broadcasts
-    (200 rows here; 1:30 vs lineitem at spec ratios); both sums run
+    SUM(CASE)/SUM pattern every KPI dashboard runs. part earns its
+    broadcast from the size thresholds (round-10 hint demotion: part
+    scales with SF — 1:30 vs lineitem at spec ratios, far past any
+    static-hint budget at cluster scale); both sums run
     through DECIMAL so the ratio divides two bit-identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
