@@ -205,3 +205,13 @@ def test_seasonal_strength_planted_extremes(spark, sf_dir, tmp_path):
     # NOT aligned with hour-of-day (gcd(7,24)=1 → every hour sees every
     # phase) → hour profile explains ~nothing
     assert rows[2] is not None and rows[2] < 0.05, rows
+
+
+def test_triangle_bitmap_equals_path_join(spark, sf_dir):
+    """The dense-regime bitmap intersection and the wedge-path join
+    are two implementations of the same count — cross-validate them
+    on the fixture graph (each is also independently SQL-oracled)."""
+    a = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    b = QUERIES["graph_triangle_bitmap"](spark, sf_dir).collect()[0]
+    assert a["n_triangles"] == b["n_triangles"] > 0
+    assert a["n_edges"] == b["n_edges"] > 0
