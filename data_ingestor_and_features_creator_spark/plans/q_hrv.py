@@ -324,23 +324,17 @@ _RR4 = """
   FROM events WHERE value > 0 AND NOT isnan(value)
 """
 
-# Exact per-record stats the freq-domain guard re-derives: n, decimal-
-# exact Σrri, max rri, first rri by (ts, event_id). The resample-grid
-# estimate is ceil((Σ−first)/250 ms); the kernel's own float cumsum can
-# disagree only within ±(max rri)/250 grid cells (first-beat tie
-# ambiguity + last-ulp drift), hence the claim's guard band.
-_FREQ_ST = f"""
+# Exact per-record beat count the oracle re-derives. The guard stats
+# (decimal-exact Σrri, max rri, first rri) live ONLY on the Spark side
+# — the oracle's claim columns are the constants the live checks must
+# land on, so it never needs them. The resample-grid estimate is
+# ceil((Σ−first)/250 ms); the kernel's own float cumsum can disagree
+# only within ±(max rri)/250 grid cells (first-beat tie ambiguity +
+# last-ulp drift), hence the claim's guard band.
+_FREQ_ST = """
 st AS (
-  SELECT record_id,
-         CAST(COUNT(rri) AS BIGINT) AS n_beats,
-         {dsum_sql('rri')} AS s,
-         MAX(rri) AS mx,
-         MAX(CASE WHEN rn = 1 THEN rri END) AS first_rri
-  FROM (SELECT record_id, rri,
-               row_number() OVER (PARTITION BY record_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM rr)
-  GROUP BY record_id)
+  SELECT record_id, CAST(COUNT(rri) AS BIGINT) AS n_beats
+  FROM rr GROUP BY record_id)
 """
 
 
@@ -384,14 +378,15 @@ def hrv_freq_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("record_id")
                   .applyInPandas(kernels.freq_domain_kernel,
                                  schema=kernels.FREQ_SCHEMA))
-    w = W.partitionBy("record_id").orderBy("beat_ts", "event_id")
-    stats = (allrr.withColumn("rn", F.row_number().over(w))
-                  .groupBy("record_id")
-                  .agg(F.count("rri").cast("long").alias("n_beats"),
-                       dsum("rri").alias("s"),
-                       F.max("rri").alias("mx"),
-                       F.max(F.when(F.col("rn") == 1, F.col("rri")))
-                        .alias("first_rri")))
+    # ONE hash aggregate — min_by picks the first beat's rri without a
+    # per-record sort (round 10: the row_number construction paid a
+    # full window exchange just for this scalar).
+    stats = allrr.groupBy("record_id").agg(
+        F.count("rri").cast("long").alias("n_beats"),
+        dsum("rri").alias("s"),
+        F.max("rri").alias("mx"),
+        F.min_by("rri", F.struct("beat_ts", "event_id"))
+         .alias("first_rri"))
     grid_est = F.ceil((F.col("s") - F.col("first_rri")) / F.lit(250.0))
     guard = F.ceil(F.col("mx") / F.lit(250.0)) + F.lit(2)
     tp = F.col("total_power")
@@ -633,16 +628,8 @@ ex AS (
          (us // {_D7}) * {_D7} - g * {_D7} AS ws_us
   FROM rr0, unnest(generate_series(0, 1)) AS t(g)),
 st AS (
-  SELECT record_id, ws_us,
-         CAST(COUNT(rri) AS BIGINT) AS n_beats,
-         {dsum_sql('rri')} AS s,
-         MAX(rri) AS mx,
-         MAX(CASE WHEN rn = 1 THEN rri END) AS first_rri
-  FROM (SELECT record_id, ws_us, rri,
-               row_number() OVER (PARTITION BY record_id, ws_us
-                                  ORDER BY ts, event_id) AS rn
-        FROM ex)
-  GROUP BY record_id, ws_us)
+  SELECT record_id, ws_us, CAST(COUNT(rri) AS BIGINT) AS n_beats
+  FROM ex GROUP BY record_id, ws_us)
 SELECT record_id, ws_us, n_beats,
        TRUE AS computed_ok, TRUE AS internal_ok
 FROM st
@@ -682,14 +669,12 @@ def hrv_freq_domain_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("record_id", "ws_us")
                .applyInPandas(kernels.freq_domain_window_kernel,
                               schema=kernels.FREQ_SLIDING_SCHEMA))
-    w = W.partitionBy("record_id", "ws_us").orderBy("beat_ts", "event_id")
-    stats = (ex.withColumn("rn", F.row_number().over(w))
-               .groupBy("record_id", "ws_us")
-               .agg(F.count("rri").cast("long").alias("n_beats"),
-                    dsum("rri").alias("s"),
-                    F.max("rri").alias("mx"),
-                    F.max(F.when(F.col("rn") == 1, F.col("rri")))
-                     .alias("first_rri")))
+    stats = ex.groupBy("record_id", "ws_us").agg(
+        F.count("rri").cast("long").alias("n_beats"),
+        dsum("rri").alias("s"),
+        F.max("rri").alias("mx"),
+        F.min_by("rri", F.struct("beat_ts", "event_id"))
+         .alias("first_rri"))
     grid_est = F.ceil((F.col("s") - F.col("first_rri")) / F.lit(250.0))
     guard = F.ceil(F.col("mx") / F.lit(250.0)) + F.lit(2)
     tp = F.col("total_power")
