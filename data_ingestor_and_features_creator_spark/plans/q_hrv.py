@@ -419,14 +419,16 @@ _SAMPEN_CAP = 2000  # O(n²) kernel input bound per record (see docstring)
 
 @query("hrv_sampen", oracle=f"""
 WITH rr AS ({_RR4}),
+rk AS (SELECT record_id, rri,
+              row_number() OVER (PARTITION BY record_id
+                                 ORDER BY ts, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY record_id) AS n_tot
+       FROM rr),
 st AS (
   SELECT record_id, CAST(COUNT(rri) AS BIGINT) AS n_beats,
          COUNT(DISTINCT rri) AS nd
-  FROM (SELECT record_id, rri,
-               row_number() OVER (PARTITION BY record_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM rr)
-  WHERE rn <= {_SAMPEN_CAP}
+  FROM rk
+  WHERE (rn - 1) % ((n_tot + {_SAMPEN_CAP - 1}) // {_SAMPEN_CAP}) = 0
   GROUP BY record_id)
 SELECT record_id, n_beats,
        TRUE AS nonneg_ok, TRUE AS null_guard_ok, TRUE AS ordering_ok
@@ -435,13 +437,21 @@ UNION ALL SELECT -401, 200, TRUE, TRUE, TRUE
 UNION ALL SELECT -402, 200, TRUE, TRUE, TRUE
 """)
 def hrv_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample entropy (m=2, r=0.2·std) per record over the first
-    ≤{_SAMPEN_CAP} beats (deterministic (beat_ts, event_id) rank —
-    round 10 moved the long-documented 'bound group size upstream'
-    advice INTO the plan after the skew fixture's 200k-beat hot record
-    showed an unbounded O(n²) group is a wall-clock grenade, not a
-    theory). At 100 TB run per (record, bounded window), never per
-    raw record; n_beats reports the BOUNDED count the kernel saw.
+    """Sample entropy (m=2, r=0.2·std) per record over a DETERMINISTIC
+    STRIDED SUBSAMPLE of ≤{_SAMPEN_CAP} beats — stride
+    ceil(n/{_SAMPEN_CAP}) over the (beat_ts, event_id) rank, so a long
+    record contributes beats from its WHOLE span, not its first ~33
+    minutes (round 11, VERDICT r10 ask 4: the round-10 prefix cap was
+    a biased sample of a long recording — entropy of the first K beats
+    ≠ entropy of the recording). Records at or under the cap are
+    untouched (stride 1). Round 10 moved the long-documented 'bound
+    group size upstream' advice INTO the plan after the skew fixture's
+    200k-beat hot record showed an unbounded O(n²) group is a
+    wall-clock grenade, not a theory. At 100 TB run per (record,
+    bounded window), never per raw record; n_beats reports the BOUNDED
+    count the kernel saw. Caveat stated plainly: at stride s > 1 the
+    kernel sees the DECIMATED series, so SampEn is that of the
+    subsampled dynamics — unbiased in coverage, coarser in timescale.
 
     Upgraded rows-only → BOUND EVAL (round 10): the live kernel runs
     over real records PLUS a planted strictly-periodic record (−401:
@@ -459,22 +469,32 @@ def hrv_sampen(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = rr_from_events(spark, sf_dir).select(
         "record_id", "beat_ts", "event_id", "rri")
     # The upstream bound the docstring demands, IN the plan: SampEn
-    # runs over the first ≤ _SAMPEN_CAP beats per record (deterministic
-    # (beat_ts, event_id) rank), so one hot record — the skew fixture
-    # plants a 200k-beat user — can never hand the O(n²) kernel an
+    # runs over ≤ _SAMPEN_CAP beats per record taken at a DETERMINISTIC
+    # STRIDE ceil(n/cap) over the (beat_ts, event_id) rank — unbiased
+    # whole-record coverage (round 11; the r10 prefix form oversampled
+    # the recording's head) — so one hot record (the skew fixture
+    # plants a 200k-beat user) can never hand the O(n²) kernel an
     # unbounded group. The cap is far above every normal fixture's
-    # per-record beat count (≤ ~900), so it binds only where it must.
+    # per-record beat count (≤ ~900), so stride 1 everywhere but the
+    # planted hot record. Rank and per-record count share ONE
+    # record_id exchange (same partitioning, two window specs).
     wcap = W.partitionBy("record_id").orderBy("beat_ts", "event_id")
+    wtot = W.partitionBy("record_id")
+    stride = F.expr(f"(n_tot + {_SAMPEN_CAP - 1}) div {_SAMPEN_CAP}")
     capped = (rr.withColumn("rn", F.row_number().over(wcap))
-                .filter(F.col("rn") <= _SAMPEN_CAP))
+                .withColumn("n_tot", F.count(F.lit(1)).over(wtot))
+                .filter((F.col("rn") - 1) % stride == 0))
     allrr = (capped.select("record_id", "beat_ts", "rri")
              .unionByName(planted_periodic(spark, -401, 200)
                           .select("record_id", "beat_ts", "rri"))
              .unionByName(planted_noise(spark, -402, 200)
                           .select("record_id", "beat_ts", "rri"))).cache()
+    # feats cached too (ADVICE r10): it feeds BOTH the planted-pair
+    # aggregate and the main join — uncached, the O(n²) Arrow kernel
+    # would execute twice per run.
     feats = (allrr.groupBy("record_id")
                   .applyInPandas(kernels.sampen_kernel,
-                                 schema=kernels.SAMPEN_SCHEMA))
+                                 schema=kernels.SAMPEN_SCHEMA)).cache()
     stats = allrr.groupBy("record_id").agg(
         F.count("rri").cast("long").alias("n_beats"),
         F.countDistinct("rri").alias("nd"))

@@ -167,7 +167,12 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.least(F.lit(1.0),
                           var_all / (F.col("n_g") * diff * diff))
                    .alias("pval")))
-    m = j.agg(F.count(F.lit(1)).alias("m"))
+    # m = the FULL family size (every tested event type, counted from t
+    # BEFORE the degenerate-row filter — matching the oracle's
+    # (SELECT COUNT(*) FROM t) and BH semantics: a group whose mean
+    # equals the global mean is a tested hypothesis with p = 1, not a
+    # shrunken family; ADVICE r10).
+    m = t.agg(F.count(F.lit(1)).alias("m"))
     wq = W.orderBy("pval", "event_type") \
           .rowsBetween(W.currentRow, W.unboundedFollowing)
     wi = W.orderBy("pval", "event_type")
@@ -317,12 +322,16 @@ def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _rho_sql(k: int) -> str:
+    # (ROUND(..) + 0.0) — the r6_sql signed-zero normalization (fourth
+    # float rule): a lag correlation rounding to zero FROM BELOW is
+    # −0.0 under DuckDB's IEEE round but +0.0 from Spark's BigDecimal
+    # F.round, and pacf1 emits this value directly (ADVICE r10).
     n = f"n{k}"
     return (f"CASE WHEN {n} >= 3 AND ({n} * sxx{k} - sx{k} * sx{k}) > 0"
             f" AND ({n} * syy{k} - sy{k} * sy{k}) > 0"
-            f" THEN ROUND(({n} * sxy{k} - sx{k} * sy{k})"
+            f" THEN (ROUND(({n} * sxy{k} - sx{k} * sy{k})"
             f" / (SQRT({n} * sxx{k} - sx{k} * sx{k})"
-            f" * SQRT({n} * syy{k} - sy{k} * sy{k})), 6) END")
+            f" * SQRT({n} * syy{k} - sy{k} * sy{k})), 6) + 0.0) END")
 
 
 @query("ts_pacf_durbin_levinson", oracle=f"""
@@ -569,7 +578,12 @@ def graph_triangle_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME SQL oracle (the count is implementation-independent).
     Regime rule for 100 TB: dense communities (web cliques,
     co-purchase hubs) → bitmaps; long sparse graphs → the wedge join
-    with degree orientation (graph_triangle_count's docstring)."""
+    with degree orientation (graph_triangle_count's docstring). Round
+    11: the plan body moved to operators/graph.py
+    (triangle_count_bitmap, with the empty-join COALESCE guard) and
+    graph_triangle_count now DISPATCHES to it on measured density —
+    this id stays registered as the explicit dense-regime form."""
+    from ..operators.graph import triangle_count_bitmap
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                       "l_suppkey")
     l2 = li.select(F.col("l_orderkey").alias("o2"),
@@ -578,22 +592,6 @@ def graph_triangle_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.least("l_suppkey", "s2").alias("a"),
                    F.greatest("l_suppkey", "s2").alias("b"))
            .distinct().cache())
-    adj = (e.groupBy("a", F.floor(F.col("b") / 64).cast("long").alias("w"))
-            .agg(F.expr("bit_or(shiftleft(1L, cast(b % 64 as int)))")
-                  .alias("bits"))
-            .groupBy("a")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("w", "bits"))).alias("m")))
-    ma = adj.select(F.col("a").alias("ja"), F.col("m").alias("mA"))
-    mb = adj.select(F.col("a").alias("jb"), F.col("m").alias("mB"))
-    j = e.join(ma, e.a == ma.ja).join(mb, e.b == mb.jb)
-    common = F.aggregate(
-        F.map_values(F.map_zip_with(
-            "mA", "mB",
-            lambda k, x, y: F.bit_count(
-                F.coalesce(x, F.lit(0)).bitwiseAND(
-                    F.coalesce(y, F.lit(0)))))),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return (j.agg(F.sum(common).alias("n_triangles"))
-             .crossJoin(F.broadcast(
-                 e.agg(F.count(F.lit(1)).alias("n_edges")))))
+    return (triangle_count_bitmap(e)
+            .crossJoin(F.broadcast(
+                e.agg(F.count(F.lit(1)).alias("n_edges")))))

@@ -493,9 +493,12 @@ def hrv_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
     allrr = (rr.unionByName(planted_noise(spark, -201, 512)
                             .select("record_id", "beat_ts", "rri"))
                .unionByName(planted_noise(spark, -202, 512, integrate=True)
-                            .select("record_id", "beat_ts", "rri")))
+                            .select("record_id", "beat_ts", "rri"))).cache()
+    # feats cached (ADVICE r10): the planted-pair aggregate AND the
+    # main join both read it — uncached, the vectorized DFA kernel
+    # (and the upstream rr window chain) would run twice per action.
     feats = allrr.groupBy("record_id").applyInPandas(
-        kernels.dfa_kernel, schema=kernels.DFA_SCHEMA)
+        kernels.dfa_kernel, schema=kernels.DFA_SCHEMA).cache()
     stats = allrr.groupBy("record_id").agg(
         F.count("rri").cast("long").alias("n_beats"),
         F.countDistinct("rri").alias("nd"))

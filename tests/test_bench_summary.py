@@ -56,6 +56,22 @@ def test_summary_line_sheds_queries_rather_than_overflow():
     assert parsed["value"] > 0
 
 
+def test_load_caveat_flag(monkeypatch=None):
+    """VERDICT r10 ask 5: a bench line recorded on a loaded machine
+    must self-declare (load_caveat: true above 1-min loadavg 4), and a
+    quiet run must NOT carry the flag."""
+    loaded = _fake_full(len(bench.HEADLINE))          # loadavg 8.7
+    line = json.loads(bench.compact_summary(loaded))
+    assert line["load_caveat"] is True
+    quiet = _fake_full(len(bench.HEADLINE))
+    quiet["loadavg_at_start"] = [0.12, 3.4, 7.9]      # only 1-min counts
+    assert "load_caveat" not in json.loads(bench.compact_summary(quiet))
+    nolavg = _fake_full(len(bench.HEADLINE))
+    nolavg["loadavg_at_start"] = None                 # getloadavg OSError
+    assert "load_caveat" not in json.loads(bench.compact_summary(nolavg))
+    assert bench._load_caveat([4.01, 0, 0]) and not bench._load_caveat([4.0, 9, 9])
+
+
 def test_ratio_stats_shapes():
     assert bench._ratio_stats({}) == {}
     s = bench._ratio_stats({"a": 1.0, "b": 2.0, "c": 3.0})

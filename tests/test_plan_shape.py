@@ -1300,3 +1300,71 @@ def test_demoted_hints_still_broadcast_at_sf1ish(name, spark):
     bhj, smj, plan = _final_join_counts(QUERIES[name](spark, _SF1ISH))
     assert bhj >= min_bhj, f"{name}: {bhj} BroadcastHashJoin\n{plan[:3000]}"
     assert smj <= max_smj, f"{name}: {smj} SortMergeJoin\n{plan[:3000]}"
+
+
+# ---------------------------------------------------------------------------
+# Triangle-count regime dispatch (round 11, VERDICT r10 ask 1)
+# ---------------------------------------------------------------------------
+
+def test_triangle_regime_rule():
+    """The density threshold δ ≥ 1/16 (operators/graph.py cost model),
+    exact at the boundary, with degenerate graphs routed to the
+    cheap-no-op wedge plan."""
+    from data_ingestor_and_features_creator_spark.operators.graph import (
+        triangle_regime)
+    assert triangle_regime(0, 0) == "wedge"       # empty graph
+    assert triangle_regime(0, 10) == "wedge"      # edgeless
+    assert triangle_regime(1, 2) == "bitmap"      # K2: density 1.0
+    # n = 1000: δ = 1/16 ⇔ m = n(n−1)/32 = 31218.75 — the first integer
+    # m at/above the threshold is 31219
+    assert triangle_regime(31219, 1000) == "bitmap"
+    assert triangle_regime(31218, 1000) == "wedge"
+
+
+def test_triangle_dispatch_dense_fixture_runs_bitmap(spark, sf_dir):
+    """On the supplier co-purchase fixture (a COMPLETE graph at test
+    SF, δ = 1.0 — the 91%-dense shape that made the wedge join the
+    43.7 s sweep head at sf0.1) the registered id must run the
+    bitmap-intersection plan: map_zip_with/bit_count in the physical
+    plan, no wedge-join path rows."""
+    df = QUERIES["graph_triangle_count"](spark, sf_dir)
+    plan = _physical(df)
+    assert "bit_count" in plan, plan[:3000]
+    assert "map_zip_with" in plan, plan[:3000]
+
+
+def test_triangle_dispatch_sparse_picks_wedge(spark):
+    """A 1000-node chain (δ ≈ 0.002, far under 1/16) must dispatch to
+    the wedge join — the bitmap build would pay a per-node map for a
+    graph whose joins barely fan out."""
+    from data_ingestor_and_features_creator_spark.operators.graph import (
+        triangle_count_auto)
+    e = (spark.range(999)
+              .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b")))
+    plan_df, regime, m = triangle_count_auto(e)
+    assert regime == "wedge"
+    assert m == 999
+    assert "map_zip_with" not in _physical(plan_df)
+    assert plan_df.collect()[0]["n_triangles"] == 0  # chains are triangle-free
+
+
+def test_triangle_plans_agree_and_empty_is_zero(spark):
+    """Both regime plans count the SAME triangles on a deterministic
+    pseudo-random graph (the dispatch can change cost, never the
+    answer), and the bitmap plan's empty-join guard emits 0, not NULL
+    (ADVICE r10)."""
+    from data_ingestor_and_features_creator_spark.operators.graph import (
+        triangle_count_bitmap, triangle_count_wedge)
+    # hash-deterministic G(60, ~0.25) oriented a < b
+    ids = spark.range(60)
+    pairs = (ids.select(F.col("id").alias("a"))
+                .crossJoin(ids.select(F.col("id").alias("b")))
+                .filter(F.col("a") < F.col("b")))
+    e = pairs.filter(
+        F.pmod(F.xxhash64(F.col("a") * 1000003 + F.col("b")), 4) == 0)
+    nw = triangle_count_wedge(e).collect()[0]["n_triangles"]
+    nb = triangle_count_bitmap(e).collect()[0]["n_triangles"]
+    assert nw == nb and nw > 0
+    empty = e.filter(F.lit(False))
+    row = triangle_count_bitmap(empty).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_triangles"] is not None
