@@ -84,14 +84,16 @@ def load_all() -> None:
 # next round's budget automatically lands on whatever this round missed.
 
 
-def _driver_history() -> tuple[set, set]:
-    """(ever_checked, last_row_failed) from committed CORRECTNESS files."""
+def _driver_history() -> tuple[set, set, set]:
+    """(ever_checked, last_row_failed, last_row_rows_only) from
+    committed CORRECTNESS files."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
     checked: set = set()
     failed: set = set()
+    rows_only: set = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -112,20 +114,32 @@ def _driver_history() -> tuple[set, set]:
                 failed.discard(name)
             else:
                 failed.add(name)
-    return checked, failed
+            if ok and err == "no_oracle":
+                rows_only.add(name)
+            else:
+                rows_only.discard(name)
+    return checked, failed, rows_only
 
 
 def _ordered_ids() -> list[str]:
     load_all()
     reg_order = {name: i for i, name in enumerate(QUERIES)}
-    checked, failed = _driver_history()
+    checked, failed, rows_only_latest = _driver_history()
 
     def key(name: str) -> tuple:
         if name in failed:
             return (0, reg_order[name])
         if name not in checked:
             return (1 if name in ORACLES else 2, reg_order[name])
-        return (3, reg_order[name])
+        # Round 11 (VERDICT r10 ask 8): an id whose LATEST driver row is
+        # a round-1 rows-only record but which has since gained a SQL
+        # oracle (scan_binary, agg_approx_distinct, agg_hll_sketch_merge)
+        # re-queues AHEAD of green ids — after the never-checked backlog
+        # drains, so fresh coverage still comes first — to upgrade the
+        # stale record of record to a hash-green one.
+        if name in rows_only_latest and name in ORACLES:
+            return (3, reg_order[name])
+        return (4, reg_order[name])
     return sorted(QUERIES, key=key)
 
 

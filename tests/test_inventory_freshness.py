@@ -67,6 +67,25 @@ def test_readme_totals_match_registry():
         f"README prose says {hits and hits[-1]}, registry is {n}/{n_sql}")
 
 
+def test_stale_rows_only_records_requeue_before_green_ids():
+    """VERDICT r10 ask 8: ids whose LATEST committed driver record is a
+    round-1 rows-only check but which now carry SQL oracles must sit in
+    the rotation AFTER every never-driver-checked id (fresh coverage
+    first) and BEFORE every green id (so the stale record of record
+    upgrades as soon as the backlog drains)."""
+    ids = list(plans.queries())
+    checked, failed, rows_only = plans._driver_history()
+    stale = sorted(n for n in rows_only if n in plans.oracles())
+    if not stale:  # the records upgraded — the ask is complete
+        return
+    never = [i for i, n in enumerate(ids) if n not in checked]
+    green = [i for i, n in enumerate(ids)
+             if n in checked and n not in failed and n not in rows_only]
+    stale_pos = [ids.index(n) for n in stale]
+    assert max(never, default=-1) < min(stale_pos)
+    assert max(stale_pos) < min(green)
+
+
 def test_zero_rows_only_stays_zero():
     """Round 10 closed the last rows-only ids; regressing to a weaker
     rows-only check is a deliberate, documented act — this trips if it
