@@ -59,6 +59,12 @@ HEADLINE = [
     # RANGE features + forward RANGE label, one user exchange) — the
     # supervised-label family's representative
     "ml_training_set_build",
+    # round 11: the regime-dispatched triangle count — the round's
+    # marquee plan fix (density probe → bitmap on the dense fixture);
+    # in the headline set so a dispatch regression (wedge join
+    # returning on dense data ⇒ ~10× slot blow-out) is visible in the
+    # per-round artifact, not just the yearly sweep
+    "graph_triangle_count",
 ]
 
 
@@ -100,6 +106,12 @@ BASELINE_SLOTS = {
     "ts_seasonal_decompose": 0.4,
     "analytics_pipeline_full": 0.53,
     "ml_training_set_build": 0.28,
+    # round 11: new headline entry (regime-dispatched triangle count —
+    # density probe + bitmap plan on the dense fixture); slot =
+    # elementwise min of the five round-11 close runs (1.965/2.085/
+    # 2.171/2.229/2.63; quietest at loadavg 0.05). A dispatch
+    # regression to the wedge join on this fixture reads ~10× this.
+    "graph_triangle_count": 1.97,
 }
 
 # Committed per-query TPC-H slots at sf0.1 (VERDICT r7 ask 7):

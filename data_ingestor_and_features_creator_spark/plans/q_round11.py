@@ -68,3 +68,31 @@ def catalog_hive_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing + metastore inserts, no data scan)."""
     out = hivecat.ensure_staged(sf_dir)
     return spark.read.parquet(os.path.join(out, hivecat.MSCK))
+
+
+@query("catalog_hive_partition_pruning", oracle=f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_dec_str_sql('o_totalprice')} AS sum_total,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderpriority IS NOT DISTINCT FROM
+      (SELECT MAX(o_orderpriority) FROM orders)
+GROUP BY o_orderpriority
+""")
+def catalog_hive_partition_pruning(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """METASTORE PARTITION PRUNING proven BEHAVIORALLY, not by plan-
+    string parsing [SPARK — catalog partition filters on a Hive
+    external table]: after the MSCK flow registers every partition,
+    the staging subprocess DELETES every non-late partition's files
+    from the table location (the metastore still lists them) and reads
+    ONLY the late partition. A metastore-pruned scan never lists the
+    deleted directories and returns the exact source aggregate — which
+    the SQL oracle recomputes from the parquet source restricted to
+    MAX(o_orderpriority); an unpruned scan would fault on the vanished
+    files and fail the whole staging (gate red). This is the read-path
+    payoff the catalog surface exists for: at 100 TB a partition
+    filter must become a metastore listing of one partition, never a
+    filesystem walk of the table."""
+    out = hivecat.ensure_staged(sf_dir)
+    return spark.read.parquet(os.path.join(out, hivecat.PRUNE))

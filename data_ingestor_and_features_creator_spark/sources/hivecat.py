@@ -62,6 +62,7 @@ _STAGED: dict[str, str] = {}
 
 ROUNDTRIP = "roundtrip.parquet"
 MSCK = "msck.parquet"
+PRUNE = "prune.parquet"
 
 
 def ensure_staged(sf_dir: str) -> str:
@@ -82,7 +83,7 @@ def ensure_staged(sf_dir: str) -> str:
          sf_dir, out],
         env=env, capture_output=True, text=True, timeout=1200)
     if proc.returncode != 0 or not os.path.exists(
-            os.path.join(out, MSCK)):
+            os.path.join(out, PRUNE)):
         raise RuntimeError(
             "hivecat staging failed (rc=%s):\n%s" % (
                 proc.returncode, (proc.stdout + proc.stderr)[-4000:]))
@@ -212,6 +213,27 @@ def stage(sf_dir: str, out: str) -> None:
                            "n_after"))
     result.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out, MSCK))
+
+    # --- partition-pruning proof, BEHAVIORAL (no plan-string parsing):
+    # delete every NON-late partition's files from the external
+    # table's location while the metastore still lists those
+    # partitions, then read ONLY the late partition. A metastore-
+    # partition-pruned scan never lists the deleted directories and
+    # returns the exact source aggregate; an unpruned scan would fault
+    # on the vanished files (staging error → gate red).
+    if late is not None:
+        for d in parts:
+            if d != late:
+                shutil.rmtree(os.path.join(ext, d), ignore_errors=True)
+        late_val = (None if decoded[late] == "__HIVE_DEFAULT_PARTITION__"
+                    else decoded[late])
+        pruned = s.table("orders_ext").where(
+            F.col("o_orderpriority").eqNullSafe(F.lit(late_val)))
+        _agg(pruned).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, PRUNE))
+    else:
+        _agg(s.table("orders_ext")).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(out, PRUNE))
     s.stop()
 
 

@@ -154,6 +154,11 @@ GATE_IDS = [
     "stat_bh_fdr", "stat_kendall_tau_b", "data_sample_hash_priority",
     "ml_threshold_confusion", "ts_pacf_durbin_levinson",
     "win_rolling_sharpe", "ts_seasonal_strength",
+    # round 11: the metastore catalog surface (nulls fixture exercises
+    # NaN prices through the decimal-string total and any null
+    # partition values through the Hive default-partition path)
+    "catalog_hive_roundtrip", "catalog_hive_msck_repair",
+    "catalog_hive_partition_pruning",
 ]
 
 
