@@ -270,6 +270,13 @@ def safe_sqrt_sql(expr: str) -> str:
     return f"CASE WHEN ({expr}) >= 0 THEN SQRT({expr}) END"
 
 
+def safe_div_sql(num: str, den: str) -> str:
+    """DuckDB twin of safe_div: NULL on zero denominator (DuckDB's
+    x/0 is Inf for doubles, error for integers — both diverge from
+    Spark ANSI's fault; the shared semantic is NULL)."""
+    return f"CASE WHEN ({den}) <> 0 THEN ({num}) / ({den}) END"
+
+
 def dec12_sum_py(vals) -> float:
     """Python-side replica of ``dsum`` — CAST(double AS DECIMAL(38,12))
     summation: quantize each exact binary value to 12 dp (half-even,

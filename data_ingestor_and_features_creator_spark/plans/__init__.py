@@ -71,6 +71,7 @@ def load_all() -> None:
     from . import q_round10  # noqa: F401  (tail of the priority order)
     from . import q_round11  # noqa: F401  (tail of the priority order)
     from . import q_round11b  # noqa: F401  (tail of the priority order)
+    from . import q_round11c  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round

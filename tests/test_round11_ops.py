@@ -1,0 +1,248 @@
+"""Known-answer / property tests for the round-11 operator batches
+(q_round11b graph family, q_round11c rank stats + eval + audit) — the
+DuckDB oracle gate covers the cross-engine hash contract; these pin
+the MATH against independent numpy reimplementations and pin the
+structural invariants the oracle can't see (convergence margins,
+component laws, core properties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestor_and_features_creator_spark import plans
+
+QUERIES = plans.queries()
+
+
+# ---------------------------------------------------------------------------
+# Graph family: structural laws
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def graph_frames(spark, sf_dir):
+    from data_ingestor_and_features_creator_spark.plans.q_round11b import (
+        _copurchase_edges)
+    e = _copurchase_edges(spark, sf_dir).cache()
+    edges = [(r["a"], r["b"]) for r in e.collect()]
+    return e, edges
+
+
+def _py_components(edges):
+    """Union-find reference."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark, sf_dir, graph_frames):
+    """Every emitted (node, component) label equals the min-reachable
+    node id computed by an independent union-find."""
+    _, edges = graph_frames
+    ref = _py_components(edges)
+    # union-find parent compression leaves root = min id only if we
+    # normalize: recompute min per component
+    comp_members: dict = {}
+    for n, r in ref.items():
+        comp_members.setdefault(r, []).append(n)
+    canon = {}
+    for members in comp_members.values():
+        m = min(members)
+        for n in members:
+            canon[n] = m
+    got = {r["node"]: r["component"]
+           for r in QUERIES["graph_connected_components"](
+               spark, sf_dir).collect()}
+    assert got == canon
+
+
+def test_kcore_properties(spark, sf_dir, graph_frames):
+    """The emitted 3-core (a) has every member's in-core degree >= 3,
+    (b) is a fixpoint (recomputing degrees over the member set peels
+    nobody), and (c) matches an independent python peel to exhaustion
+    — i.e. the bounded-round budget converged on this fixture."""
+    _, edges = graph_frames
+    rows = QUERIES["graph_kcore"](spark, sf_dir).collect()
+    got = {r["node"]: r["core_deg"] for r in rows}
+    assert all(d >= 3 for d in got.values())
+    # python peel to exhaustion (no round budget)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    ref = {n: len(adj[n] & alive) for n in alive}
+    assert got == ref
+
+
+def test_label_propagation_three_rounds_reference(spark, sf_dir,
+                                                  graph_frames):
+    """Sync LPA with min-tie-break replayed in python for exactly 3
+    rounds must reproduce the registered labels."""
+    _, edges = graph_frames
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            counts: dict = {}
+            for v in adj[n]:
+                counts[lab[v]] = counts.get(lab[v], 0) + 1
+            best = min(counts, key=lambda c: (-counts[c], c))
+            new[n] = best
+        lab = new
+    got = {r["node"]: r["label"]
+           for r in QUERIES["graph_label_propagation"](
+               spark, sf_dir).collect()}
+    assert got == lab
+
+
+def test_local_clustering_bounds_and_reference(spark, sf_dir,
+                                               graph_frames):
+    """lcc in [0, 1]; spot-verify tri/deg/lcc for every emitted node
+    against the adjacency sets."""
+    _, edges = graph_frames
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in QUERIES["graph_local_clustering"](spark, sf_dir).collect():
+        n, deg, tri, lcc = r["node"], r["deg"], r["tri"], r["lcc"]
+        assert deg == len(adj[n])
+        nbrs = sorted(adj[n])
+        t = sum(1 for i in range(len(nbrs)) for j in range(i + 1, len(nbrs))
+                if nbrs[j] in adj[nbrs[i]])
+        assert tri == t
+        assert abs(lcc - 2.0 * t / (deg * (deg - 1))) < 1e-12
+        assert 0.0 <= lcc <= 1.0
+
+
+def test_adamic_adar_reference(spark, sf_dir, graph_frames):
+    """Recompute the AA score for every emitted pair from adjacency
+    sets; emitted pairs must be non-adjacent with >=1 common
+    neighbor."""
+    import math
+    _, edges = graph_frames
+    eset = set(edges)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in QUERIES["graph_adamic_adar"](spark, sf_dir).collect():
+        x, y = r["node_a"], r["node_b"]
+        assert (x, y) not in eset and (y, x) not in eset
+        common = adj[x] & adj[y]
+        assert len(common) == r["common"] and common
+        aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+        assert abs(r["aa"] - aa) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics: numpy references
+# ---------------------------------------------------------------------------
+
+def _midranks(a: np.ndarray) -> np.ndarray:
+    order = np.argsort(a, kind="mergesort")
+    ranks = np.empty(len(a))
+    sa = a[order]
+    i, pos = 0, 1
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and sa[j + 1] == sa[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (2 * pos + (j - i)) / 2.0
+        pos += j - i + 1
+        i = j + 1
+    return ranks
+
+
+@pytest.fixture(scope="module")
+def two_samples(duck):
+    df = duck.execute(
+        "SELECT event_type, value FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(value)").df()
+    x = df.loc[df.event_type == "click", "value"].to_numpy()
+    y = df.loc[df.event_type != "click", "value"].to_numpy()
+    return x, y
+
+
+def test_brunner_munzel_vs_numpy(spark, sf_dir, two_samples):
+    x, y = two_samples
+    nx, ny = len(x), len(y)
+    rc = _midranks(np.concatenate([x, y]))
+    rcx, rcy = rc[:nx], rc[nx:]
+    rx, ry = _midranks(x), _midranks(y)
+    mx, my = rcx.mean(), rcy.mean()
+    sx = ((rcx - rx - mx + (nx + 1) / 2) ** 2).sum() / (nx - 1)
+    sy = ((rcy - ry - my + (ny + 1) / 2) ** 2).sum() / (ny - 1)
+    w = nx * ny * (my - mx) / ((nx + ny) * np.sqrt(nx * sx + ny * sy))
+    df_ = ((nx * sx + ny * sy) ** 2
+           / ((nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)))
+    p = (my - mx) / (nx + ny) + 0.5
+    row = QUERIES["stat_brunner_munzel"](spark, sf_dir).collect()[0]
+    assert (row["nx"], row["ny"]) == (nx, ny)
+    assert abs(row["p_hat"] - p) < 1e-5
+    assert abs(row["w"] - w) < 1e-5
+    assert abs(row["df"] - df_) < 1e-3
+
+
+def test_anderson_darling_2samp_vs_numpy(spark, sf_dir, two_samples):
+    x, y = two_samples
+    comb = np.concatenate([x, y])
+    zstar = np.sort(np.unique(comb))
+    n = len(comb)
+    lj = np.array([(comb == z).sum() for z in zstar], float)
+    bj = lj.cumsum() - lj / 2
+    a2 = 0.0
+    for s in (x, y):
+        fij = np.array([(s == z).sum() for z in zstar], float)
+        mij = fij.cumsum() - fij / 2
+        inner = (lj / n * (n * mij - len(s) * bj) ** 2
+                 / (bj * (n - bj) - n * lj / 4))
+        a2 += inner.sum() / len(s)
+    a2 *= (n - 1) / n
+    row = QUERIES["stat_anderson_darling_2samp"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n0"], row["l"]) == (len(x), len(y), len(zstar))
+    assert abs(row["a2akn"] - a2) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Eval + audit invariants
+# ---------------------------------------------------------------------------
+
+def test_topk_accuracy_monotone_and_bounded(spark, sf_dir):
+    row = QUERIES["ml_topk_accuracy"](spark, sf_dir).collect()[0]
+    assert row["n_users"] > 0
+    assert 0.0 <= row["acc_at_1"] <= row["acc_at_3"] <= 1.0
+
+
+def test_l_diversity_law(spark, sf_dir):
+    """l_distinct <= n always; l3_ok is never NULL and equals the
+    threshold predicate."""
+    rows = QUERIES["audit_l_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= r["n"]
+        assert r["l3_ok"] is not None
+        assert r["l3_ok"] == (r["l_distinct"] >= 3)
