@@ -72,6 +72,7 @@ def load_all() -> None:
     from . import q_round11  # noqa: F401  (tail of the priority order)
     from . import q_round11b  # noqa: F401  (tail of the priority order)
     from . import q_round11c  # noqa: F401  (tail of the priority order)
+    from . import q_round11d  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round

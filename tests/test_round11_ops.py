@@ -237,6 +237,76 @@ def test_topk_accuracy_monotone_and_bounded(spark, sf_dir):
     assert 0.0 <= row["acc_at_1"] <= row["acc_at_3"] <= 1.0
 
 
+def test_bleu_corpus_vs_python(spark, sf_dir, duck):
+    """Corpus BLEU-2 recomputed in pure python from the same shift
+    pairs (clipped counts via collections.Counter) must match."""
+    import math
+    from collections import Counter
+    docs = duck.execute("SELECT doc_id, text FROM documents").df()
+    c_len = r_len = clip1 = nc1 = clip2 = nc2 = 0
+    for t in docs["text"]:
+        toks = [x for x in (t or "").split(" ") if x != ""]
+        cand, ref = toks[1:41], toks[0:40]
+        c_len += len(cand)
+        r_len += len(ref)
+        cc, rc = Counter(cand), Counter(ref)
+        clip1 += sum(min(n, rc[g]) for g, n in cc.items())
+        nc1 += sum(cc.values())
+        cb = Counter(zip(cand, cand[1:]))
+        rb = Counter(zip(ref, ref[1:]))
+        clip2 += sum(min(n, rb[g]) for g, n in cb.items())
+        nc2 += sum(cb.values())
+    p1, p2 = clip1 / nc1, clip2 / nc2
+    bp = 1.0 if c_len >= r_len else math.exp(1.0 - r_len / c_len)
+    bleu = bp * math.exp(0.5 * (math.log(p1) + math.log(p2)))
+    row = QUERIES["text_bleu_corpus"](spark, sf_dir).collect()[0]
+    assert (row["c_len"], row["r_len"]) == (c_len, r_len)
+    assert abs(row["p1"] - p1) < 1e-5 and abs(row["p2"] - p2) < 1e-5
+    assert abs(row["bp"] - bp) < 1e-5 and abs(row["bleu2"] - bleu) < 1e-5
+
+
+def test_matrix_profile_vs_numpy(spark, sf_dir, duck):
+    """Matrix profile (m=7, exclusion 4) recomputed in numpy from the
+    same daily series; the registered top-10 discords must equal the
+    reference top-10 under the same rounded-score ordering."""
+    daily = duck.execute("""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               AVG(value) AS v
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    m, excl = 7, 4
+    prof = {}
+    for et, g in daily.groupby("event_type"):
+        v = g.sort_values("d")["v"].to_numpy()
+        n = len(v)
+        ns = n - m + 1
+        if ns < excl + 1:
+            continue
+        wins = np.lib.stride_tricks.sliding_window_view(v, m)
+        mus = wins.mean(axis=1)
+        sds = np.sqrt(np.maximum((wins ** 2).mean(axis=1) - mus ** 2, 0))
+        for s in range(ns):
+            if sds[s] <= 0:
+                continue
+            best = None
+            for t in range(ns):
+                if abs(t - s) < excl or sds[t] <= 0:
+                    continue
+                rho = ((wins[s] * wins[t]).mean() - mus[s] * mus[t]) \
+                    / (sds[s] * sds[t])
+                d = np.sqrt(max(2.0 * m * (1.0 - rho), 0.0))
+                best = d if best is None else min(best, d)
+            if best is not None:
+                prof[(et, s + 1)] = round(best, 6)
+    ref_top = sorted(prof.items(),
+                     key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:10]
+    got = [((r["event_type"], r["win_start"]), r["profile"])
+           for r in QUERIES["ts_matrix_profile_discord"](
+               spark, sf_dir).collect()]
+    for (gk, gv), (rk, rv) in zip(got, ref_top):
+        assert gk == rk and abs(gv - rv) < 1e-5, (gk, gv, rk, rv)
+
+
 def test_l_diversity_law(spark, sf_dir):
     """l_distinct <= n always; l3_ok is never NULL and equals the
     threshold predicate."""
