@@ -307,6 +307,114 @@ def test_matrix_profile_vs_numpy(spark, sf_dir, duck):
         assert gk == rk and abs(gv - rv) < 1e-5, (gk, gv, rk, rv)
 
 
+def test_shapley_attribution_efficiency_and_bruteforce(spark, sf_dir,
+                                                       duck):
+    """Exact Shapley must satisfy EFFICIENCY (Σφ = v(full) − v(∅))
+    and match a brute-force python enumeration of the 16-coalition
+    game."""
+    import math
+    from itertools import combinations
+    j = duck.execute("""
+        SELECT CAST(MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+                 + 2*MAX(CASE WHEN event_type='error' THEN 1 ELSE 0 END)
+                 + 4*MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+                 + 8*MAX(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+               AS INTEGER) AS mask,
+               MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY user_id,
+             CAST(date_trunc('day', ts) AS DATE)""").df()
+    stats = j.groupby("mask")["conv"].agg(["count", "sum"])
+    v = {m: (stats.loc[m, "sum"] / stats.loc[m, "count"]
+             if m in stats.index else 0.0) for m in range(16)}
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    n = 4
+    phi = {}
+    for name, b in bits.items():
+        tot = 0.0
+        others = [x for x in bits.values() if x != b]
+        for size in range(n):
+            for combo in combinations(others, size):
+                s = sum(combo)
+                w = (math.factorial(size) * math.factorial(n - size - 1)
+                     / math.factorial(n))
+                tot += w * (v[s | b] - v[s])
+        phi[name] = tot
+    got = {r["channel"]: r["phi"]
+           for r in QUERIES["funnel_shapley_attribution"](
+               spark, sf_dir).collect()}
+    for k in bits:
+        assert abs(got[k] - phi[k]) < 1e-5, (k, got[k], phi[k])
+    assert abs(sum(got.values()) - (v[15] - v[0])) < 1e-4
+
+
+def test_isotonic_calibration_vs_pava(spark, sf_dir):
+    """The minimax fit must be monotone nondecreasing and equal the
+    classical pool-adjacent-violators algorithm on the same bins."""
+    rows = sorted(QUERIES["ml_isotonic_calibration"](
+        spark, sf_dir).collect(), key=lambda r: r["bin"])
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    # PAVA on (rate, weight)
+    blocks = [[r["raw_rate"] * r["n"], r["n"]] for r in rows]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and (out[-2][0] / out[-2][1]
+                                > out[-1][0] / out[-1][1]):
+            s, w = out.pop()
+            out[-1][0] += s
+            out[-1][1] += w
+    fit = []
+    for s, w in out:
+        fit.extend([s / w] * 1)
+    # expand blocks back to bins
+    expanded = []
+    bi = 0
+    for s, w in out:
+        cnt = 0
+        while cnt < w:
+            cnt += rows[bi]["n"]
+            expanded.append(s / w)
+            bi += 1
+    assert len(expanded) == len(rows)
+    for a, b in zip(iso, expanded):
+        assert abs(a - b) < 2e-5, (iso, expanded)
+
+
+def test_wasserstein_cvm_vs_numpy(spark, sf_dir, two_samples):
+    x, y = two_samples
+    n1, n0 = len(x), len(y)
+    vals = np.sort(np.unique(np.concatenate([x, y])))
+    f1 = np.searchsorted(np.sort(x), vals, side="right") / n1
+    f0 = np.searchsorted(np.sort(y), vals, side="right") / n0
+    w1 = float(np.sum(np.abs(f1 - f0)[:-1] * np.diff(vals)))
+    row = QUERIES["stat_wasserstein_1d"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n0"]) == (n1, n0)
+    assert abs(row["w1"] - w1) < 1e-4
+    comb = np.concatenate([x, y])
+    l = np.array([(comb == v).sum() for v in vals], float)
+    nn = n1 + n0
+    o2 = float(np.sum(l / nn * (f1 - f0) ** 2))
+    t = n1 * n0 / nn * o2
+    row = QUERIES["stat_cramer_von_mises_2samp"](spark, sf_dir).collect()[0]
+    assert abs(row["omega2"] - o2) < 1e-5
+    assert abs(row["t_stat"] - t) < 1e-4
+
+
+def test_conformal_coverage_near_guarantee(spark, sf_dir):
+    """Split conformal at alpha=0.1 guarantees E[coverage] >= 0.9;
+    per-type finite-sample coverage must sit above 0.9 minus a
+    binomial-noise allowance."""
+    rows = QUERIES["ml_conformal_split_interval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 3-sigma binomial allowance at the observed n_test
+        slack = 3.0 * (0.09 / max(r["n_test"], 1)) ** 0.5
+        assert r["coverage"] >= 0.9 - slack, dict(r.asDict())
+        assert r["q_alpha"] is not None and r["q_alpha"] >= 0
+
+
 def test_l_diversity_law(spark, sf_dir):
     """l_distinct <= n always; l3_ok is never NULL and equals the
     threshold predicate."""
