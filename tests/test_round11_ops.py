@@ -415,6 +415,112 @@ def test_conformal_coverage_near_guarantee(spark, sf_dir):
         assert r["q_alpha"] is not None and r["q_alpha"] >= 0
 
 
+def test_lof_vs_numpy(spark, sf_dir, duck):
+    """LOF k=5 recomputed in numpy (same z-scored daily grid, same
+    deterministic kNN tie-break, same +1e-10 regularizer); the
+    registered top-15 must match keys and values."""
+    daily = duck.execute("""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               AVG(value) AS mv, COUNT(*) AS cnt
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2""").df()
+    m1, s1 = daily["mv"].mean(), daily["mv"].std(ddof=1)
+    m2, s2 = daily["cnt"].mean(), daily["cnt"].std(ddof=1)
+    k = 5
+    lofs = {}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("d").reset_index(drop=True)
+        z = np.stack([(g["mv"] - m1) / s1, (g["cnt"] - m2) / s2], axis=1)
+        days = list(g["d"])
+        n = len(g)
+        dd = np.sqrt(((z[:, None, :] - z[None, :, :]) ** 2).sum(-1))
+        knn = {}
+        for i in range(n):
+            order = sorted((dd[i, j], days[j], j)
+                           for j in range(n) if j != i)[:k]
+            knn[i] = [j for _, _, j in order]
+        kdist = {i: max(dd[i, j] for j in knn[i]) for i in range(n)}
+        lrd = {i: k / (sum(max(kdist[j], dd[i, j]) for j in knn[i])
+                       + 1e-10) for i in range(n)}
+        for i in range(n):
+            lofs[(et, days[i])] = round(
+                sum(lrd[j] for j in knn[i]) / (k * lrd[i]), 6)
+    lofs = {(et, d.date() if hasattr(d, "date") else d): v
+            for (et, d), v in lofs.items()}
+    top = sorted(lofs.items(), key=lambda kv: (-kv[1], kv[0][0],
+                                               str(kv[0][1])))[:15]
+    got = [((r["event_type"], r["day"]), r["lof"])
+           for r in QUERIES["ml_lof_daily"](spark, sf_dir).collect()]
+    for (gk, gv), (rk, rv) in zip(got, top):
+        assert gk == rk and abs(gv - rv) < 1e-5, (gk, gv, rk, rv)
+
+
+def test_mood_median_vs_python(spark, sf_dir, two_samples, duck):
+    """Mood chi-square recomputed in python from the same grand
+    median (lower-median order statistic)."""
+    ev = duck.execute("""SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)""").df()
+    vals = np.sort(ev["value"].to_numpy())
+    n = len(vals)
+    md = vals[(n + 1) // 2 - 1] if n % 2 else vals[n // 2 - 1]
+    # first value whose doubled cumulative count reaches n:
+    # == index ceil(n/2) - 1 in the sorted array
+    md = vals[int(np.ceil(n / 2)) - 1]
+    chi2 = 0.0
+    ta = (ev["value"] > md).sum()
+    tb = n - ta
+    for _, g in ev.groupby("event_type"):
+        a = (g["value"] > md).sum()
+        b = len(g) - a
+        ea, eb = len(g) * ta / n, len(g) * tb / n
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    row = QUERIES["stat_mood_median_test"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["chi2"] - chi2) < 1e-4
+
+
+def test_ansari_bradley_vs_python(spark, sf_dir, two_samples):
+    """AB statistic with midrank tie handling recomputed in python:
+    each observation scores the average of min(r, N+1-r) over its
+    tied positions."""
+    x, y = two_samples
+    comb = np.concatenate([x, y])
+    order = np.argsort(comb, kind="mergesort")
+    n = len(comb)
+    score = np.empty(n)
+    sc = comb[order]
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sc[j + 1] == sc[i]:
+            j += 1
+        s = sum(min(r, n + 1 - r) for r in range(i + 1, j + 2))
+        score[order[i:j + 1]] = s / (j - i + 1)
+        i = j + 1
+    ab = float(score[:len(x)].sum())
+    row = QUERIES["stat_ansari_bradley"](spark, sf_dir).collect()[0]
+    assert abs(row["ab_stat"] - ab) < 1e-4
+    assert abs(row["ab_mean_score"] - ab / len(x)) < 1e-5
+
+
+def test_assortativity_vs_numpy(spark, sf_dir, graph_frames):
+    """Newman r recomputed from the edge list and degree map."""
+    _, edges = graph_frames
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    j = np.array([deg[a] for a, b in edges], float)
+    k = np.array([deg[b] for a, b in edges], float)
+    m = len(edges)
+    mh = 0.5 * (j + k).sum() / m
+    num = (j * k).sum() / m - mh ** 2
+    den = 0.5 * (j ** 2 + k ** 2).sum() / m - mh ** 2
+    row = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert row["m"] == m
+    assert abs(row["assortativity"] - num / den) < 1e-9
+
+
 def test_l_diversity_law(spark, sf_dir):
     """l_distinct <= n always; l3_ok is never NULL and equals the
     threshold predicate."""
