@@ -521,6 +521,70 @@ def test_assortativity_vs_numpy(spark, sf_dir, graph_frames):
     assert abs(row["assortativity"] - num / den) < 1e-9
 
 
+def test_delong_ci_vs_numpy(spark, sf_dir, duck):
+    """DeLong AUC/SE recomputed in numpy from placements; the AUC
+    must also equal ml_auc_roc's point estimate."""
+    sc = duck.execute("""
+        SELECT 0.02 + 0.96*(e.value - m.vmin)/(m.vmax - m.vmin) AS p,
+               CASE WHEN e.event_type IN ('click','purchase')
+                    THEN 1 ELSE 0 END AS y
+        FROM events e, (SELECT MIN(value) AS vmin, MAX(value) AS vmax
+                        FROM events WHERE value IS NOT NULL
+                          AND NOT isnan(value)) m
+        WHERE e.value IS NOT NULL AND NOT isnan(e.value)""").df()
+    pos = np.sort(sc.loc[sc.y == 1, "p"].to_numpy())
+    neg = np.sort(sc.loc[sc.y == 0, "p"].to_numpy())
+    n1, n0 = len(pos), len(neg)
+    v10 = ((np.searchsorted(neg, pos, "left")
+            + np.searchsorted(neg, pos, "right")) / 2.0) / n0
+    v01 = ((np.searchsorted(pos, neg, "left")
+            + np.searchsorted(pos, neg, "right")) / 2.0) / n1
+    auc = v10.mean()
+    s10 = v10.var(ddof=1)
+    s01 = v01.var(ddof=1)
+    se = np.sqrt(s10 / n1 + s01 / n0)
+    row = QUERIES["ml_auc_delong_ci"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n0"]) == (n1, n0)
+    assert abs(row["auc"] - auc) < 1e-5
+    assert abs(row["se"] - se) < 1e-5
+    assert abs(row["lo95"] - (auc - 1.96 * se)) < 1e-4
+    assert abs(row["hi95"] - (auc + 1.96 * se)) < 1e-4
+    auc_roc = QUERIES["ml_auc_roc"](spark, sf_dir).collect()[0]
+    got_auc = auc_roc[[c for c in auc_roc.asDict()
+                       if "auc" in c.lower()][0]]
+    assert abs(got_auc - row["auc"]) < 1e-5
+
+
+def test_page_trend_vs_python(spark, sf_dir, duck):
+    """Page L recomputed in python with midranks over complete
+    blocks."""
+    um = duck.execute("""
+        SELECT user_id, event_type, AVG(value) AS mv
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2""").df()
+    k = um["event_type"].nunique()
+    types = sorted(um["event_type"].unique())
+    jmap = {t: i + 1 for i, t in enumerate(types)}
+    l_stat = 0.0
+    b = 0
+    for _, g in um.groupby("user_id"):
+        if len(g) != k:
+            continue
+        b += 1
+        mv = g.set_index("event_type")["mv"]
+        vals = mv.to_numpy()
+        for t in mv.index:
+            r = (1 + (vals < mv[t]).sum()
+                 + ((vals == mv[t]).sum() - 1) / 2.0)
+            l_stat += jmap[t] * r
+    mean_l = b * k * (k + 1) ** 2 / 4.0
+    sd_l = (b * k * k * (k + 1) * (k * k - 1) / 144.0) ** 0.5
+    row = QUERIES["stat_page_trend_test"](spark, sf_dir).collect()[0]
+    assert (row["b"], row["k"]) == (b, k)
+    assert abs(row["l_stat"] - l_stat) < 1e-4
+    assert abs(row["z"] - (l_stat - mean_l) / sd_l) < 1e-4
+
+
 def test_l_diversity_law(spark, sf_dir):
     """l_distinct <= n always; l3_ok is never NULL and equals the
     threshold predicate."""
