@@ -159,6 +159,17 @@ GATE_IDS = [
     # partition values through the Hive default-partition path)
     "catalog_hive_roundtrip", "catalog_hive_msck_repair",
     "catalog_hive_partition_pruning",
+    # round 11 session 2: every new id that consumes events.value or
+    # document text — the planted NULL/NaN values and whitespace-only
+    # docs are exactly what their guards exist for
+    "stat_brunner_munzel", "stat_anderson_darling_2samp",
+    "stat_wasserstein_1d", "stat_cramer_von_mises_2samp",
+    "stat_mood_median_test", "stat_ansari_bradley",
+    "ml_auc_delong_ci", "ml_conformal_split_interval",
+    "ml_lof_daily", "ml_isotonic_calibration", "ml_topk_accuracy",
+    "ts_matrix_profile_discord", "stat_page_trend_test",
+    "text_bleu_corpus", "text_rouge2_by_source",
+    "funnel_shapley_attribution",
 ]
 
 

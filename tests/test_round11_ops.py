@@ -585,6 +585,31 @@ def test_page_trend_vs_python(spark, sf_dir, duck):
     assert abs(row["z"] - (l_stat - mean_l) / sd_l) < 1e-4
 
 
+def test_kcenter_coreset_vs_numpy(spark, sf_dir, duck):
+    """Greedy farthest-point traversal replayed in numpy (same seed =
+    min vec_id, same squared-Euclidean argmax, same tie-break)."""
+    df = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+    ids = df["vec_id"].to_numpy()
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    centers = [int(ids[0])]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    expect = [(1, centers[0], None)]
+    for k in range(2, 6):
+        best = np.lexsort((ids, -d2))[0]
+        expect.append((k, int(ids[best]), round(float(d2[best]), 6)))
+        nd = ((X - X[best]) ** 2).sum(axis=1)
+        d2 = np.minimum(d2, nd)
+    got = [(r["k"], r["center_id"],
+            None if r["sel_d2"] is None else round(r["sel_d2"], 6))
+           for r in sorted(QUERIES["data_coreset_kcenter"](
+               spark, sf_dir).collect(), key=lambda r: r["k"])]
+    for g, e in zip(got, expect):
+        assert g[:2] == e[:2], (g, e)
+        if e[2] is not None:
+            assert abs(g[2] - e[2]) < 1e-4, (g, e)
+
+
 def test_l_diversity_law(spark, sf_dir):
     """l_distinct <= n always; l3_ok is never NULL and equals the
     threshold predicate."""

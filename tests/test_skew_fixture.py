@@ -115,6 +115,13 @@ SKEW_WINDOW_IDS = [
     # hrv_sampen whose in-plan input cap EXISTS because of this
     # fixture's 200k-beat hot record
     "win_rolling_sharpe", "hrv_sampen", "ts_pacf_durbin_levinson",
+    # round 11 session 2: the rank family under the hot-key value
+    # skew, and the LOF whose duplicate-cluster regularizer exists
+    # because this fixture's 10x replication put exact copies at
+    # every daily point
+    "stat_brunner_munzel", "stat_anderson_darling_2samp",
+    "stat_wasserstein_1d", "stat_cramer_von_mises_2samp",
+    "stat_ansari_bradley", "ml_lof_daily", "ml_conformal_split_interval",
 ]
 
 
