@@ -19,8 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import dsum, dsum_sql, r6, r6_sql, safe_div, \
-    safe_div_sql
+from ..functions.exact import dsum, dsum_sql, r6, r6_sql, safe_div
 from .registry import query
 
 # ---------------------------------------------------------------------------
