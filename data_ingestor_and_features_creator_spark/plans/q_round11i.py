@@ -429,11 +429,11 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.greatest(F.lit(10).cast("long"),
                               F.floor(0.05 * F.col("n")))
                     .alias("k")))
-    thr = (r.join(F.broadcast(kk.select("grp", "k")), "grp")
+    thr = (r.join(kk.select("grp", "k"), "grp")
             .filter(F.col("rk") == F.col("k") + 1)
             .select("grp", F.col("x").alias("xk")))
-    s = (r.join(F.broadcast(kk.select("grp", "k")), "grp")
-          .join(F.broadcast(thr), "grp")
+    s = (r.join(kk.select("grp", "k"), "grp")
+          .join(thr, "grp")
           .filter(F.col("rk") <= F.col("k"))
           .groupBy("grp", "n", "k")
           .agg(dsum(F.round(F.log(F.col("x") / F.col("xk")), 9))
@@ -503,7 +503,7 @@ def agg_gpd_pot_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (r.filter(F.col("rk")
                   == F.ceil(0.95 * F.col("n")).cast("long"))
           .select("grp", F.col("x").alias("thr"), "n"))
-    exc = (r.join(F.broadcast(u.drop("n")), "grp")
+    exc = (r.join(u.drop("n"), "grp")
             .filter(F.col("x") > F.col("thr"))
             .select("grp", "thr", (F.col("x") - F.col("thr")).alias("y")))
     s = (exc.groupBy("grp", "thr")
@@ -513,7 +513,7 @@ def agg_gpd_pot_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.col("sy") / F.col("n_exc")
     v = ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_exc"))
          / (F.col("n_exc") - 1))
-    mm = s.join(F.broadcast(u.select("grp", "n")), "grp").select(
+    mm = s.join(u.select("grp", "n"), "grp").select(
         "grp", F.col("n").cast("long").alias("n"), "n_exc",
         r6(F.col("thr")).alias("u"),
         r6(m).alias("mean_exc"),

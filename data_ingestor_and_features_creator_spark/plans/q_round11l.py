@@ -413,7 +413,7 @@ def agg_huber_m_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn")
                     == F.ceil(F.col("ng") / 2.0).cast("long"))
             .select("g", F.col("v").alias("m0")))
-    xa = (x.join(F.broadcast(med), "g")
+    xa = (x.join(med, "g")
            .select("g", F.abs(F.col("v") - F.col("m0")).alias("av"),
                    "event_id"))
     wma = W.partitionBy("g").orderBy("av", "event_id")
@@ -430,8 +430,8 @@ def agg_huber_m_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         clipped = F.least(
             F.greatest(F.col("v"), F.col("mu") - _HUBER_C * F.col("s")),
             F.col("mu") + _HUBER_C * F.col("s"))
-        mu = (x.join(F.broadcast(mu), "g")
-               .join(F.broadcast(sc.select("g", "s")), "g")
+        mu = (x.join(mu, "g")
+               .join(sc.select("g", "s"), "g")
                .groupBy("g")
                .agg((dsum(clipped) / F.count(F.lit(1))).alias("mu")))
     return (sc.join(mu, "g")

@@ -376,12 +376,17 @@ WITH uv AS (
          {dsum_sql('value')} / COUNT(value) AS y
   FROM events WHERE value IS NOT NULL AND NOT isnan(value)
   GROUP BY 1, 2),
+ycell AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM uv GROUP BY y),
+ycum AS (
+  SELECT y, CAST(SUM(c) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM ycell),
 thr AS (
-  SELECT y AS q
-  FROM (SELECT y, ROW_NUMBER() OVER (ORDER BY y, user_id, d) AS rn,
-               COUNT(*) OVER () AS n
-        FROM uv)
-  WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT)),
+  SELECT MIN(y) AS q FROM ycum
+  WHERE cum >= CAST(CEIL(0.9 * n) AS BIGINT)),
 treat AS (
   SELECT user_id, MIN(d) AS d0
   FROM uv, thr WHERE uv.y > thr.q GROUP BY user_id),
@@ -426,15 +431,21 @@ def causal_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     uv = (good.groupBy("user_id", F.to_date("ts").alias("d"))
               .agg((dsum("value") / F.count("value")).alias("y")))
     uv = uv.cache()
-    wth = W.orderBy("y", "user_id", "d")
-    thr = (uv.select("y", "user_id", "d",
-                     F.row_number().over(wth).alias("rn"),
-                     F.count(F.lit(1)).over(
-                         W.partitionBy(F.lit(1))).alias("n"))
-             .filter(F.col("rn")
-                     == F.ceil(0.9 * F.col("n")).cast("long"))
-             .select(F.col("y").alias("q")))
-    treat = (uv.crossJoin(F.broadcast(thr))
+    # Exact 90th-percentile order statistic WITHOUT a raw-row global
+    # window: aggregate to distinct-value cells first (ml_auc_roc
+    # idiom), cumulate over cells, take the first value whose
+    # cumulative count reaches the rank.
+    ycell = uv.groupBy("y").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("c"))
+    wy = W.orderBy("y").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(F.lit(1))
+    ycum = ycell.select(
+        "y", F.sum("c").over(wy).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"))
+    thr = (ycum.filter(F.col("cum")
+                       >= F.ceil(0.9 * F.col("n")).cast("long"))
+               .agg(F.min("y").alias("q")))
+    treat = (uv.crossJoin(thr)
                .filter(F.col("y") > F.col("q"))
                .groupBy("user_id").agg(F.min("d").alias("d0")))
     ctrl = (uv.join(treat, "user_id", "left")
