@@ -88,6 +88,7 @@ def load_all() -> None:
     from . import q_round11q  # noqa: F401  (tail of the priority order)
     from . import q_round11r  # noqa: F401  (tail of the priority order)
     from . import q_round11s  # noqa: F401  (tail of the priority order)
+    from . import q_round11t  # noqa: F401  (tail of the priority order)
 
 
 # The driver verifies queries in dict order with a bounded per-round
