@@ -170,6 +170,24 @@ GATE_IDS = [
     "ts_matrix_profile_discord", "stat_page_trend_test",
     "text_bleu_corpus", "text_rouge2_by_source",
     "funnel_shapley_attribution",
+    # round 11 session 3: every new id that consumes events.value or
+    # document text (the non-events/text ids of the session —
+    # Hill/GPD/Fleiss/kappa/RBO/jackknife/L-moments/skyline etc. run
+    # on never-nulled TPC-H columns and are gated by the driver-style
+    # nulls check instead)
+    "stat_jonckheere_terpstra", "stat_fligner_killeen",
+    "ml_spiegelhalter_z", "ml_hosmer_lemeshow",
+    "ml_brier_decomposition", "causal_event_study",
+    "ts_kpss_stat", "ts_spectral_entropy", "win_adx_dmi",
+    "stat_cuzick_trend", "stat_quade_test", "agg_huber_m_location",
+    "vocab_kneser_ney_bigram", "data_tokenizer_fertility",
+    "text_bigram_cross_entropy", "vocab_chao1_unseen",
+    "win_rolling_sortino", "stat_chow_test",
+    "audit_hash_uniformity_ks", "stat_changepoint_cusum_mean",
+    "data_source_overlap_matrix", "ts_cointegration_engle",
+    "stat_meta_dersimonian_laird", "stat_cronbach_alpha",
+    "win_macd", "agg_renyi_collision_entropy", "ts_ar1_halflife",
+    "stat_bartlett_test",
 ]
 
 

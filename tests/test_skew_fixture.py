@@ -122,6 +122,12 @@ SKEW_WINDOW_IDS = [
     "stat_brunner_munzel", "stat_anderson_darling_2samp",
     "stat_wasserstein_1d", "stat_cramer_von_mises_2samp",
     "stat_ansari_bradley", "ml_lof_daily", "ml_conformal_split_interval",
+    # round 11 session 3: per-user window ops under the 200k-row fat
+    # partition, the rank/window stats over the hot-key value skew,
+    # and the power-degenerate spectral guard this fixture exposed
+    "win_rolling_sortino", "win_adx_dmi", "win_macd",
+    "stat_fligner_killeen", "agg_huber_m_location",
+    "ts_spectral_entropy", "stat_changepoint_cusum_mean",
 ]
 
 
