@@ -179,14 +179,24 @@ def stat_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_u = (um.groupBy("user_id").agg(F.count(F.lit(1)).alias("kk"))
                 .filter(F.col("kk") == ktot).select("user_id"))
     base = um.join(full_u, "user_id")
+    # j = the treatment's dense rank in the GLOBAL lexicographic type
+    # order — computed on the DISTINCT type table (k rows, vocab-
+    # bounded) and equi-joined back, NOT as an unpartitioned window
+    # over the user×type aggregate: that aggregate scales with the
+    # user count, so the global dense_rank was a one-task sort of the
+    # whole block table at 100 TB (round-11 optimization fix; the
+    # global-window gate flags it once a cached subtree hides the
+    # Aggregate exemption). Same j values by definition of dense_rank.
+    types = (um.select("event_type").distinct()
+               .withColumn("j", F.dense_rank().over(W.orderBy("event_type"))))
     wr = W.partitionBy("user_id").orderBy("mv")
     wt = W.partitionBy("user_id", "mv")
-    wj = W.orderBy("event_type")
-    ranked = base.select(
-        "user_id",
-        (F.rank().over(wr)
-         + (F.count(F.lit(1)).over(wt) - 1) / 2.0).alias("r"),
-        F.dense_rank().over(wj).alias("j"))
+    ranked = (base.join(types, "event_type")
+                  .select("user_id",
+                          (F.rank().over(wr)
+                           + (F.count(F.lit(1)).over(wt) - 1) / 2.0)
+                          .alias("r"),
+                          "j"))
     l = ranked.agg(
         F.countDistinct("user_id").cast("long").alias("b"),
         F.max("j").cast("long").alias("k"),

@@ -1368,3 +1368,45 @@ def test_triangle_plans_agree_and_empty_is_zero(spark):
     empty = e.filter(F.lit(False))
     row = triangle_count_bitmap(empty).collect()[0]
     assert row["n_triangles"] == 0 and row["n_triangles"] is not None
+
+
+def test_global_window_scan_resolves_cached_subtrees(spark, sf_dir):
+    """The global-window gate's verdict must not depend on SESSION
+    CACHE STATE (round-11 regression: stat_page_trend_test was flagged
+    only when an earlier query had cached a matching Aggregate subtree,
+    turning the bounding Aggregate into an opaque InMemoryRelation).
+    The scan now resolves InMemoryRelation through its cachedPlan:
+    a global window over a CACHED aggregate stays exempt, while a
+    global window over CACHED raw fact rows is still flagged."""
+    from pyspark.sql import Window as W
+
+    from tools.scan_global_windows import find_unbounded_global_windows
+
+    raw = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    agg = (raw.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n")).cache())
+    raw_cached = raw.cache()
+    try:
+        agg.count()  # materialize so the plan embeds InMemoryRelation
+        over_agg = agg.withColumn(
+            "r", F.row_number().over(W.orderBy("user_id")))
+        assert find_unbounded_global_windows(over_agg) == []
+        raw_cached.count()
+        over_raw = raw_cached.withColumn(
+            "r", F.row_number().over(W.orderBy("event_id")))
+        flagged = find_unbounded_global_windows(over_raw)
+        assert flagged, "global window over cached raw rows must flag"
+    finally:
+        agg.unpersist()
+        raw_cached.unpersist()
+
+
+def test_page_trend_has_no_global_window(spark, sf_dir):
+    """stat_page_trend_test's j-rank now comes from the k-row distinct
+    type table joined back (round-11 optimization) — the optimized
+    plan's only unpartitioned Window must sit over the vocab-bounded
+    Distinct, never over the user×type aggregate."""
+    from tools.scan_global_windows import find_unbounded_global_windows
+
+    df = plans.queries()["stat_page_trend_test"](spark, sf_dir)
+    assert find_unbounded_global_windows(df) == []

@@ -27,6 +27,17 @@ BOUNDING = {"Aggregate", "Deduplicate", "DeduplicateWithinWatermark",
             "GlobalLimit", "LocalLimit", "LocalRelation",
             "OneRowRelation", "Range", "CommandResult"}
 
+# Physical-plan twins of BOUNDING, used when a subtree has been swapped
+# for an InMemoryRelation by the CacheManager: the cached plan is a
+# SparkPlan, so the bounding evidence appears under Exec names. Without
+# this resolution the scan's verdict would depend on SESSION CACHE
+# STATE (a query is flagged iff some earlier query cached a matching
+# subtree), which made the gate nondeterministic in round 11.
+PHYS_BOUNDING = {"HashAggregateExec", "SortAggregateExec",
+                 "ObjectHashAggregateExec", "GlobalLimitExec",
+                 "LocalLimitExec", "LocalTableScanExec", "RangeExec",
+                 "CommandResultExec"}
+
 
 def _children(node):
     return [node.children().apply(i) for i in range(node.children().size())]
@@ -42,9 +53,48 @@ def _cls(node) -> str:
     return node.getClass().getSimpleName()
 
 
+def _walk_phys(node):
+    """Walk a SparkPlan, descending through AQE wrappers and nested
+    cache scans (both hide their subtree from .children())."""
+    yield node
+    for c in _children(node):
+        yield from _walk_phys(c)
+    cls = _cls(node)
+    if cls == "AdaptiveSparkPlanExec":
+        for attr in ("executedPlan", "inputPlan"):
+            try:
+                yield from _walk_phys(getattr(node, attr)())
+                return
+            except Exception:  # noqa: BLE001 — try the next accessor
+                continue
+    elif cls.endswith("QueryStageExec"):
+        # AQE query stages (Shuffle/Broadcast/Result/TableCache…) hide
+        # their subtree behind .plan()
+        try:
+            yield from _walk_phys(node.plan())
+        except Exception:  # noqa: BLE001 — leave unresolved
+            pass
+    elif cls == "InMemoryTableScanExec":
+        try:
+            yield from _walk_phys(node.relation().cachedPlan())
+        except Exception:  # noqa: BLE001 — leave unresolved
+            pass
+
+
+def _imr_bounded(node) -> bool:
+    """True when an InMemoryRelation's CACHED plan contains a bounding
+    operator — i.e. the cache hid an Aggregate/Limit/literal subtree."""
+    try:
+        phys = node.cachedPlan()
+    except Exception:  # noqa: BLE001 — unresolvable ⇒ not bounded
+        return False
+    return bool({_cls(p) for p in _walk_phys(phys)} & PHYS_BOUNDING)
+
+
 def find_unbounded_global_windows(df) -> list[str]:
     """Return one description per unpartitioned Window in df's
-    optimized logical plan whose subtree contains NO bounding node."""
+    optimized logical plan whose subtree contains NO bounding node
+    (resolving cached subtrees through their InMemoryRelation)."""
     plan = df._jdf.queryExecution().optimizedPlan()
     bad = []
     for node in _walk(plan):
@@ -52,8 +102,12 @@ def find_unbounded_global_windows(df) -> list[str]:
             continue
         if node.partitionSpec().size() > 0:
             continue
-        subtree = {_cls(n) for n in _walk(node.child())}
+        sub_nodes = list(_walk(node.child()))
+        subtree = {_cls(n) for n in sub_nodes}
         if subtree & BOUNDING:
+            continue
+        if any(_cls(n) == "InMemoryRelation" and _imr_bounded(n)
+               for n in sub_nodes):
             continue
         bad.append(f"global Window over {sorted(subtree)[:8]}")
     return bad
