@@ -651,16 +651,24 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = (textops.jaccard_verify(pairs, aug, threshold=0.3, sets=sets)
                   .select("a", "b"))
     cc = graph.connected_components_star(dup)
-    lst = (aug.select("doc_id")
-              .join(cc.select(F.col("n").alias("doc_id"), "cluster_id"),
-                    "doc_id", "left")
-              .select("doc_id",
-                      F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
-              .withColumn("keep", F.col("doc_id") == F.col("cluster_id")))
-    orig = lst.select("doc_id", F.col("cluster_id").alias("__c_orig"))
-    twin = lst.select((F.col("doc_id") - _TWIN_OFFSET).alias("doc_id"),
-                      F.col("cluster_id").alias("__c_twin"),
-                      F.col("keep").alias("__twin_keep"))
+    # Report tail reads ONLY the CC labels (round-11 optimization): the
+    # old form materialized a corpus-wide keep/drop list (aug LEFT JOIN
+    # cc, labels coalesced to self) and then derived BOTH report sides
+    # from that uncached list — the corpus scan + join executed twice,
+    # once per side. Every planted doc and its twin are guaranteed IN
+    # cc (the planted edge has identical MinHash signatures, so it is
+    # banded and verified with probability 1 — the same invariant the
+    # oracle's constant TRUE/FALSE columns already rely on), so the
+    # coalesce-to-self never fires for report rows and both sides can
+    # project straight off the checkpointed cc table: two corpus scans
+    # and two joins removed, answer unchanged (proven by the oracle at
+    # all fixtures).
+    orig = cc.select(F.col("n").alias("doc_id"),
+                     F.col("cluster_id").alias("__c_orig"))
+    twin = cc.select((F.col("n") - _TWIN_OFFSET).alias("doc_id"),
+                     F.col("cluster_id").alias("__c_twin"),
+                     (F.col("n") == F.col("cluster_id"))
+                     .alias("__twin_keep"))
     return (plant.select(
                 "doc_id",
                 F.size(textops.tokens("text")).cast("long")

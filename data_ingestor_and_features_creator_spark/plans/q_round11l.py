@@ -94,16 +94,28 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("h", F.lit(_HITS_SCALE).cast("long")))
     a = None
     for _ in range(_HITS_ITERS):
+        # Each gather output is CACHED before use (round-11
+        # optimization): every half-iteration reads its predecessor
+        # TWICE — once for the L1 normalization total, once as the
+        # crossJoin's row side — and the next gather reads the
+        # normalized result again, so without the cache the plan tree
+        # DOUBLES per half-iteration (the 2-iteration unrolled plan
+        # held 137 Exchange nodes and re-executed the whole upstream
+        # chain per branch: 74.5 s at sf0.1 in the round-11 sweep,
+        # 16.7 s cold / 2.7 s warm cached — same bit-exact integer
+        # scores). The cached
+        # tables are per-node score rows (|customers| / |suppliers|),
+        # the same boundedness as the cached edge set.
         ar = (edges.join(h, "c")
                    .groupBy("s").agg(F.sum("h").cast("long")
-                                     .alias("raw")))
+                                     .alias("raw"))).cache()
         atot = ar.agg(F.sum("raw").cast("long").alias("tot"))
         a = (ar.crossJoin(F.broadcast(atot))
                .select("s", F.expr(
                    f"raw * {_HITS_SCALE}L div tot").alias("a")))
         hr = (edges.join(a, "s")
                    .groupBy("c").agg(F.sum("a").cast("long")
-                                     .alias("raw")))
+                                     .alias("raw"))).cache()
         htot = hr.agg(F.sum("raw").cast("long").alias("tot"))
         h = (hr.crossJoin(F.broadcast(htot))
                .select("c", F.expr(
@@ -422,9 +434,17 @@ def agg_huber_m_location(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("rn")
                       == F.ceil(F.col("ng") / 2.0).cast("long"))
               .select("g", F.col("av").alias("mad")))
+    # Cached (round-11 optimization): sc is referenced by every
+    # iteration's join AND by the final select, and each UNCACHED
+    # reference re-ran BOTH per-group rank windows over x (median +
+    # MAD — the expensive passes). The mu chain alone references sc
+    # 1+2+…+ITERS times via its own lineage, so the window passes
+    # executed ~6× (measured 4.0 s → 2.5 s warm at sf0.1). sc is one row
+    # per event type — group-domain-bounded, like the cached x.
     sc = (med.join(madr, "g")
              .select("g", "m0",
-                     (F.lit(_HUBER_MADK) * F.col("mad")).alias("s")))
+                     (F.lit(_HUBER_MADK) * F.col("mad")).alias("s"))
+             .cache())
     mu = sc.select("g", F.col("m0").alias("mu"))
     for _ in range(_HUBER_ITERS):
         clipped = F.least(

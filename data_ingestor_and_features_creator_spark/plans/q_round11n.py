@@ -305,13 +305,18 @@ def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("l_returnflag").alias("cat"),
                        F.row_number().over(wv).alias("rn"))
                .filter(F.col("rn") <= 2))
+    # Cached (round-11 optimization): pair feeds the category map
+    # (c1/c2 branches), the coded join, AND kk's lineage — uncached,
+    # the per-order rank window over the full lineitem scan executed
+    # ~5× (once per branch; measured 3.6 s → 2.4 s warm at sf0.1).
+    # One row per multi-line order — order-domain-bounded.
     pair = (votes.groupBy("item")
                  .agg(F.max(F.when(F.col("rn") == 1, F.col("cat")))
                        .alias("c1"),
                       F.max(F.when(F.col("rn") == 2, F.col("cat")))
                        .alias("c2"),
                       F.count(F.lit(1)).alias("nv"))
-                 .filter(F.col("nv") == 2))
+                 .filter(F.col("nv") == 2)).cache()
     cats = (pair.select(F.col("c1").alias("cat"))
                 .union(pair.select("c2")).distinct())
     cmap = cats.withColumn(

@@ -68,11 +68,16 @@ def _edges(spark: SparkSession, sf_dir: str):
                .distinct()).cache()
     pb = load_table(spark, sf_dir, "part").select("p_partkey",
                                                   "p_brand")
+    # Cached like edges (round-11 optimization): nodes is read by vol
+    # AND by the intra join's two sides (na/nb) — uncached, the
+    # union+distinct+part join re-ran 3× per query (and both
+    # modularity and conductance call _edges). One row per co-purchase
+    # part — same boundedness as the cached edge set.
     nodes = (edges.select(F.col("a").alias("n"))
                   .union(edges.select("b")).distinct()
                   .join(pb, F.col("n") == F.col("p_partkey"))
                   .select(F.col("n").alias("node_id"),
-                          F.col("p_brand").alias("com")))
+                          F.col("p_brand").alias("com"))).cache()
     deg = (edges.select(F.col("a").alias("n"))
                 .unionAll(edges.select("b"))
                 .groupBy("n")

@@ -101,7 +101,15 @@ def stat_permutation_test_hash(spark: SparkSession,
         (mean_of(1) - mean_of(0)).alias("d_obs"),
         F.count(F.when(F.col("grp") == 1, 1)).alias("n_a"),
         F.count(F.when(F.col("grp") == 0, 1)).alias("n_b"))
-    perm = (v.select(
+    # Repartition BEFORE the ×N_PERM explode (round-11 optimization,
+    # guide §2.5 "input skew"): the fixture parquet is one row group ⇒
+    # the scan is ONE task, and the explode + per-row md5 + string-
+    # routed decimal sums all ran serially inside that scan stage
+    # (measured 5.2-12.3 s at sf0.1; 1.3 s spread across cores). The
+    # same shape is right at cluster scale whenever the fan-out work
+    # outweighs the narrow input (one small shuffle of (id, value)
+    # rows buys N_PERM× parallel hashing above it).
+    perm = (v.repartition("event_id").select(
         "value",
         F.explode(F.sequence(F.lit(1), F.lit(_N_PERM))).alias("p"),
         "event_id")

@@ -169,6 +169,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shd = sh0.distinct()
     hot = (shd.groupBy("sh").count()
               .filter(F.col("count") > _DF_CAP).select("sh"))
+    # NOT cached, by measurement (round-11 optimization pass): shc
+    # tops four branches (sizes, the md5 sketch, both ground-truth
+    # sides), but an interleaved A/B at sf0.1 read cached
+    # 24.0/9.0 s vs uncached 9.6/8.4 s — ReuseExchange already shares
+    # the work under the branch aggregates, and materializing the wide
+    # exploded shingle rows costs more than it saves.
     shc = shd.join(F.broadcast(hot), "sh", "left_anti")
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     mh = shc.groupBy("doc_id").agg(
