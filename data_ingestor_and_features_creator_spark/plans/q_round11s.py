@@ -278,13 +278,29 @@ def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = hourly.withColumn("t", F.row_number().over(ws))
 
     def conv(col: str, weights: list):
-        terms = [F.coalesce(F.lag(col, j).over(ws) * F.lit(w),
-                            F.lit(0.0))
-                 for j, w in enumerate(weights)]
-        out = terms[0]
-        for term in terms[1:]:
-            out = out + term
-        return out
+        # ONE collect_list window + an ordered fold instead of
+        # len(weights) separate lag() window expressions (round-11
+        # optimization): the 64+64+24-lag form planned a 152-window-
+        # function expression tree that cost ~2 s of PLANNING per
+        # invocation (census plan_ms 2015; 3.3 s warm → 1.0 s). The
+        # fold preserves the exact left-associated addition order and
+        # the per-term coalesce(·, 0) of the lag form — term j is
+        # arr[m−j] · w_j when the lag exists, else 0.0 — so every sum
+        # is bit-identical (seed 0.0 can only flip a −0.0 first term
+        # to +0.0, which r6's signed-zero rule normalizes anyway); the
+        # DuckDB oracle keeps the explicit lag convolution, making the
+        # equivalence hash-checked at every fixture.
+        lags = len(weights)
+        frame = ws.rowsBetween(-(lags - 1), 0)
+        arr = F.collect_list(col).over(frame)
+        warr = F.array(*[F.lit(w) for w in weights])
+        m = F.size(arr)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(lags - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.coalesce(
+                F.get(arr, m - 1 - j) * F.get(warr, j),
+                F.lit(0.0)))
 
     macd0 = idx.select(
         "event_type", "h", "t",
