@@ -140,11 +140,15 @@ def connected_components_star(edges: DataFrame, a_col: str = "a",
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
                    .select("u", F.least("mn", "u").alias("m")))
+        # NO distinct on the large-star output (round-11 optimization):
+        # `o` re-canonicalizes and distincts the very next step, so a
+        # distinct here was a redundant full shuffle per round — the
+        # SET reaching o (and therefore every label) is identical,
+        # only the pre-distinct multiset row count differs.
         ls = (sym.filter(F.col("v") > F.col("u"))
                  .join(mins, "u")
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .filter(F.col("u") != F.col("v"))
-                 .distinct())
+                 .filter(F.col("u") != F.col("v")))
         # --- small-star over (big → small) oriented edges
         o = (ls.select(F.greatest("u", "v").alias("u"),
                        F.least("u", "v").alias("v")).distinct())
