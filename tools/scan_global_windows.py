@@ -127,6 +127,11 @@ def main() -> None:
             bad = find_unbounded_global_windows(qs[name](spark, sf_dir))
         except Exception as ex:  # noqa: BLE001 — report, don't abort scan
             violations[name] = [f"SCAN ERROR: {ex}"]
+            # printed loudly: a silent error entry is indistinguishable
+            # from a window violation in the DONE list (round 11: two
+            # ids "flagged" by a concurrent-scan spark-warehouse race
+            # printed nothing)
+            print(f"SCAN ERROR {name}: {str(ex)[:160]}", flush=True)
             continue
         if bad:
             violations[name] = bad
