@@ -136,27 +136,47 @@ def connected_components_star(edges: DataFrame, a_col: str = "a",
               .distinct().localCheckpoint())
     n_prev = e.count()
     for _ in range(max_iter):
-        # --- large-star over the symmetric neighborhood
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
-                   .select("u", F.least("mn", "u").alias("m")))
-        # NO distinct on the large-star output (round-11 optimization):
-        # `o` re-canonicalizes and distincts the very next step, so a
-        # distinct here was a redundant full shuffle per round — the
-        # SET reaching o (and therefore every label) is identical,
-        # only the pre-distinct multiset row count differs.
-        ls = (sym.filter(F.col("v") > F.col("u"))
-                 .join(mins, "u")
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .filter(F.col("u") != F.col("v")))
-        # --- small-star over (big → small) oriented edges
-        o = (ls.select(F.greatest("u", "v").alias("u"),
-                       F.least("u", "v").alias("v")).distinct())
+        # --- large-star (round 12 fusion): m(x) = min(Γ(x) ∪ {x}) can
+        # only be x itself or a SMALLER neighbor, and in the canonical
+        # (u > v) edge table the smaller neighbors of x are exactly the
+        # rows with u = x. So the min aggregate runs over e directly —
+        # no symmetric union (half the aggregate input of the old
+        # sym.groupBy, no per-row least()) — and nodes with no smaller
+        # neighbor (no group) coalesce to themselves via the left join.
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        # Emit (bigger-neighbor → m(x)) for every edge, i.e. the
+        # large-star re-pointing. No u != v filter needed: the new
+        # pair is (g, m(s)) with m(s) <= s < g, strictly ordered —
+        # which also means ls is ALREADY canonically oriented (u > v),
+        # so the old greatest/least re-canonicalization was an
+        # identity and is dropped.
+        ls = (e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+               .join(mins, "u", "left")
+               .select(F.col("v").alias("u"),
+                       F.coalesce("m", F.col("u")).alias("v")))
+        # --- small-star, fused to ONE shuffle (round 12): key ls by u
+        # once; the per-u min and the attach-join both reuse that
+        # partitioning (zero further exchanges), and the dedup the old
+        # plan paid a separate (u,v)-keyed exchange for is deferred to
+        # the final distinct — min() is duplicate-insensitive, and the
+        # final distinct's map-side partial aggregate absorbs the
+        # duplicate mass before it ships. Old round: 6 exchanges
+        # (sym-agg, sym-join, o-distinct, m2-agg, o-join, e2-distinct);
+        # new round: 4 (mins-agg, ls-join, o-repartition, e2-distinct).
+        o = ls.repartition("u")
         m2 = o.groupBy("u").agg(F.min("v").alias("mn"))
+        # Each o row (u, v, mn) contributes both small-star edges in
+        # one pass: (v → mn) for the smaller neighbor and (u → mn) for
+        # the center (the old plan derived the center edges from a
+        # second read of m2). mn < u strictly, so only the v == mn
+        # self-pair needs filtering.
         e2 = (o.join(m2, "u")
-               .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+               .select(F.explode(F.array(
+                   F.struct(F.col("v").alias("u"), F.col("mn").alias("v")),
+                   F.struct(F.col("u").alias("u"), F.col("mn").alias("v"))))
+                 .alias("s"))
+               .select("s.u", "s.v")
                .filter(F.col("u") != F.col("v"))
-               .union(m2.select("u", F.col("mn").alias("v")))
                .distinct().localCheckpoint())
         # Fixpoint probe WITHOUT the 2× exceptAll shuffle of the whole
         # edge set: both sides are checkpointed + distinct, so set
@@ -189,10 +209,23 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     Only nodes that appear in at least one edge are labeled — callers
     union isolated nodes back as their own singletons if needed.
     """
+    # Round 12: sym is LOOP-INVARIANT and every round joins it on "m" —
+    # so materialize it hash-partitioned (and sorted) by m via cache(),
+    # which preserves outputPartitioning/outputOrdering into the
+    # InMemoryRelation (localCheckpoint's LogicalRDD does not: probed
+    # UnknownPartitioning on this Spark). Every round's sort-merge join
+    # then skips the sym-side exchange AND sort — the old plan
+    # reshuffled the full 2|E| edge set every round. One repartition
+    # before the dedup keeps setup at a single shuffle (dedup and sort
+    # reuse the m-partitioning; same-(n,m) rows share m, so a
+    # by-m-partitioned local dedup is exact).
     sym = (edges.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
                 .union(edges.select(F.col(b_col).alias("n"),
                                     F.col(a_col).alias("m")))
-           ).distinct().localCheckpoint()
+                .repartition("m")
+                .dropDuplicates(["n", "m"])
+                .sortWithinPartitions("m")
+                .cache())
     labels = sym.select("n").distinct().withColumn("lbl", F.col("n"))
 
     def _lbl_sum(df: DataFrame) -> object:

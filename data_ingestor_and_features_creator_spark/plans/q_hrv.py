@@ -372,10 +372,26 @@ def hrv_freq_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     known-answer-tested."""
     rr = rr_from_events(spark, sf_dir).select(
         "record_id", "beat_ts", "event_id", "rri")
+    # Round 12 (guide §2.4): ONE events scan instead of two. The Welch
+    # kernel branch and the guard-stats branch both need the rows
+    # clustered by record_id; an explicit repartition makes the two
+    # subtrees share a single exchange (and therefore a single parquet
+    # scan) via exchange reuse — before, each branch re-scanned events
+    # behind its own shuffle. The kernel reads its columns by name, so
+    # the extra event_id column riding through Arrow (needed only by
+    # the stats side's min_by tiebreak) is ignored there; every claim
+    # column is invariant to intra-group row order by construction.
+    # The explicit isNotNull mirrors what the final inner join infers
+    # anyway (a null record_id can never survive it) — stating it
+    # below the repartition keeps BOTH branch subtrees byte-identical
+    # so the exchange-reuse actually fires (the opaque kernel node
+    # blocks the inferred filter from reaching the feats-side scan
+    # otherwise, and one differing PushedFilter kills the reuse).
     allrr = (rr.unionByName(planted_sin(spark, -101, 0.10))
-               .unionByName(planted_sin(spark, -102, 0.30)))
-    feats = (allrr.select("record_id", "beat_ts", "rri")
-                  .groupBy("record_id")
+               .unionByName(planted_sin(spark, -102, 0.30))
+               .filter(F.col("record_id").isNotNull())
+               .repartition("record_id"))
+    feats = (allrr.groupBy("record_id")
                   .applyInPandas(kernels.freq_domain_kernel,
                                  schema=kernels.FREQ_SCHEMA))
     # ONE hash aggregate — min_by picks the first beat's rri without a

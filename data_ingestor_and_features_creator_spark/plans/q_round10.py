@@ -473,13 +473,18 @@ def win_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.select("user_id", "event_id", "ts",
                   (F.col("value") - F.lag("value").over(wo)).alias("ret"))
-    win = wo.rowsBetween(-19, 0)
-    w = r.select(
-        "user_id", "event_id",
-        F.count("ret").over(win).cast("long").alias("n_ret"),
-        F.sum(F.col("ret").cast(DEC)).over(win).cast("double").alias("s"),
-        F.sum((F.col("ret") * F.col("ret")).cast(DEC)).over(win)
-         .cast("double").alias("ss"))
+    # Round 12: O(n·W) sliding decimal sums → O(n) prefix differences
+    # (functions/rollfast.py; exact, oracle keeps the windowed SQL).
+    from ..functions.rollfast import trailing_agg
+    ta = trailing_agg(
+        r, ["user_id"], ["ts", "event_id"], (-19, 0),
+        sums={"sd": F.col("ret").cast(DEC),
+              "ssd": (F.col("ret") * F.col("ret")).cast(DEC)},
+        counts={"n_ret": F.col("ret")})
+    w = ta.select(
+        "user_id", "event_id", "n_ret",
+        F.col("sd").cast("double").alias("s"),
+        F.col("ssd").cast("double").alias("ss"))
     n, s, ss = F.col("n_ret"), F.col("s"), F.col("ss")
     var = (ss - s * s / n) / (n - 1)
     sharpe = F.when((n >= 10) & (var > 0), r6((s / n) / F.sqrt(var)))

@@ -303,16 +303,22 @@ def win_rolling_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("value") - F.lag("value").over(ws))
                   .alias("ret"))
     dec = "decimal(38,12)"
-    wf = ws.rowsBetween(-(_SORT_N - 1), 0)
-    s = (r.filter(F.col("ret").isNotNull())
-          .select("user_id", "event_id",
-                  (F.sum(F.col("ret").cast(dec)).over(wf)
-                    .cast("double") / _SORT_N).alias("mean_ret"),
-                  (F.sum(F.when(F.col("ret") < 0,
-                                F.col("ret") * F.col("ret"))
-                          .otherwise(F.lit(0.0)).cast(dec)).over(wf)
-                    .cast("double") / _SORT_N).alias("dvar"),
-                  F.count("ret").over(wf).alias("nf")))
+    # Round 12: O(n·W) sliding decimal sums → O(n) prefix differences
+    # (functions/rollfast.py; exact, oracle keeps the windowed SQL).
+    from ..functions.rollfast import trailing_agg
+    ret = F.col("ret")
+    ta = trailing_agg(
+        r.filter(ret.isNotNull()),
+        ["user_id"], ["ts", "event_id"], (-(_SORT_N - 1), 0),
+        sums={"srd": ret.cast(dec),
+              "dvd": (F.when(ret < 0, ret * ret)
+                       .otherwise(F.lit(0.0)).cast(dec))},
+        counts={"nf": ret})
+    s = ta.select("user_id", "event_id",
+                  (F.col("srd").cast("double") / _SORT_N)
+                  .alias("mean_ret"),
+                  (F.col("dvd").cast("double") / _SORT_N).alias("dvar"),
+                  "nf")
     return (s.filter(F.col("nf") == _SORT_N)
              .select("user_id", "event_id",
                      r6(F.col("mean_ret")).alias("mean_ret"),

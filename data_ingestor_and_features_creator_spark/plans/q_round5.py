@@ -1312,19 +1312,30 @@ def win_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (ev.filter(val.isNotNull() & ~F.isnan(val)
                    & ((val == 0) | (F.abs(val) >= 0.001)))
            .select("user_id", "event_id", "ts", "value"))
-    win = (W.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(-(_RSK_W - 1), W.currentRow))
-
-    def wsum(e):
-        return (F.sum(e.cast("string").cast(DEC)).over(win)
-                 .cast("string").cast("double"))
-
+    # Round 12 (guide §1.2): the four {_RSK_W}-row trailing decimal
+    # sums were O(n·W) per partition (Spark re-aggregates a bounded
+    # sliding frame from scratch every row — 67.7 s on the 200k-row
+    # fat-partition fixture); the prefix-difference form in
+    # functions/rollfast.py is O(n) and EXACTLY equal in decimal
+    # arithmetic (same per-element string-routed casts, telescoping
+    # subtraction, identical all-NULL-frame semantics). The oracle
+    # keeps the windowed SQL, so equivalence is hash-checked.
     x = F.col("value")
-    p = v.select(
+
+    def d(e):
+        return e.cast("string").cast(DEC)
+
+    from ..functions.rollfast import trailing_agg
+    pa = trailing_agg(
+        v, ["user_id"], ["ts", "event_id"], (-(_RSK_W - 1), 0),
+        sums={"s1d": d(x), "s2d": d(x * x),
+              "s3d": d(x * x * x), "s4d": d(x * x * x * x)},
+        counts={"nl": x})
+    p = pa.select(
         "user_id", "event_id",
-        F.count("value").over(win).cast("double").alias("n"),
-        wsum(x).alias("s1"), wsum(x * x).alias("s2"),
-        wsum(x * x * x).alias("s3"), wsum(x * x * x * x).alias("s4"))
+        F.col("nl").cast("double").alias("n"),
+        *[F.col(f"s{i}d").cast("string").cast("double").alias(f"s{i}")
+          for i in (1, 2, 3, 4)])
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     m1 = s1 / n
     m2 = s2 / n - m1 * m1

@@ -695,16 +695,21 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; both sums and the flags share the sort."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull() & ~F.isnan("value")))
-    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w = wl.rowsBetween(-_BOLL_FRAME, 0)
-
-    def ds(c):
-        return F.sum(c.cast("decimal(38,12)")).over(w).cast("double")
-
     x = F.col("value")
-    q = ev.select("event_id", "user_id", x.alias("x"),
-                  F.count(F.lit(1)).over(w).cast("double").alias("n"),
-                  ds(x).alias("s1"), ds(x * x).alias("s2"))
+    # Round 12: O(n·W) sliding decimal sums → O(n) prefix differences
+    # (functions/rollfast.py; exact, oracle keeps the windowed SQL).
+    from ..functions.rollfast import trailing_agg
+    base = ev.select("event_id", "user_id", "ts", x.alias("x"))
+    xx = F.col("x")
+    qa = trailing_agg(base, ["user_id"], ["ts", "event_id"],
+                      (-_BOLL_FRAME, 0),
+                      sums={"s1d": xx.cast("decimal(38,12)"),
+                            "s2d": (xx * xx).cast("decimal(38,12)")},
+                      count_star="nl")
+    q = qa.select("event_id", "user_id", "x",
+                  F.col("nl").cast("double").alias("n"),
+                  F.col("s1d").cast("double").alias("s1"),
+                  F.col("s2d").cast("double").alias("s2"))
     mid = F.col("s1") / F.col("n")
     var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
     sd = F.when((F.col("n") >= 2) & (var_num > 0),

@@ -501,16 +501,22 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = W.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select("user_id", "event_id", "ts",
                   (F.col("value") - F.lag("value").over(ws)).alias("diff"))
-    wf = ws.rowsBetween(-13, 0)
     dec = "decimal(38,12)"
     diff = F.col("diff")
-    gains = F.sum(F.when(diff > 0, diff).otherwise(F.lit(0.0))
-                  .cast(dec)).over(wf).cast("double")
-    losses = F.sum(F.when(diff < 0, -diff).otherwise(F.lit(0.0))
-                   .cast(dec)).over(wf).cast("double")
-    g = d.select("user_id", "event_id", gains.alias("gains"),
-                 losses.alias("losses"),
-                 F.count("diff").over(wf).alias("n_diffs"))
+    # Round 12: O(n·W) sliding decimal sums → O(n) prefix differences
+    # (functions/rollfast.py; exact, oracle keeps the windowed SQL).
+    from ..functions.rollfast import trailing_agg
+    ta = trailing_agg(
+        d, ["user_id"], ["ts", "event_id"], (-13, 0),
+        sums={"gd": (F.when(diff > 0, diff)
+                      .otherwise(F.lit(0.0)).cast(dec)),
+              "ld": (F.when(diff < 0, -diff)
+                      .otherwise(F.lit(0.0)).cast(dec))},
+        counts={"n_diffs": diff})
+    g = ta.select("user_id", "event_id",
+                  F.col("gd").cast("double").alias("gains"),
+                  F.col("ld").cast("double").alias("losses"),
+                  "n_diffs")
     rsi = F.when(F.col("gains") + F.col("losses") > 0,
                  100.0 * F.col("gains") / (F.col("gains") + F.col("losses")))
     return (g.filter(F.col("n_diffs") == 14)

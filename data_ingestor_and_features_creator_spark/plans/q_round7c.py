@@ -390,12 +390,15 @@ def win_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).alias("t"),
         F.lag("value", _KER_N).over(wo).alias("lagn"),
         F.abs(F.col("value") - F.lag("value", 1).over(wo)).alias("step"))
-    wn = (W.partitionBy("user_id").orderBy("t")
-           .rowsBetween(-(_KER_N - 1), W.currentRow))
-    s = d.select(
+    # Round 12: O(n·W) sliding decimal sum → O(n) prefix difference
+    # (functions/rollfast.py; exact, oracle keeps the windowed SQL).
+    from ..functions.rollfast import trailing_agg
+    ta = trailing_agg(
+        d, ["user_id"], ["t"], (-(_KER_N - 1), 0),
+        sums={"noised": F.col("step").cast("string").cast(_DEC)})
+    s = ta.select(
         "user_id", "event_id", "t", "value", "lagn",
-        F.sum(F.col("step").cast("string").cast(_DEC)).over(wn)
-        .cast("double").alias("noise"))
+        F.col("noised").cast("double").alias("noise"))
     er = F.when(F.col("lagn").isNotNull() & (F.col("noise") > 0),
                 F.abs(F.col("value") - F.col("lagn")) / F.col("noise"))
     return (s.filter(F.col("t") > _KER_N)

@@ -548,11 +548,19 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baselines (round 6, nulls fixture); NULL rows keep their
     # original pass-through behavior. Identical filter in the oracle.
     ev = ev.filter(F.col("value").isNull() | ~F.isnan("value"))
-    frame = w.rowsBetween(-20, -1)
-    sx = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
-    sxx = (F.sum((F.col("value") * F.col("value")).cast(DEC))
-            .over(frame).cast("double"))
-    n = F.count("value").over(frame).cast("double")
+    # Round 12: O(n·W) sliding decimal sums → O(n) prefix differences
+    # (functions/rollfast.py; exact, incl. the exclude-current-row
+    # frame — cum lags 1 and 21 — and NULL-value rows, which the
+    # per-sum non-null count guard reproduces bit-for-bit).
+    from ..functions.rollfast import trailing_agg
+    val = F.col("value")
+    ev = trailing_agg(ev, ["user_id"], ["ts", "event_id"], (-20, -1),
+                      sums={"__sxd": val.cast(DEC),
+                            "__sxxd": (val * val).cast(DEC)},
+                      counts={"__nl": val})
+    sx = F.col("__sxd").cast("double")
+    sxx = F.col("__sxxd").cast("double")
+    n = F.col("__nl").cast("double")
     var = (sxx - sx * sx / n) / (n - F.lit(1.0))
     ok = (n >= 8) & (var > 0)
     z = (F.col("value") - sx / n) / F.sqrt(var)
