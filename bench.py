@@ -227,6 +227,14 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Cache lifecycle (round 12, VERDICT r11 item 3): release every
+        # block the query pinned BETWEEN queries, outside the timed
+        # region — the r11 sweep measured 3-6x inflation on late
+        # queries from never-unpersisted caches accumulating across a
+        # long-lived session. Within one query's best-of-3 the caches
+        # stay warm exactly as before, so per-query numbers remain
+        # comparable with earlier rounds.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     # Round 5 (VERDICT r4 item 6): the 22-query TPC-H power total rides
     # along as a committed metric so SQL-suite regressions are visible
@@ -244,6 +252,7 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         tpch[name] = round(best, 3)
+        spark.catalog.clearCache()  # see the headline-loop comment
     # loadavg rides along (VERDICT r6 ask 9) so a judge can mechanically
     # distinguish external machine load from a code regression — the
     # documented same-code noise band on this box is 14-37 s under load.

@@ -16,6 +16,15 @@ from data_ingestor_and_features_creator_spark.streaming import (runner,
                                                                 transforms)
 
 
+@pytest.fixture(autouse=True)
+def _few_parts(few_shuffle_partitions):
+    """Every streaming test runs with 4 state/shuffle partitions —
+    see conftest.few_shuffle_partitions (round 12: state-store
+    machinery is per-partition-per-trigger and dominated this module's
+    224 s wall at the session's 32)."""
+    yield
+
+
 def _rows(df, *key):
     return sorted(tuple(r) for r in df.collect())
 

@@ -89,6 +89,13 @@ def main() -> int:
         except Exception as ex:
             fails.append(name)
             print(name, "FAIL", str(ex)[:800])
+        finally:
+            # Cache lifecycle (round 12): queries cache intra-query
+            # diamonds and cannot unpersist before the caller
+            # materializes — release between ids so a full-registry
+            # gate doesn't accumulate 600+ queries of pinned blocks
+            # (the r11 sweep measured 3-6x late-id inflation).
+            spark.catalog.clearCache()
     print("DONE fails:", fails)
     return 1 if fails else 0
 
