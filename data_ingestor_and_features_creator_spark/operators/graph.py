@@ -36,6 +36,14 @@ from pyspark.sql import functions as F
 # (δ ≈ 0.91): 43.7 s wedge vs 4.3 s bitmap, same exact 124.5M count.
 TRIANGLE_DENSE_DENSITY = 1.0 / 16.0
 
+# Edge rows per task for the dense-regime bitmap join (round 12):
+# large enough that per-row compute (~2 µs of interpreted word-ANDs)
+# amortizes the per-task fixed cost (task-binary deserialization of
+# the big higher-order expression tree, ~15-20 ms measured), small
+# enough that a task's working set stays bounded. Data-derived, not
+# core-count-derived — at 1e9 edges this still yields ~8k tasks.
+_BITMAP_ROWS_PER_TASK = 128_000
+
 
 def triangle_regime(m_edges: int, n_nodes: int) -> str:
     """'bitmap' (dense) or 'wedge' (sparse) from the one-aggregate
@@ -104,8 +112,21 @@ def triangle_count_auto(e: DataFrame) -> tuple[DataFrame, str, int]:
     n_nodes = (e.select(F.explode(F.array("a", "b")).alias("v"))
                 .distinct().count())
     regime = triangle_regime(m_edges, n_nodes)
-    plan = (triangle_count_bitmap if regime == "bitmap"
-            else triangle_count_wedge)(e)
+    if regime == "bitmap":
+        # Round 12 (guide §2.2 — fewer, larger tasks): the bitmap
+        # join's per-row work is tiny word-AND arithmetic, so per-TASK
+        # fixed cost (megabyte task binaries for the higher-order
+        # expression tree, setup of the interpreted lambda) dominates
+        # small partitions — measured on the dense fixture at 32
+        # cores: 64 tasks 2.15 s, 32 tasks 1.43-1.71 s, 4-8 tasks
+        # 1.06-1.16 s, identical count. Bound the task count by
+        # MEASURED edge rows per task (coalesce: no extra shuffle;
+        # a no-op whenever the edge set already has fewer partitions,
+        # so big graphs keep their full parallelism).
+        parts = max(1, -(-m_edges // _BITMAP_ROWS_PER_TASK))
+        plan = triangle_count_bitmap(e.coalesce(parts))
+    else:
+        plan = triangle_count_wedge(e)
     return plan, regime, m_edges
 
 

@@ -178,7 +178,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically; degrees are map-side combinable counts keyed on the
     node; nothing is ever all-pairs."""
     e = _copurchase_edges(spark, sf_dir)
-    sym = _sym(e).localCheckpoint()
+    # Round 12 (guide §2.4): sym is loop-invariant and every round's
+    # first restriction joins it on u (as does the final core-degree
+    # pass) — cache it hash-partitioned and sorted by u so those joins
+    # skip the full 2|E| exchange+sort every round (cache preserves
+    # partitioning/ordering into the InMemoryRelation; localCheckpoint
+    # does not — probed UnknownPartitioning on this Spark).
+    sym = (_sym(e).repartition("u").sortWithinPartitions("u").cache())
     remaining = sym.select(F.col("u").alias("n")).distinct()
     n_prev = remaining.count()
     for _ in range(_KCORE_ROUNDS):
@@ -245,7 +251,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage stays O(1). At 100 TB each round is a groupBy the size of
     the edge set — the canonical Pregel-in-DataFrames shape."""
     e = _copurchase_edges(spark, sf_dir)
-    sym = _sym(e).localCheckpoint()
+    # Round 12 (guide §2.4): sym is loop-invariant and every round
+    # joins it on v — cache it hash-partitioned and sorted by v so the
+    # per-round join skips the full 2|E| exchange+sort (see
+    # graph_kcore's comment; localCheckpoint loses partitioning).
+    sym = (_sym(e).repartition("v").sortWithinPartitions("v").cache())
     lab = sym.select(F.col("u").alias("n")).distinct() \
              .withColumn("lbl", F.col("n"))
     for _ in range(_LPA_ROUNDS):
