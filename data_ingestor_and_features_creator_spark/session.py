@@ -44,6 +44,15 @@ def get_spark(app_name: str = "data_ingestor_and_features_creator_spark",
         # keeps ~cores partitions locally; at cluster scale shuffle
         # blocks dwarf either floor, so this is a no-op there.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Round 12 (VERDICT r11 ask 8, guide §6): floor the SCAN split
+        # count at the core count — single-row-group fixture files
+        # otherwise scan as ONE task and serialize every map-side
+        # aggregate above them (fieller/ancova/tweedie family). Spark
+        # only honors the floor by shrinking target split size, so at
+        # cluster scale (files >> cores) it is a no-op; locally it is
+        # the scan-side twin of the minPartitionSize floor above.
+        # Adopted on a full-bench A/B: see OPTIMIZATION_r12.md.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
