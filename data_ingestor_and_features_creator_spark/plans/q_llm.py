@@ -669,16 +669,23 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cluster_id").alias("__c_twin"),
                      (F.col("n") == F.col("cluster_id"))
                      .alias("__twin_keep"))
+    # LEFT joins from plant (round 12, ADVICE r11): should a planted
+    # doc ever fail to reach cc (impossible under the current identical-
+    # signature banding, but data-dependent), its report row now
+    # SURVIVES with same_cluster = FALSE — a loud oracle mismatch —
+    # instead of silently dropping. On every fixture the rows all match,
+    # so the output (and hash) is unchanged.
     return (plant.select(
                 "doc_id",
                 F.size(textops.tokens("text")).cast("long")
                  .alias("n_tokens"))
-                 .join(orig, "doc_id")
-                 .join(twin, "doc_id")
+                 .join(orig, "doc_id", "left")
+                 .join(twin, "doc_id", "left")
                  .select("doc_id", "n_tokens",
-                         (F.col("__c_orig") == F.col("__c_twin"))
-                         .alias("same_cluster"),
-                         F.col("__twin_keep").alias("twin_keep"))
+                         F.coalesce(F.col("__c_orig") == F.col("__c_twin"),
+                                    F.lit(False)).alias("same_cluster"),
+                         F.coalesce("__twin_keep", F.lit(False))
+                          .alias("twin_keep"))
                  .orderBy("doc_id"))
 
 
